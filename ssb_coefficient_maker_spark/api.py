@@ -1,0 +1,257 @@
+"""Public API parity layer: ``FormulaEvaluator`` and
+``CoefficientCalculator``.
+
+Signature parity targets (SURVEY.md §2.1; reference
+coeff_maker.py:589-597 and :885-896). Differences, by design:
+
+- Results are **lazy Spark DataFrames** (``__row_id__`` + double
+  columns), not eager pandas frames. ``evaluate_to_pandas`` collects
+  for tests/small results.
+- Vector∘vector formulas return a labeled pandas Series instead of
+  the reference's accidental raw ndarray (SURVEY.md §1.3 wart).
+- ``adp_enabled`` defaults to False in BOTH classes (the reference's
+  defaults disagree with each other and with its docs — SURVEY.md
+  §2.1); ADP division actually works here (the reference's is broken
+  under pandas ≥2.x).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ssb_coefficient_maker_spark import adp as adp_mod
+from ssb_coefficient_maker_spark.catalog import (
+    Matrix,
+    Vector,
+    matrix_from_pandas,
+    matrix_from_spark,
+    matrix_to_pandas,
+    vector_from_pandas,
+)
+from ssb_coefficient_maker_spark.formula.parser import (
+    FormulaExpr,
+    extract_variables,
+    parse_formula,
+)
+from ssb_coefficient_maker_spark.plans.alignment import compile_formula
+from ssb_coefficient_maker_spark.session import get_spark
+from ssb_coefficient_maker_spark.validation import validate as _validate
+
+
+class FormulaEvaluator:
+    """Evaluate formula strings over named datasets, Spark-side.
+
+    Reference: ``FormulaEvaluator`` (coeff_maker.py:572-840).
+    """
+
+    def __init__(
+        self,
+        data_dict: Mapping[str, Any],
+        adp_enabled: bool = False,
+        decimal_precision: int = 35,
+        fill_invalid: bool = False,
+        verbose: bool = False,
+        spark: SparkSession | None = None,
+    ):
+        if decimal_precision <= 0:
+            raise ValueError("decimal_precision must be positive")
+        self.spark = spark or get_spark()
+        self.adp_enabled = adp_enabled
+        self.decimal_precision = decimal_precision
+        self.fill_invalid = fill_invalid
+        self.verbose = verbose
+        self.datasets: dict[str, Matrix | Vector | float] = {}
+        for name, value in data_dict.items():
+            self._register(name, value)
+
+    def _register(self, name: str, value: Any) -> None:
+        if not str(name).isidentifier():
+            raise ValueError(f"dataset name {name!r} is not a valid identifier")
+        if self.adp_enabled:
+            if isinstance(value, pd.DataFrame):
+                self.datasets[name] = adp_mod.adp_matrix_from_pandas(
+                    self.spark, value, self.decimal_precision
+                )
+                return
+            if isinstance(value, pd.Series):
+                self.datasets[name] = adp_mod.adp_vector_from_pandas(
+                    value, self.decimal_precision
+                )
+                return
+        if isinstance(value, pd.DataFrame):
+            self.datasets[name] = matrix_from_pandas(self.spark, value)
+        elif isinstance(value, pd.Series):
+            self.datasets[name] = vector_from_pandas(value)
+        elif isinstance(value, DataFrame):
+            self.datasets[name] = matrix_from_spark(value)
+        elif isinstance(value, (Matrix, Vector)):
+            self.datasets[name] = value
+        elif isinstance(value, (int, float)):
+            self.datasets[name] = float(value)
+        else:
+            raise TypeError(
+                f"cannot register {name!r}: unsupported type {type(value)}; "
+                f"use pandas DataFrame/Series, Spark DataFrame (with "
+                f"__row_id__), or a scalar"
+            )
+
+    # -- parity surface (reference coeff_maker.py:673, :700, :800) --------
+
+    def parse_formula(self, formula: str) -> FormulaExpr:
+        expr = parse_formula(formula)
+        if self.verbose:
+            print(f"[parse] {formula!r} -> {expr}")
+        return expr
+
+    def extract_variables(self, expr: FormulaExpr | str) -> list[str]:
+        return extract_variables(expr)
+
+    def evaluate_formula(self, formula: str | FormulaExpr) -> Any:
+        """Evaluate a formula; returns a lazy Spark DataFrame for matrix
+        results, a pandas Series for vector-only results, a float for
+        scalar-only formulas.
+        """
+        if isinstance(formula, FormulaExpr):
+            expr = formula
+            formula_str = "<parsed>"
+        else:
+            formula_str = formula
+            expr = self.parse_formula(formula)
+        names = self.extract_variables(expr)
+        missing = [n for n in names if n not in self.datasets]
+        if missing:
+            raise KeyError(
+                f"formula '{formula_str}' references unknown dataset(s): {missing}"
+            )
+        mixed = any(isinstance(self.datasets[n], Vector) for n in names) and any(
+            isinstance(self.datasets[n], Matrix) for n in names
+        )
+
+        if self.adp_enabled and any(
+            isinstance(self.datasets[n], Matrix) for n in names
+        ):
+            df, cols = adp_mod.compile_adp_formula(
+                expr, self.datasets, self.decimal_precision
+            )
+            self._last_value_cols = cols
+            return df
+
+        compiled = compile_formula(expr, self.datasets)
+        if compiled.is_scalar:
+            return compiled.scalar
+        if compiled.vector is not None:
+            return pd.Series(
+                compiled.vector.values, index=compiled.vector.labels, dtype=np.float64
+            )
+        df, count = _validate(
+            compiled.df,
+            compiled.value_cols,
+            formula_str,
+            fill=self.fill_invalid,
+            mixed_operands=mixed,
+            verbose=self.verbose,
+        )
+        self._last_value_cols = compiled.value_cols
+        self.last_invalid_count = count
+        return df
+
+    def evaluate_to_pandas(self, formula: str | FormulaExpr) -> Any:
+        """Evaluate and collect to pandas (tests / small results)."""
+        result = self.evaluate_formula(formula)
+        if not isinstance(result, DataFrame):
+            return result
+        if self.adp_enabled:
+            return adp_mod.adp_to_pandas(
+                result, self._last_value_cols, self.decimal_precision
+            )
+        return matrix_to_pandas(Matrix(df=result, value_cols=self._last_value_cols))
+
+
+class CoefficientCalculator:
+    """Batch driver over a coefficient map (reference
+    coeff_maker.py:843-1016).
+
+    The map is metadata (a handful of rows) — it stays driver-side;
+    every formula becomes an independent lazy Spark plan. Results do
+    NOT feed back into the dataset catalog (same no-chaining rule as
+    the reference, coeff_maker.py:987-1012).
+    """
+
+    def __init__(
+        self,
+        data_dict: Mapping[str, Any],
+        coefficient_map: pd.DataFrame,
+        result_name_col: str,
+        formula_name_col: str,
+        adp_enabled: bool = False,
+        decimal_precision: int = 35,
+        fill_invalid: bool = False,
+        verbose: bool = False,
+        spark: SparkSession | None = None,
+    ):
+        if isinstance(coefficient_map, DataFrame):
+            coefficient_map = coefficient_map.toPandas()
+        self._validate_headers(coefficient_map, [result_name_col, formula_name_col])
+        self.coefficient_map = coefficient_map
+        self.result_name_col = result_name_col
+        self.formula_name_col = formula_name_col
+        self.verbose = verbose
+        self.evaluator = FormulaEvaluator(
+            data_dict,
+            adp_enabled=adp_enabled,
+            decimal_precision=decimal_precision,
+            fill_invalid=fill_invalid,
+            verbose=verbose,
+            spark=spark,
+        )
+
+    @staticmethod
+    def _validate_headers(cmap: pd.DataFrame, mandatory: list[str]) -> None:
+        # reference _validate_coefficient_map_headers (coeff_maker.py:938-954)
+        missing = [c for c in mandatory if c not in cmap.columns]
+        if missing:
+            raise KeyError(
+                f"coefficient map is missing mandatory column(s): {missing}; "
+                f"has {list(cmap.columns)}"
+            )
+
+    def compute_coefficients(self) -> dict[str, Any]:
+        """Evaluate every mapped formula; skip empty formulas and
+        formulas with unknown variables (reference
+        coeff_maker.py:989-1012 fail-soft loop)."""
+        results: dict[str, Any] = {}
+        for _, row in self.coefficient_map.iterrows():
+            name = row[self.result_name_col]
+            formula = row[self.formula_name_col]
+            if formula is None or (isinstance(formula, float) and np.isnan(formula)):
+                continue
+            if not str(formula).strip():
+                continue
+            try:
+                expr = self.evaluator.parse_formula(str(formula))
+            except Exception as exc:
+                if self.verbose:
+                    print(f"[skip] {name}: unparseable formula {formula!r}: {exc}")
+                continue
+            variables = self.evaluator.extract_variables(expr)
+            unknown = [v for v in variables if v not in self.evaluator.datasets]
+            if unknown:
+                if self.verbose:
+                    print(f"[skip] {name}: missing variable(s) {unknown}")
+                continue
+            results[name] = self.evaluator.evaluate_formula(str(formula))
+        return results
+
+    def compute_coefficients_to_pandas(self) -> dict[str, Any]:
+        out = {}
+        for name, value in self.compute_coefficients().items():
+            if isinstance(value, DataFrame):
+                cols = [c for c in value.columns if c != "__row_id__"]
+                out[name] = matrix_to_pandas(Matrix(df=value, value_cols=cols))
+            else:
+                out[name] = value
+        return out

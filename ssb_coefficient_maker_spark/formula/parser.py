@@ -1,0 +1,183 @@
+"""Formula front-end: a defined grammar parsed once with Python ``ast``.
+
+The reference parses every formula twice — sympy for variable analysis
+(reference coeff_maker.py:673-698) and pandas-eval for execution
+(reference coeff_maker.py:766) — and its de-facto language is
+"whatever ``pd.eval``'s python engine accepts" (SURVEY.md §2 Part B).
+Here the language is explicit:
+
+    expr    := arithmetic over names and numeric literals
+    binops  := + - * / % // ** (and '^' as an alias for '**',
+               matching the reference's auto-conversion,
+               reference coeff_maker.py:688-691)
+    unary   := -x, +x
+    compare := < <= > >= == !=
+    calls   := whitelisted only: abs(x), pow(x, y), x.fillna(v)
+
+Parsing yields a small typed tree (``FormulaExpr``) that downstream
+compiles either to ``pyspark.sql.Column`` (standard mode) or to an
+mpmath closure (ADP mode). One parser, two backends.
+"""
+
+from __future__ import annotations
+
+import ast
+from dataclasses import dataclass
+
+
+class FormulaError(ValueError):
+    """Raised for formulas outside the supported grammar."""
+
+
+@dataclass(frozen=True)
+class FormulaExpr:
+    """Base class for parsed formula nodes."""
+
+
+@dataclass(frozen=True)
+class Num(FormulaExpr):
+    value: float
+
+
+@dataclass(frozen=True)
+class Var(FormulaExpr):
+    name: str
+
+
+@dataclass(frozen=True)
+class BinOp(FormulaExpr):
+    op: str  # one of + - * / % // ** < <= > >= == !=
+    left: FormulaExpr
+    right: FormulaExpr
+
+
+@dataclass(frozen=True)
+class UnaryOp(FormulaExpr):
+    op: str  # '-' or '+'
+    operand: FormulaExpr
+
+
+@dataclass(frozen=True)
+class Call(FormulaExpr):
+    func: str  # 'abs' | 'pow' | 'fillna'
+    args: tuple[FormulaExpr, ...]
+
+
+_BINOPS: dict[type[ast.operator], str] = {
+    ast.Add: "+",
+    ast.Sub: "-",
+    ast.Mult: "*",
+    ast.Div: "/",
+    ast.Mod: "%",
+    ast.FloorDiv: "//",
+    ast.Pow: "**",
+    ast.BitXor: "**",  # '^' means power, reference coeff_maker.py:688-691
+}
+
+_CMPOPS: dict[type[ast.cmpop], str] = {
+    ast.Lt: "<",
+    ast.LtE: "<=",
+    ast.Gt: ">",
+    ast.GtE: ">=",
+    ast.Eq: "==",
+    ast.NotEq: "!=",
+}
+
+_FUNC_WHITELIST = {"abs", "pow"}
+_METHOD_WHITELIST = {"fillna"}
+
+
+def parse_formula(formula: str) -> FormulaExpr:
+    """Parse a formula string into a FormulaExpr tree."""
+    if not isinstance(formula, str):
+        raise FormulaError(f"formula must be a string, got {type(formula)}")
+    if not formula.strip():
+        raise FormulaError("empty formula")
+    try:
+        tree = ast.parse(formula, mode="eval")
+    except SyntaxError as exc:
+        raise FormulaError(f"invalid formula syntax: {formula!r}: {exc}") from exc
+    return _convert(tree.body, formula)
+
+
+def _convert(node: ast.expr, formula: str) -> FormulaExpr:
+    if isinstance(node, ast.Constant):
+        if isinstance(node.value, bool) or not isinstance(node.value, (int, float)):
+            raise FormulaError(f"only numeric literals allowed, got {node.value!r}")
+        return Num(float(node.value))
+    if isinstance(node, ast.Name):
+        return Var(node.id)
+    if isinstance(node, ast.BinOp):
+        op = _BINOPS.get(type(node.op))
+        if op is None:
+            raise FormulaError(f"unsupported operator in {formula!r}: {ast.dump(node.op)}")
+        return BinOp(op, _convert(node.left, formula), _convert(node.right, formula))
+    if isinstance(node, ast.UnaryOp):
+        if isinstance(node.op, ast.USub):
+            return UnaryOp("-", _convert(node.operand, formula))
+        if isinstance(node.op, ast.UAdd):
+            return UnaryOp("+", _convert(node.operand, formula))
+        raise FormulaError(f"unsupported unary operator in {formula!r}")
+    if isinstance(node, ast.Compare):
+        if len(node.ops) != 1 or len(node.comparators) != 1:
+            raise FormulaError(f"chained comparisons not supported: {formula!r}")
+        op = _CMPOPS.get(type(node.ops[0]))
+        if op is None:
+            raise FormulaError(f"unsupported comparison in {formula!r}")
+        return BinOp(op, _convert(node.left, formula), _convert(node.comparators[0], formula))
+    if isinstance(node, ast.Call):
+        return _convert_call(node, formula)
+    raise FormulaError(f"unsupported syntax in formula {formula!r}: {type(node).__name__}")
+
+
+def _convert_call(node: ast.Call, formula: str) -> FormulaExpr:
+    if node.keywords:
+        raise FormulaError(f"keyword arguments not supported in {formula!r}")
+    if isinstance(node.func, ast.Name):
+        name = node.func.id
+        if name not in _FUNC_WHITELIST:
+            raise FormulaError(f"function {name!r} not in whitelist {_FUNC_WHITELIST}")
+        args = tuple(_convert(a, formula) for a in node.args)
+        if name == "abs" and len(args) != 1:
+            raise FormulaError("abs() takes exactly one argument")
+        if name == "pow" and len(args) != 2:
+            raise FormulaError("pow() takes exactly two arguments")
+        return Call(name, args)
+    if isinstance(node.func, ast.Attribute):
+        method = node.func.attr
+        if method not in _METHOD_WHITELIST:
+            raise FormulaError(f"method {method!r} not in whitelist {_METHOD_WHITELIST}")
+        target = _convert(node.func.value, formula)
+        args = (target,) + tuple(_convert(a, formula) for a in node.args)
+        if len(args) != 2:
+            raise FormulaError("fillna() takes exactly one argument")
+        return Call(method, args)
+    raise FormulaError(f"unsupported call syntax in {formula!r}")
+
+
+def extract_variables(expr: FormulaExpr | str) -> list[str]:
+    """Free variable names of a parsed formula, in first-seen order.
+
+    Mirrors reference ``extract_variables`` (coeff_maker.py:700-718)
+    but works on our AST rather than sympy free_symbols (which lose
+    source order).
+    """
+    if isinstance(expr, str):
+        expr = parse_formula(expr)
+    seen: list[str] = []
+
+    def walk(node: FormulaExpr) -> None:
+        if isinstance(node, Var):
+            if node.name not in seen:
+                seen.append(node.name)
+        elif isinstance(node, BinOp):
+            walk(node.left)
+            walk(node.right)
+        elif isinstance(node, UnaryOp):
+            walk(node.operand)
+        elif isinstance(node, Call):
+            for a in node.args:
+                walk(a)
+
+    walk(expr)
+    return seen

@@ -1,0 +1,120 @@
+"""ADP (arbitrary-decimal-precision) parity tests.
+
+Reproduces the reference's ADP suite intent (reference
+tests/test_FormulaEvaluator_pt2.py:327-645; fixtures per FIXTURES.md
+A4) — including DIVISION, which is broken in the reference under
+pandas ≥2.x (SURVEY.md §2 Part A warts) but works here.
+"""
+
+from __future__ import annotations
+
+import mpmath
+import numpy as np
+import pandas as pd
+import pytest
+
+from ssb_coefficient_maker_spark.api import FormulaEvaluator
+
+DPS = 50
+
+
+@pytest.fixture(scope="module")
+def adp_eval(spark):
+    def build(data, dps=DPS):
+        return FormulaEvaluator(
+            data, adp_enabled=True, decimal_precision=dps, spark=spark
+        )
+
+    return build
+
+
+def test_tiny_addition_exact(adp_eval):
+    # small_hp + small_hp == exactly 2e-30 (reference pt2:383-409)
+    small = pd.DataFrame(np.full((2, 2), 1e-30))
+    fe = adp_eval({"small": small})
+    res = fe.evaluate_to_pandas("small + small")
+    with mpmath.workdps(DPS):
+        expected = mpmath.mpf("2e-30")
+        for v in res.values.ravel():
+            assert mpmath.almosteq(v, expected, rel_eps=mpmath.mpf("1e-45"))
+
+
+def test_small_times_large_is_one(adp_eval):
+    # 1e-20 * 1e20 == 1 exactly (reference pt2:412-426)
+    small = pd.DataFrame(np.full((2, 2), 1e-20))
+    large = pd.DataFrame(np.full((2, 2), 1e20))
+    fe = adp_eval({"small": small, "large": large})
+    res = fe.evaluate_to_pandas("small * large")
+    for v in res.values.ravel():
+        assert v == 1
+
+
+def test_precise_fraction_division(adp_eval):
+    # unit fractions ratio, exact at 50 digits (reference pt2:429-467)
+    with mpmath.workdps(DPS):
+        num = pd.DataFrame(
+            [[mpmath.mpf(1) / 3, mpmath.mpf(1) / 7], [mpmath.mpf(1) / 9, mpmath.mpf(1) / 11]],
+            dtype=object,
+        )
+        den = pd.DataFrame(
+            [[mpmath.mpf(1) / 13, mpmath.mpf(1) / 17], [mpmath.mpf(1) / 19, mpmath.mpf(1) / 23]],
+            dtype=object,
+        )
+        fe = adp_eval({"num": num, "den": den})
+        res = fe.evaluate_to_pandas("num / den")
+        expected = [
+            [mpmath.mpf(13) / 3, mpmath.mpf(17) / 7],
+            [mpmath.mpf(19) / 9, mpmath.mpf(23) / 11],
+        ]
+        for r in range(2):
+            for col in range(2):
+                assert mpmath.almosteq(
+                    res.iloc[r, col], expected[r][col], rel_eps=mpmath.mpf("1e-45")
+                )
+
+
+def test_adp_zero_division_raises(adp_eval):
+    # reference pt2:470-488 — ADP division by zero must raise
+    a = pd.DataFrame(np.ones((2, 2)))
+    z = pd.DataFrame(np.zeros((2, 2)))
+    fe = adp_eval({"a": a, "z": z})
+    with pytest.raises(Exception, match="(?i)division by zero"):
+        fe.evaluate_to_pandas("a / z")
+
+
+def test_loan_payment_formula(adp_eval):
+    # payment = P*r/(1-(1+r)^-n) with monthly rate (reference pt2:519-575)
+    principal = pd.DataFrame({"v": [1e6, 2e6, 5e6]})
+    rate = pd.DataFrame({"v": [0.0325 / 12, 0.0310 / 12, 0.0295 / 12]})
+    periods = pd.DataFrame({"v": [360.0, 240.0, 180.0]})
+    fe = adp_eval({"p": principal, "r": rate, "n": periods})
+    res = fe.evaluate_to_pandas("(p * r) / (1 - (1 + r) ** (-n))")
+    with mpmath.workdps(DPS):
+        for row, (pv, rv, nv) in enumerate(
+            [(1e6, 0.0325 / 12, 360), (2e6, 0.0310 / 12, 240), (5e6, 0.0295 / 12, 180)]
+        ):
+            p_, r_, n_ = mpmath.mpf(repr(pv)), mpmath.mpf(repr(rv)), mpmath.mpf(nv)
+            expected = (p_ * r_) / (1 - (1 + r_) ** (-n_))
+            assert mpmath.almosteq(res.iloc[row, 0], expected, rel_eps=mpmath.mpf("1e-40"))
+
+
+def test_adp_beats_float64(adp_eval):
+    # small * large * small at 1e±16: ADP relative error < 1e-40
+    # (reference pt2:578-645)
+    with mpmath.workdps(DPS):
+        small = pd.DataFrame([[mpmath.mpf("1e-16")]], dtype=object)
+        large = pd.DataFrame([[mpmath.mpf("1e16")]], dtype=object)
+        fe = adp_eval({"s": small, "l": large})
+        res = fe.evaluate_to_pandas("s * l * s")
+        expected = mpmath.mpf("1e-16")
+        rel_err = abs(res.iloc[0, 0] - expected) / expected
+        assert rel_err < mpmath.mpf("1e-40")
+
+
+def test_adp_power_works(adp_eval):
+    # the reference REJECTS '**' in ADP mode (coeff_maker.py:744-749);
+    # our engine supports it — deliberate improvement, documented.
+    a = pd.DataFrame([[2.0, 3.0]])
+    fe = adp_eval({"a": a})
+    res = fe.evaluate_to_pandas("a ** 2")
+    assert res.iloc[0, 0] == 4 and res.iloc[0, 1] == 9

@@ -1,0 +1,120 @@
+"""CoefficientCalculator parity tests (reference
+tests/test_CoefficientCalculator.py; fixtures per FIXTURES.md A2)."""
+
+from __future__ import annotations
+
+import warnings
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from ssb_coefficient_maker_spark.api import CoefficientCalculator
+
+
+@pytest.fixture(scope="module")
+def data():
+    rng = np.random.default_rng(seed=42)
+    a = pd.DataFrame(rng.integers(1, 10, (3, 3))).astype(float)
+    b = pd.DataFrame(rng.integers(1, 5, (3, 3))).astype(float)
+    c = pd.Series(rng.integers(1, 10, 3)).astype(float)
+    return {"a": a, "b": b, "c": c}
+
+
+@pytest.fixture(scope="module")
+def coefficient_map():
+    return pd.DataFrame(
+        {
+            "result_name": [
+                "sum_ab",
+                "diff_ab",
+                "a_times_c",
+                "a_divided_by_b",
+                "empty_formula",
+            ],
+            "formula": ["a + b", "a - b", "a * c", "a / b", ""],
+            "description": ["sum", "difference", "scaled", "ratio", "blank"],
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def calculator(spark, data, coefficient_map):
+    return CoefficientCalculator(
+        data,
+        coefficient_map,
+        result_name_col="result_name",
+        formula_name_col="formula",
+        adp_enabled=False,
+        fill_invalid=True,
+        spark=spark,
+    )
+
+
+def test_expected_keys(calculator):
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        results = calculator.compute_coefficients()
+    # empty formula skipped (reference coeff_maker.py:993-995)
+    assert set(results) == {"sum_ab", "diff_ab", "a_times_c", "a_divided_by_b"}
+
+
+def test_values_match_pandas(calculator, data):
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        results = calculator.compute_coefficients_to_pandas()
+    a, b, c = data["a"], data["b"], data["c"]
+    np.testing.assert_allclose(results["sum_ab"].values, (a + b).values)
+    np.testing.assert_allclose(results["diff_ab"].values, (a - b).values)
+    np.testing.assert_allclose(results["a_times_c"].values, (a * c.to_numpy()).values)
+    np.testing.assert_allclose(results["a_divided_by_b"].values, (a / b).values)
+
+
+def test_missing_variable_skipped(spark, data, coefficient_map):
+    cmap = pd.concat(
+        [
+            coefficient_map,
+            pd.DataFrame(
+                {
+                    "result_name": ["missing_var"],
+                    "formula": ["a + nonexistent_var"],
+                    "description": ["broken"],
+                }
+            ),
+        ],
+        ignore_index=True,
+    )
+    calc = CoefficientCalculator(
+        data, cmap, "result_name", "formula", fill_invalid=True, spark=spark
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        results = calc.compute_coefficients()
+    assert "missing_var" not in results
+    assert "sum_ab" in results
+
+
+def test_nan_formula_skipped(spark, data):
+    cmap = pd.DataFrame(
+        {"result_name": ["ok", "nanf"], "formula": ["a + b", np.nan]}
+    )
+    calc = CoefficientCalculator(data, cmap, "result_name", "formula", spark=spark)
+    results = calc.compute_coefficients()
+    assert set(results) == {"ok"}
+
+
+def test_header_validation(spark, data, coefficient_map):
+    # reference: missing mandatory column → KeyError (coeff_maker.py:938-954)
+    with pytest.raises(KeyError, match="wrong_col"):
+        CoefficientCalculator(
+            data, coefficient_map, "wrong_col", "formula", spark=spark
+        )
+    with pytest.raises(KeyError, match="nope"):
+        CoefficientCalculator(
+            data, coefficient_map, "result_name", "nope", spark=spark
+        )
+
+
+def test_extra_columns_allowed(calculator):
+    # description column tolerated (reference tests:173-197)
+    assert "description" in calculator.coefficient_map.columns

@@ -1,0 +1,106 @@
+"""Grammar unit tests (no Spark session needed).
+
+Mirrors reference parse/extract tests
+(tests/test_ResultValidator.py:260-304 in the reference repo).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ssb_coefficient_maker_spark.formula.parser import (
+    BinOp,
+    Call,
+    FormulaError,
+    Num,
+    Var,
+    extract_variables,
+    parse_formula,
+)
+
+
+def test_parse_simple_binop():
+    expr = parse_formula("a + b")
+    assert isinstance(expr, BinOp) and expr.op == "+"
+    assert expr.left == Var("a") and expr.right == Var("b")
+
+
+def test_parse_precedence():
+    expr = parse_formula("a + b * c")
+    assert expr.op == "+"
+    assert isinstance(expr.right, BinOp) and expr.right.op == "*"
+
+
+def test_parse_parens():
+    expr = parse_formula("(a - b) / c")
+    assert expr.op == "/"
+    assert isinstance(expr.left, BinOp) and expr.left.op == "-"
+
+
+def test_caret_is_power():
+    # reference converts '^' to '**' (coeff_maker.py:688-691)
+    expr = parse_formula("a ^ 2")
+    assert isinstance(expr, BinOp) and expr.op == "**"
+    assert expr.right == Num(2.0)
+
+
+def test_power_and_unary():
+    expr = parse_formula("-a ** 2")
+    # Python precedence: -(a**2)
+    assert expr.op == "-" or (hasattr(expr, "operand"))
+
+
+def test_extract_variables_order_and_dedup():
+    assert extract_variables("(a - b) / c + a") == ["a", "b", "c"]
+
+
+def test_extract_from_string():
+    assert extract_variables("x * y + 1") == ["x", "y"]
+
+
+def test_fillna_method_call():
+    expr = parse_formula("i.fillna(0) * a")
+    assert isinstance(expr, BinOp) and expr.op == "*"
+    assert isinstance(expr.left, Call) and expr.left.func == "fillna"
+
+
+def test_abs_and_pow_whitelist():
+    assert isinstance(parse_formula("abs(a)"), Call)
+    assert isinstance(parse_formula("pow(a, 2)"), Call)
+
+
+def test_reserved_names_are_plain_variables():
+    # sympy would capture I/E as constants; the reference pre-binds
+    # symbols to avoid that (coeff_maker.py:673-698). Our ast parser
+    # has no such capture by construction.
+    assert extract_variables("I + E") == ["I", "E"]
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "",
+        "   ",
+        "a +",
+        "import os",
+        "__import__('os')",
+        "a.transpose()",
+        "open('/etc/passwd')",
+        "lambda x: x",
+        "[1,2,3]",
+        "'str'",
+        "a if b else c",
+        "f(a)",
+        "a @ b",  # matmul rejected, like the reference (SURVEY §2 Part B)
+        "a and b",
+        "a < b < c",
+    ],
+)
+def test_rejected_formulas(bad):
+    with pytest.raises((FormulaError, ValueError)):
+        parse_formula(bad)
+
+
+def test_numeric_literals_only():
+    with pytest.raises(FormulaError):
+        parse_formula("a + True")
