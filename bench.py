@@ -1,0 +1,68 @@
+"""Benchmark harness: runs the declared query surface at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q01...": sec, ...}, "sf": ...}
+
+Each query is executed to completion with a noop sink (full plan
+runs, nothing collected to the driver — the honest distributed
+cost). Timings are wall-clock on a warm session; the first query
+additionally pays JVM/codegen warmup, so a throwaway warmup query
+runs first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def run_query(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from ssb_coefficient_maker_spark.queries import REGISTRY
+    from ssb_coefficient_maker_spark.session import get_spark
+    from ssb_coefficient_maker_spark.sources.loaders import load_table
+
+    spark = get_spark(app_name="bench")
+
+    # warmup: JVM + parquet footer caches + codegen paths
+    run_query(load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").count())
+
+    timings: dict[str, float] = {}
+    for name, spec in REGISTRY.items():
+        t0 = time.time()
+        try:
+            run_query(spec.fn(spark, sf_dir))
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # a failed query must not hide the rest
+            timings[name] = -1.0
+            print(f"BENCH ERROR {name}: {type(exc).__name__}: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec_all_queries",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else sf_dir,
+                "n_queries": len(timings),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

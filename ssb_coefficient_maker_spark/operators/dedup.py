@@ -1,0 +1,222 @@
+"""Deduplication operators (SURVEY.md §2 Part C EXT; the core
+LLM-data-pipeline surface).
+
+Four tiers, cheapest-first — the order a 100 TB pipeline runs them:
+
+1. exact_dedup        — hash groupBy; one shuffle on a 128-bit hash.
+2. minhash_lsh_pairs  — near-dup candidates via MinHash banding:
+                        per-row signature (no shuffle), explode bands
+                        (constant factor), self-join on band bucket
+                        (shuffle on bucket id, each bucket tiny),
+                        then exact-Jaccard verify on candidates only.
+3. simhash            — 64-bit SimHash per doc + banded blocking.
+4. ngram_jaccard      — exact verification join, for candidates or
+                        small corpora (quadratic if unblocked — at
+                        scale ALWAYS feed it LSH candidates).
+
+Everything is built-in functions (xxhash64, explode, groupBy) — no
+Python UDFs anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssb_coefficient_maker_spark.sources.loaders import load_table
+
+# MinHash parameters: 32 hashes in 4 bands of 8. Band-collision
+# probability is J^8 — steep: ~6% of J=0.7 pairs per band (~23% over 4
+# bands... so this targets J≳0.85 near-dups; raise N_BANDS for lower
+# thresholds). The steep curve is deliberate: shallow bands (J^4) on a
+# corpus with a shared vocabulary put most of the corpus into common
+# buckets and the candidate join goes quadratic.
+N_HASHES = 32
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+MERSENNE = 2147483647
+
+
+def normalized_text(col: Column) -> Column:
+    return F.regexp_replace(F.lower(F.trim(col)), "\\s+", " ")
+
+
+def shingles_col(col: Column, k: int = 5) -> Column:
+    """k-word shingles as an array (distinct), JVM-side lambda ops."""
+    words = F.split(normalized_text(col), " ")
+    n = F.size(words)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", words)))
+    )
+
+
+def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the lowest doc_id.
+
+    One shuffle on the hash; with hash-bucketed storage this becomes
+    shuffle-free. (``dropDuplicates`` has the same plan; the explicit
+    groupBy also yields the duplicate count.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5(normalized_text(F.col("text"))).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("content_hash")
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
+
+    Execution shape (the part that must survive 100 TB):
+
+    1. shingle table (doc_id, sh) — computed ONCE in one projection;
+    2. explode shingles, hash each shingle ONCE (xxhash64), then ALL
+       N_HASHES universal-hash minima ride a single partial+final
+       hash aggregation — one pass over the shingle stream. (The
+       array-lambda alternative — N array_min(transform(...)) over
+       the shingle array — gets each lambda's pipeline re-inlined by
+       Catalyst without cross-lambda CSE and drops out of codegen:
+       measured ~50x slower.)
+    3. band keys exploded (N_BANDS small rows per doc), self-join on
+       (band, band_hash) — the shuffle key is the bucket id; buckets
+       are near-singletons for non-duplicate data, so the join output
+       is ~the true-duplicate count, not quadratic;
+    4. exact Jaccard verification joins the candidate pairs back to
+       the shingle table (arrays never travel through the band join).
+    """
+    sh_tbl = docs.select("doc_id", shingles_col(F.col("text")).alias("sh"))
+
+    ex = sh_tbl.select("doc_id", F.explode("sh").alias("s")).withColumn(
+        "h", F.pmod(F.xxhash64("s"), F.lit(MERSENNE))
+    )
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.pmod(F.col("h") * (2 * i + 1) + 104729 * (i + 1), F.lit(MERSENNE))).alias(
+                f"m{i}"
+            )
+            for i in range(N_HASHES)
+        ]
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.bh")
+
+    cand = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    a = sh_tbl.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh_tbl.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = cand.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        verified.select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def q31_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.4)
+
+
+def q32_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard pairs ≥ 0.5 via inverted-index join,
+    capped to a deterministic 500-doc slice so the oracle stays
+    runnable — exact all-pairs Jaccard is inherently quadratic and at
+    scale runs ONLY on LSH candidates (q31); this query demonstrates
+    and oracle-checks the exact verification tier itself."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    wordsets = docs.select(
+        "doc_id", F.array_distinct(F.split(normalized_text(F.col("text")), " ")).alias("ws")
+    )
+    exploded = wordsets.select("doc_id", F.size("ws").alias("n"), F.explode("ws").alias("w"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    jac = F.col("common").cast("double") / (F.col("na") + F.col("nb") - F.col("common"))
+    return (
+        pairs.select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_table(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per document via explode + ONE hash-aggregate.
+
+    Shape matters at scale: each word is hashed once (xxhash64 on the
+    exploded rows), then 64 conditional sums ride a single
+    partial+final hash aggregation — one pass over the words, one
+    shuffle on doc_id. (The per-row alternative — 64 ``F.aggregate``
+    lambdas over the word array — re-traverses every array 64 times
+    and was ~20x slower.)
+    """
+    words = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(normalized_text(F.col("text")), " "))).alias("w"),
+    ).withColumn("h", F.xxhash64("w"))
+    one = F.lit(1).cast("long")
+    votes = words.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), k).bitwiseAND(one) == 1, 1).otherwise(-1)
+            ).alias(f"v{k}")
+            for k in range(64)
+        ]
+    )
+    fp = F.lit(0).cast("long")
+    for k in range(64):
+        fp = fp.bitwiseOR(
+            F.when(F.col(f"v{k}") > 0, F.shiftleft(one, k)).otherwise(F.lit(0).cast("long"))
+        )
+    return votes.select("doc_id", fp.alias("simhash"))
+
+
+def q33_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint per document (no oracle: engine-specific
+    64-bit hash function; driver records a rows-only check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_table(docs).orderBy("doc_id")

@@ -1,0 +1,376 @@
+"""Relational operator surface (SURVEY.md §2 Part C, GEN rows).
+
+Each function is a declarative DataFrame program over the testdata
+tables — filters reach the parquet scan (pushdown), small dimensions
+are broadcast, aggregations use Catalyst's partial+final hash agg.
+Column aliases here MUST match the oracle SQL in
+``ssb_coefficient_maker_spark.queries`` (the driver's comparator
+sorts columns by name before hashing).
+
+Determinism for oracle comparison: every double aggregate is rounded
+to 4 decimals (summation order differs between engines by design —
+partial aggregation is the point), timestamps are emitted as strings
+(Spark timestamps are session-TZ, DuckDB's are naive), and every
+query has a total ORDER BY tiebreaker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ssb_coefficient_maker_spark.sources.loaders import load_table
+
+TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+def _ts(col: F.Column) -> F.Column:
+    return F.date_format(col, TS_FMT)
+
+
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate, 2 group cols × 8 aggs.
+
+    Whole plan is one scan + partial/final hash agg — no joins, the
+    shipdate filter pushes into the parquet scan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate + projection pushdown showcase: the scan should read
+    only 6 of lineitem's 11 columns and carry all three filters."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_quantity") >= 30)
+            & (F.col("l_discount") > 0.05)
+            & (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("revenue"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: dim filter → fact join → agg → top-k.
+
+    customer is broadcast (small side); the orders⋈lineitem join is a
+    shuffle on orderkey; top-10 is TakeOrderedAndProject (no global
+    sort materialization).
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .select("l_orderkey", _ts("o_orderdate").alias("o_orderdate"), "revenue")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table star join, revenue per nation.
+
+    All dimensions (region→nation→customer, supplier) broadcast; only
+    the orders⋈lineitem edge shuffles.
+    """
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def q06_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: single-pass filtered global aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+
+
+def q07_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as left-semi join: customers having a big-ticket order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 450000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+def q08_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as left-anti join: customers with no order above
+    400k, counted per market segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def q09_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per priority — rank window + filter."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_orderpriority", "o_orderkey", F.round("o_totalprice", 4).alias("totalprice"), "rk")
+        .orderBy("o_orderpriority", "rk")
+    )
+
+
+def q10_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window: running revenue per user over the event stream.
+
+    Both engines order identically (ts, event_id) so the running double
+    sum is bit-reproducible; one shuffle on user_id.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        ev.withColumn("running_value", F.round(F.sum("value").over(w), 4))
+        .select("user_id", "event_id", "running_value")
+        .orderBy("user_id", "event_id")
+    )
+
+
+def q11_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotals + grand total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .orderBy(F.asc_nulls_first("l_returnflag"), F.asc_nulls_first("l_linestatus"))
+    )
+
+
+def q12_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .orderBy(F.asc_nulls_first("o_orderstatus"), F.asc_nulls_first("o_orderpriority"))
+    )
+
+
+def q13_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts per group (approx variant:
+    q44_approx_distinct, weaker rows-only check)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def q14_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: high-balance customers who also placed a 400k+ order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_acctbal") > 7000).select(F.col("c_custkey").alias("custkey"))
+    b = orders.filter(F.col("o_totalprice") > 400000).select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b).orderBy("custkey")
+
+
+def q15_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: high-balance customers with no 400k+ order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_acctbal") > 7000).select(F.col("c_custkey").alias("custkey"))
+    b = orders.filter(F.col("o_totalprice") > 400000).select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b.distinct()).orderBy("custkey")
+
+
+def q16_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL + distinct count of both set-op inputs, tagged."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = (
+        cust.filter(F.col("c_acctbal") > 9000)
+        .select(F.col("c_custkey").alias("custkey"), F.lit("high_balance").alias("src"))
+    )
+    b = (
+        orders.filter(F.col("o_totalprice") > 450000)
+        .select(F.col("o_custkey").alias("custkey"), F.lit("big_order").alias("src"))
+        .distinct()
+    )
+    return a.unionByName(b).orderBy("src", "custkey")
+
+
+def q17_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date bucketing: orders per (year, month) with revenue."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mo")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.round(F.sum("o_totalprice"), 4).alias("total"))
+        .orderBy("yr", "mo")
+    )
+
+
+def q18_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events.props payload column."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.sum(k).alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q19_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array ops over embedding vectors: size, element access, an
+    aggregate lambda (L2 norm) — all JVM-side, no UDF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_val"),
+        F.round(norm, 4).alias("l2_norm"),
+    ).orderBy("vec_id")
+
+
+def q20_window_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (batch form of the
+    streaming aggregation in streaming/windows.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(_ts(F.col("w.start")).alias("window_start"), "event_type", "n", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+def q21_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2-hour windows every 1 hour (each event lands in 2)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(_ts(F.col("w.start")).alias("window_start"), "n", "total_value")
+        .orderBy("window_start")
+    )
+
+
+def q22_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: follow-up events within 24h of each signup, per
+    user — equi-join on user_id carries the work, the time range is a
+    post-join filter (no nested-loop explosion)."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id").alias("su_user"), F.col("event_id").alias("signup_id"), F.col("ts").alias("su_ts")
+    )
+    return (
+        ev.join(
+            signups,
+            (F.col("user_id") == F.col("su_user"))
+            & (F.col("ts") > F.col("su_ts"))
+            & (F.col("ts") <= F.col("su_ts") + F.expr("INTERVAL 24 HOURS")),
+        )
+        .groupBy("signup_id")
+        .agg(F.count(F.lit(1)).alias("n_followups"))
+        .orderBy("signup_id")
+    )
+
+
+def q23_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (CASE WHEN pivot-style counters)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.when(F.col("o_totalprice") > 250000, 1).otherwise(0)).alias("n_big"),
+            F.sum(F.when(F.col("o_totalprice") <= 250000, 1).otherwise(0)).alias("n_small"),
+            F.round(
+                F.avg(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))), 4
+            ).alias("avg_finished_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def q44_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct — no oracle (estimator differs by
+    engine); the driver records a rows-only check."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        )
+        .orderBy("l_returnflag")
+    )

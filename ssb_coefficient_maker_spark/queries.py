@@ -1,0 +1,545 @@
+"""Query registry: every declared operator (SURVEY.md §2 Part C) as a
+(spark_fn, oracle_sql) pair.
+
+The oracle SQL is ANSI SQL DuckDB runs over the same parquet tables;
+column names/aliases match the Spark side exactly (the driver's
+comparator sorts columns by name before hashing values). Doubles are
+rounded to 4 decimals on BOTH sides; timestamps travel as strings.
+Entries with ``oracle=None`` are genuinely engine-specific
+(hash-function-dependent or approximate) and get the driver's
+rows-only check.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ssb_coefficient_maker_spark.operators import dedup, multimodal, relational, similarity, text
+from ssb_coefficient_maker_spark.operators.asof import asof_join
+from ssb_coefficient_maker_spark.sources.loaders import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    fn: QueryFn
+    oracle: Optional[str]
+    group: str
+
+
+# --------------------------------------------------------------- REF flagship
+
+
+def q24_formula_coeffmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship reference-parity query: pivot lineitem into named
+    matrices (rows = orderkey, cols = returnflag), then evaluate a
+    coefficient formula ``a / (a + b)`` through the engine
+    (reference README walkthrough shape, reference README.md:95-133).
+    """
+    from ssb_coefficient_maker_spark.api import FormulaEvaluator
+    from ssb_coefficient_maker_spark.session import ROW_ID
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = (
+        li.groupBy(F.col("l_orderkey").alias(ROW_ID))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_extendedprice"))
+    )
+    b = (
+        li.groupBy(F.col("l_orderkey").alias(ROW_ID))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_quantity"))
+    )
+    fe = FormulaEvaluator({"a": a, "b": b}, fill_invalid=True, spark=spark)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res = fe.evaluate_formula("a / (a + b)")
+    return res.select(
+        ROW_ID,
+        F.round("A", 4).alias("A"),
+        F.round("N", 4).alias("N"),
+        F.round("R", 4).alias("R"),
+    ).orderBy(F.col(ROW_ID).cast("long"))
+
+
+_Q24_ORACLE = """
+WITH piv AS (
+  SELECT CAST(l_orderkey AS VARCHAR) AS __row_id__,
+         sum(CASE WHEN l_returnflag='A' THEN l_extendedprice END) AS a_A,
+         sum(CASE WHEN l_returnflag='N' THEN l_extendedprice END) AS a_N,
+         sum(CASE WHEN l_returnflag='R' THEN l_extendedprice END) AS a_R,
+         sum(CASE WHEN l_returnflag='A' THEN l_quantity END) AS b_A,
+         sum(CASE WHEN l_returnflag='N' THEN l_quantity END) AS b_N,
+         sum(CASE WHEN l_returnflag='R' THEN l_quantity END) AS b_R
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT __row_id__,
+       round(coalesce(a_A / (a_A + b_A), 0), 4) AS A,
+       round(coalesce(a_N / (a_N + b_N), 0), 4) AS N,
+       round(coalesce(a_R / (a_R + b_R), 0), 4) AS R
+FROM piv ORDER BY CAST(__row_id__ AS BIGINT)
+"""
+
+
+def q38_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event picks up the latest click at or
+    before it for the same user (union+window construction)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_event")
+    )
+    res = asof_join(
+        purchases, clicks, on="ts", by="user_id", right_value_cols=["click_event"], suffix=""
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.col("click_event").alias("last_click_event"),
+    ).orderBy("event_id")
+
+
+_Q38_ORACLE = """
+SELECT p.event_id,
+       p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       c.event_id AS last_click_event
+FROM (SELECT * FROM events WHERE event_type='purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='click') c
+  ON p.user_id = c.user_id AND c.ts <= p.ts
+ORDER BY p.event_id
+"""
+
+
+# ------------------------------------------------------------------ registry
+
+STOP_SQL = "['" + "','".join(text.STOPWORDS) + "']"
+EN_MARKERS_SQL = "['the','a','is','and']"
+
+REGISTRY: dict[str, QuerySpec] = {
+    "q01_pricing_summary": QuerySpec(
+        relational.q01_pricing_summary,
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+        """,
+        "aggregation",
+    ),
+    "q02_filter_project": QuerySpec(
+        relational.q02_filter_project,
+        """
+        SELECT l_orderkey, l_linenumber,
+               round(l_extendedprice * (1 - l_discount), 4) AS revenue
+        FROM lineitem
+        WHERE l_quantity >= 30 AND l_discount > 0.05
+          AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        ORDER BY l_orderkey, l_linenumber
+        """,
+        "scan_filter",
+    ),
+    "q03_top_revenue_orders": QuerySpec(
+        relational.q03_top_revenue_orders,
+        """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS o_orderdate,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM customer JOIN orders ON c_custkey = o_custkey
+                      JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate > TIMESTAMP '1998-01-01'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+        """,
+        "join",
+    ),
+    "q05_regional_revenue": QuerySpec(
+        relational.q05_regional_revenue,
+        """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                      JOIN customer ON o_custkey = c_custkey
+                      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                      JOIN nation ON c_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+        """,
+        "join",
+    ),
+    "q06_revenue_change": QuerySpec(
+        relational.q06_revenue_change,
+        """
+        SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24
+        """,
+        "aggregation",
+    ),
+    "q07_semi_join": QuerySpec(
+        relational.q07_semi_join,
+        """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        ORDER BY c_custkey
+        """,
+        "join",
+    ),
+    "q08_anti_join": QuerySpec(
+        relational.q08_anti_join,
+        """
+        SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "join",
+    ),
+    "q09_topk_per_group": QuerySpec(
+        relational.q09_topk_per_group,
+        """
+        SELECT o_orderpriority, o_orderkey, round(o_totalprice, 4) AS totalprice,
+               CAST(rk AS INTEGER) AS rk
+        FROM (SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                                           ORDER BY o_totalprice DESC, o_orderkey) AS rk
+              FROM orders) t
+        WHERE rk <= 3 ORDER BY o_orderpriority, rk
+        """,
+        "window",
+    ),
+    "q10_running_sum": QuerySpec(
+        relational.q10_running_sum,
+        """
+        SELECT user_id, event_id,
+               round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING), 4) AS running_value
+        FROM events ORDER BY user_id, event_id
+        """,
+        "window",
+    ),
+    "q11_rollup": QuerySpec(
+        relational.q11_rollup,
+        """
+        SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS sum_qty,
+               count(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        "aggregation",
+    ),
+    "q12_cube": QuerySpec(
+        relational.q12_cube,
+        """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 4) AS total
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        """,
+        "aggregation",
+    ),
+    "q13_distinct_agg": QuerySpec(
+        relational.q13_distinct_agg,
+        """
+        SELECT c_mktsegment, CAST(count(DISTINCT c_nationkey) AS BIGINT) AS n_nations,
+               count(*) AS n_customers
+        FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "aggregation",
+    ),
+    "q14_setop_intersect": QuerySpec(
+        relational.q14_setop_intersect,
+        """
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 7000
+        INTERSECT
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        ORDER BY custkey
+        """,
+        "setop",
+    ),
+    "q15_setop_except": QuerySpec(
+        relational.q15_setop_except,
+        """
+        SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 7000
+        EXCEPT
+        SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 400000
+        ORDER BY custkey
+        """,
+        "setop",
+    ),
+    "q16_union_all": QuerySpec(
+        relational.q16_union_all,
+        """
+        SELECT c_custkey AS custkey, 'high_balance' AS src FROM customer WHERE c_acctbal > 9000
+        UNION ALL
+        SELECT DISTINCT o_custkey AS custkey, 'big_order' AS src FROM orders
+        WHERE o_totalprice > 450000
+        ORDER BY src, custkey
+        """,
+        "setop",
+    ),
+    "q17_date_functions": QuerySpec(
+        relational.q17_date_functions,
+        """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+               CAST(month(o_orderdate) AS INTEGER) AS mo,
+               count(*) AS n_orders, round(sum(o_totalprice), 4) AS total
+        FROM orders GROUP BY 1, 2 ORDER BY yr, mo
+        """,
+        "scalar_fn",
+    ),
+    "q18_json_extract": QuerySpec(
+        relational.q18_json_extract,
+        """
+        SELECT event_type,
+               round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               count(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "scalar_fn",
+    ),
+    "q19_array_functions": QuerySpec(
+        relational.q19_array_functions,
+        """
+        SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+               round(CAST(embedding[1] AS DOUBLE), 4) AS first_val,
+               round(sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+        FROM embeddings ORDER BY vec_id
+        """,
+        "scalar_fn",
+    ),
+    "q20_window_tumbling": QuerySpec(
+        relational.q20_window_tumbling,
+        """
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n, round(sum(value), 4) AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+        """,
+        "window",
+    ),
+    "q21_window_sliding": QuerySpec(
+        relational.q21_window_sliding,
+        """
+        WITH shifted AS (
+          SELECT time_bucket(INTERVAL '1 hour', ts) AS b, value FROM events
+          UNION ALL
+          SELECT time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour' AS b, value FROM events
+        )
+        SELECT strftime(b, '%Y-%m-%d %H:%M:%S') AS window_start,
+               count(*) AS n, round(sum(value), 4) AS total_value
+        FROM shifted GROUP BY b ORDER BY window_start
+        """,
+        "window",
+    ),
+    "q22_range_join": QuerySpec(
+        relational.q22_range_join,
+        """
+        SELECT s.event_id AS signup_id, count(*) AS n_followups
+        FROM (SELECT * FROM events WHERE event_type='signup') s
+        JOIN events e ON e.user_id = s.user_id
+                     AND e.ts > s.ts AND e.ts <= s.ts + INTERVAL '24 hours'
+        GROUP BY s.event_id ORDER BY signup_id
+        """,
+        "join",
+    ),
+    "q23_case_when": QuerySpec(
+        relational.q23_case_when,
+        """
+        SELECT o_orderpriority,
+               CAST(sum(CASE WHEN o_totalprice > 250000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+               CAST(sum(CASE WHEN o_totalprice <= 250000 THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+               round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 4) AS avg_finished_price
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "scalar_fn",
+    ),
+    "q24_formula_coeffmap": QuerySpec(q24_formula_coeffmap, _Q24_ORACLE, "formula"),
+    "q25_text_stats": QuerySpec(
+        text.q25_text_stats,
+        """
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               round(avg(n_chars), 4) AS avg_chars,
+               round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS avg_words
+        FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "text",
+    ),
+    "q26_quality_score": QuerySpec(
+        text.q26_quality_score,
+        f"""
+        WITH w AS (
+          SELECT doc_id,
+                 regexp_split_to_array(trim(text), '\\s+') AS words,
+                 length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_nonspace
+          FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               round(CAST(n_nonspace AS DOUBLE) / len(words), 4) AS avg_word_len,
+               round(CAST(len(list_filter(words, x -> list_contains({STOP_SQL}, x))) AS DOUBLE)
+                     / len(words), 4) AS stopword_ratio,
+               CASE WHEN len(words) < 5 THEN 0.0 ELSE
+                 1.0 - abs(round(CAST(len(list_filter(words, x -> list_contains({STOP_SQL}, x))) AS DOUBLE)
+                           / len(words), 4) - 0.4)
+                     - abs(round(CAST(n_nonspace AS DOUBLE) / len(words), 4) - 5.0) / 10.0
+               END AS quality_score
+        FROM w ORDER BY doc_id
+        """,
+        "text",
+    ),
+    "q27_token_count": QuerySpec(
+        text.q27_token_count,
+        f"""
+        SELECT doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '{text.TOKEN_RE}')) AS BIGINT) AS re_tokens
+        FROM documents ORDER BY doc_id
+        """,
+        "text",
+    ),
+    "q28_lang_id": QuerySpec(
+        text.q28_lang_id,
+        f"""
+        WITH w AS (
+          SELECT doc_id, lang,
+                 regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN CAST(len(list_filter(words, x -> list_contains({EN_MARKERS_SQL}, x))) AS DOUBLE)
+                         / len(words) >= 0.05
+                    THEN 'en' ELSE 'und' END AS predicted_lang,
+               lang AS actual_lang,
+               CAST(CASE WHEN CAST(len(list_filter(words, x -> list_contains({EN_MARKERS_SQL}, x))) AS DOUBLE)
+                              / len(words) >= 0.05
+                         THEN 'en' ELSE 'und' END = lang AS INTEGER) AS correct
+        FROM w ORDER BY doc_id
+        """,
+        "text",
+    ),
+    "q29_fingerprint": QuerySpec(
+        text.q29_fingerprint,
+        """
+        WITH n AS (
+          SELECT doc_id,
+                 regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+          FROM documents
+        )
+        SELECT doc_id, md5(norm) AS content_hash,
+               list_reduce(
+                 list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(norm, ' '), x -> CAST(length(x) AS BIGINT))),
+                 (acc, x) -> (acc * 31 + x) % 2147483647
+               ) AS rolling_hash
+        FROM n ORDER BY doc_id
+        """,
+        "text",
+    ),
+    "q30_exact_dedup": QuerySpec(
+        dedup.q30_exact_dedup,
+        """
+        SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS content_hash,
+               min(doc_id) AS keep_doc_id, count(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY content_hash
+        """,
+        "dedup",
+    ),
+    "q31_minhash_neardup": QuerySpec(dedup.q31_minhash_neardup, None, "dedup"),
+    "q32_ngram_jaccard": QuerySpec(
+        dedup.q32_ngram_jaccard,
+        """
+        WITH ws AS (
+          SELECT doc_id,
+                 list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+          FROM documents
+        ), ex AS (
+          SELECT doc_id, len(w) AS n, unnest(w) AS word FROM ws
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)), 4) AS jaccard
+        FROM ex a JOIN ex b ON a.word = b.word AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.n, b.n
+        HAVING round(CAST(count(*) AS DOUBLE) / (a.n + b.n - count(*)), 4) >= 0.5
+        ORDER BY doc_a, doc_b
+        """,
+        "dedup",
+    ),
+    "q33_simhash": QuerySpec(dedup.q33_simhash, None, "dedup"),
+    "q34_cosine_topk": QuerySpec(
+        similarity.q34_cosine_topk,
+        """
+        WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        SELECT vec_id, label,
+               round(
+                 list_sum(list_transform(list_zip(embedding, qv),
+                          p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+               4) AS cos_sim
+        FROM embeddings, q WHERE vec_id != 0
+        ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        "similarity",
+    ),
+    "q35_ivf_topk": QuerySpec(similarity.q35_ivf_topk, None, "similarity"),
+    "q36_embedding_stats": QuerySpec(
+        similarity.q36_embedding_stats,
+        """
+        SELECT label, count(*) AS n,
+               round(avg(sqrt(list_sum(list_transform(embedding,
+                     x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))), 4) AS avg_norm
+        FROM embeddings GROUP BY label ORDER BY label
+        """,
+        "similarity",
+    ),
+    "q37_media_bytes": QuerySpec(
+        multimodal.q37_media_bytes,
+        """
+        SELECT doc_id AS media_id,
+               CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+               CAST(doc_id % 640 AS INTEGER) AS width,
+               CAST(doc_id % 480 AS INTEGER) AS height
+        FROM documents ORDER BY media_id
+        """,
+        "multimodal",
+    ),
+    "q38_asof_join": QuerySpec(q38_asof_join, _Q38_ORACLE, "join"),
+    "q44_approx_distinct": QuerySpec(relational.q44_approx_distinct, None, "aggregation"),
+}
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle}

@@ -1,0 +1,132 @@
+"""Operator tests: as-of join semantics vs pandas merge_asof,
+dedup/similarity sanity, multimodal plumbing, entry() smoke."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ssb_coefficient_maker_spark.operators.asof import asof_join
+from ssb_coefficient_maker_spark.operators.dedup import minhash_lsh_pairs
+from ssb_coefficient_maker_spark.operators.multimodal import extract_features, synth_media
+from ssb_coefficient_maker_spark.operators.similarity import cosine
+
+
+def test_asof_join_matches_pandas(spark):
+    rng = np.random.default_rng(7)
+    n_l, n_r = 200, 150
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n_l),
+            "t": rng.integers(0, 1000, n_l).astype("int64"),
+            "lid": np.arange(n_l, dtype="int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, n_r),
+            "t": rng.integers(0, 1000, n_r).astype("int64"),
+            "rv": rng.normal(size=n_r),
+        }
+    )
+    # pandas merge_asof needs sort; ties broken by taking the LAST right
+    # row with t <= left.t — same as our window construction
+    left_s = left.sort_values(["t", "lid"], kind="mergesort")
+    right_s = right.sort_values(["t"], kind="mergesort")
+    expected = pd.merge_asof(left_s, right_s, on="t", by="k", direction="backward")
+
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+    got = (
+        asof_join(sl, sr, on="t", by="k", right_value_cols=["rv"], suffix="_r")
+        .orderBy("lid")
+        .toPandas()
+    )
+    exp = expected.sort_values("lid").reset_index(drop=True)
+    merged = got.sort_values("lid").reset_index(drop=True)
+    # Note: with duplicate right timestamps pandas takes the last row in
+    # sort order; our window does too (both scan in (t, arrival) order).
+    mask = exp["rv"].notna()
+    assert (merged["rv_r"].notna() == mask).all()
+    np.testing.assert_allclose(
+        merged.loc[mask, "rv_r"].values, exp.loc[mask, "rv"].values
+    )
+
+
+def test_minhash_finds_planted_duplicates(spark):
+    # the banding is tuned steep (J^8 per band) for true near-dups: an
+    # exact copy (J=1 → identical signature) MUST collide; an unrelated
+    # doc must not. (Mid-J pairs are probabilistic by design.)
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep dark woods tonight while the moon rises slowly "
+        "over the quiet sleeping village casting long pale shadows"
+    )
+    dup = base + "  "  # same normalized text → J = 1.0
+    other = "completely different content about spark query engines and distributed columnar storage systems"
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, dup, other]})
+    docs = spark.createDataFrame(pdf)
+    pairs = minhash_lsh_pairs(docs, threshold=0.9).toPandas()
+    assert ((pairs.doc_a == 1) & (pairs.doc_b == 2)).any()
+    assert not ((pairs.doc_b == 3) | (pairs.doc_a == 3)).any()
+
+
+def test_cosine_expression(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0], [0.0, 1.0]), (2, [1.0, 1.0], [1.0, 1.0])],
+        schema="id long, a array<double>, b array<double>",
+    )
+    got = {r["id"]: r["c"] for r in df.select("id", cosine(F.col("a"), F.col("b")).alias("c")).collect()}
+    assert abs(got[1] - 0.0) < 1e-12
+    assert abs(got[2] - 1.0) < 1e-12
+
+
+def test_multimodal_feature_extraction(spark, sf_dir):
+    media = synth_media(spark, sf_dir)
+    feats = extract_features(media)
+    assert feats.schema["n_bytes"].dataType.typeName() == "long"
+    pdf = feats.orderBy("media_id").limit(5).toPandas()
+    assert (pdf["n_bytes"] > 0).all()
+    assert (pdf["feat_dim"] == 16).all()
+    # features never carry the payload column → safe to shuffle
+    assert "payload" not in feats.columns
+
+
+def test_entry_smoke(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert "__row_id__" in df.columns
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 30
+
+
+@pytest.mark.slow
+def test_all_oracles_sf0001(spark, sf_dir):
+    """Regression: every oracled query matches duckdb at sf0.001."""
+    import duckdb
+
+    from ssb_coefficient_maker_spark.queries import REGISTRY
+    from ssb_coefficient_maker_spark.sources.loaders import TABLES
+    from tools.check_oracles import compare
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    failures = []
+    for name, spec in REGISTRY.items():
+        sdf = spec.fn(spark, sf_dir).toPandas()
+        if spec.oracle is None:
+            continue
+        ddf = con.execute(spec.oracle).df()
+        problems = compare(name, sdf, ddf)
+        if problems:
+            failures.append(f"{name}: {problems}")
+    assert not failures, failures

@@ -1,0 +1,96 @@
+"""Local oracle checker — mimics the driver's t2 comparison.
+
+Runs every registry query on Spark and its oracle on DuckDB at the
+given sf dir, compares row count, column names/types (loosely), and
+order-insensitive values (sorted rows). Usage:
+
+    python tools/check_oracles.py [sf_dir] [only_query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+
+def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(sdf) != len(ddf):
+        problems.append(f"rowcount spark={len(sdf)} duck={len(ddf)}")
+    scols, dcols = sorted(map(str, sdf.columns)), sorted(map(str, ddf.columns))
+    if scols != dcols:
+        problems.append(f"columns spark={scols} duck={dcols}")
+        return problems
+    if problems:
+        return problems
+    s = sdf[scols].sort_values(scols, kind="mergesort").reset_index(drop=True)
+    d = ddf[scols].sort_values(scols, kind="mergesort").reset_index(drop=True)
+    for c in scols:
+        sv, dv = s[c], d[c]
+        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(dv):
+            sa = pd.to_numeric(sv, errors="coerce").to_numpy(dtype=float)
+            da = pd.to_numeric(dv, errors="coerce").to_numpy(dtype=float)
+            both_nan = np.isnan(sa) & np.isnan(da)
+            close = np.isclose(sa, da, rtol=1e-9, atol=1e-8) | both_nan
+            if not close.all():
+                idx = int(np.argmin(close))
+                problems.append(f"col {c}: {int((~close).sum())} diffs, first@{idx}: {sa[idx]} vs {da[idx]}")
+        else:
+            sv = sv.astype(object).where(pd.notna(sv), None)
+            dv = dv.astype(object).where(pd.notna(dv), None)
+            neq = [i for i, (x, y) in enumerate(zip(sv, dv)) if x != y]
+            if neq:
+                i = neq[0]
+                problems.append(f"col {c}: {len(neq)} diffs, first@{i}: {sv[i]!r} vs {dv[i]!r}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from ssb_coefficient_maker_spark.queries import REGISTRY
+    from ssb_coefficient_maker_spark.session import get_spark
+    from ssb_coefficient_maker_spark.sources.loaders import TABLES
+
+    spark = get_spark(app_name="check_oracles")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = 0
+    for name, spec in REGISTRY.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir).toPandas()
+        except Exception as exc:
+            print(f"FAIL {name}: spark error: {type(exc).__name__}: {str(exc)[:300]}")
+            failures += 1
+            continue
+        if spec.oracle is None:
+            print(f"ok   {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            continue
+        try:
+            ddf = con.execute(spec.oracle).df()
+        except Exception as exc:
+            print(f"FAIL {name}: duckdb error: {type(exc).__name__}: {str(exc)[:300]}")
+            failures += 1
+            continue
+        problems = compare(name, sdf, ddf)
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failures += 1
+        else:
+            print(f"ok   {name}: {len(sdf)} rows match ({time.time()-t0:.1f}s)")
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
