@@ -1,0 +1,15 @@
+from ssb_coefficient_maker_spark.streaming.windows import (
+    session_window_agg,
+    sliding_window_agg,
+    stateful_dedup,
+    stream_events,
+    tumbling_window_agg,
+)
+
+__all__ = [
+    "session_window_agg",
+    "sliding_window_agg",
+    "stateful_dedup",
+    "stream_events",
+    "tumbling_window_agg",
+]

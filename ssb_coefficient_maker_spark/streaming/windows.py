@@ -1,0 +1,108 @@
+"""Structured Streaming over the events table (SURVEY.md §2 Part C
+streaming rows).
+
+The batch equivalents of the windowed aggregations live in
+``operators/relational.py`` (q20/q21) and are oracle-checked; these
+streaming versions share the same aggregation expressions, so the
+batch oracle indirectly validates the streaming logic — the streaming
+tests then assert stream-vs-batch equality under an availableNow-style
+full replay (memory sink, ``processAllAvailable``).
+
+Production shape: ``readStream`` from a real source (Kafka), the same
+transformations, ``writeStream`` with checkpointing. Watermarks bound
+state: a 1-hour watermark on a 1-hour window keeps at most ~2 windows
+of state per key regardless of input volume.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (file source; stands in for
+    Kafka). Converts the nanos-long ts like the batch loader."""
+    # the file stream source wants a directory: scan sf_dir, keep only
+    # the events file
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def tumbling_window_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1h windows with watermark — late rows beyond the
+    watermark are dropped and window state is evicted."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+def sliding_window_agg(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n", "total_value")
+    )
+
+
+def session_window_agg(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Session windows: activity bursts per user separated by >gap."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("session_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def stateful_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup bounded by the watermark: duplicate (user_id,
+    event_type) pairs arriving within the watermark horizon are
+    dropped; state for old keys is evicted as the watermark advances."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+def run_to_memory(spark: SparkSession, stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Drive a streaming query to completion on a finite source
+    (memory sink + processAllAvailable) and return the sink table."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
