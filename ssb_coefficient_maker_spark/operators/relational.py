@@ -374,3 +374,139 @@ def q44_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def q39_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation) per group — sort-based,
+    bit-deterministic across engines unlike sum-based aggs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25"),
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50"),
+            F.round(F.percentile("l_quantity", F.lit(0.75)), 4).alias("p75"),
+            F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("price_p90"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q40_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/corr/covar per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+            F.round(F.var_samp("l_discount"), 4).alias("var_disc"),
+            F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("corr_price_qty"),
+            F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias("covar_price_qty"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q41_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form under rollup/cube),
+    via the SQL surface."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 4) AS total_price,
+               count(*) AS n
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+def q42_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface: case, substring, pad, replace,
+    position, LIKE."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.upper(F.substring("text", 1, 12)).alias("prefix_upper"),
+        F.length(F.regexp_replace("text", " ", "_")).cast("long").alias("replaced_len"),
+        F.lpad(F.col("lang"), 5, "*").alias("lang_padded"),
+        F.instr(F.col("text"), "data").cast("long").alias("data_pos"),
+        F.col("text").like("%query%").cast("int").alias("has_query"),
+    ).orderBy("doc_id")
+
+
+def q43_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: linestatus values become columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    piv = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 4).alias("qty_F"),
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 4).alias("qty_O"),
+    ).orderBy("l_returnflag")
+
+
+def q45_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) the pivoted frame back to long form via stack."""
+    piv = q43_pivot(spark, sf_dir)
+    return (
+        piv.selectExpr(
+            "l_returnflag",
+            "stack(2, 'F', qty_F, 'O', qty_O) AS (l_linestatus, sum_qty)",
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q46_decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decimal arithmetic (the ADP analog inside Spark's native
+    38-digit decimal range): sums are exact, no float rounding games."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(30,10)")
+    # the SUM runs in exact decimal (order-insensitive, no float
+    # drift); the output is cast to double because DuckDB's pandas
+    # bridge degrades DECIMAL to float64 anyway — exactness lives in
+    # the aggregation, the comparison stays representation-stable
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum(dec).cast("double"), 4).alias("total_price_exact"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def q47_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode over embedding vectors: per-dimension-bucket stats."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+    return (
+        ex.groupBy((F.col("pos") % 8).alias("dim_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("val").cast("double")), 4).alias("total"),
+        )
+        .orderBy("dim_bucket")
+    )
+
+
+def q48_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling and bounded arithmetic: coalesce/nullif/greatest/least."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.sum(F.greatest(F.col("o_totalprice") - 250000, F.lit(0.0))), 4).alias("sum_overage"),
+            F.round(F.sum(F.least(F.col("o_totalprice"), F.lit(250000.0))), 4).alias("sum_capped"),
+            F.count(F.nullif(F.col("o_orderpriority"), F.lit("5-LOW"))).alias("n_not_low"),
+            F.round(F.coalesce(F.avg(F.when(F.col("o_totalprice") > 1e9, F.col("o_totalprice"))), F.lit(-1.0)), 4).alias("avg_huge_or_default"),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -534,6 +534,112 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "q38_asof_join": QuerySpec(q38_asof_join, _Q38_ORACLE, "join"),
     "q44_approx_distinct": QuerySpec(relational.q44_approx_distinct, None, "aggregation"),
+    "q39_percentiles": QuerySpec(
+        relational.q39_percentiles,
+        """
+        SELECT l_returnflag,
+               round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+               round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+               round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS price_p90
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "aggregation",
+    ),
+    "q40_stats_agg": QuerySpec(
+        relational.q40_stats_agg,
+        """
+        SELECT l_linestatus,
+               round(stddev_samp(l_quantity), 4) AS sd_qty,
+               round(var_samp(l_discount), 4) AS var_disc,
+               round(corr(l_extendedprice, l_quantity), 4) AS corr_price_qty,
+               round(covar_samp(l_extendedprice, l_quantity), 4) AS covar_price_qty
+        FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus
+        """,
+        "aggregation",
+    ),
+    "q41_grouping_sets": QuerySpec(
+        relational.q41_grouping_sets,
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_extendedprice), 4) AS total_price, count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """,
+        "aggregation",
+    ),
+    "q42_string_functions": QuerySpec(
+        relational.q42_string_functions,
+        """
+        SELECT doc_id,
+               upper(substr(text, 1, 12)) AS prefix_upper,
+               CAST(length(replace(text, ' ', '_')) AS BIGINT) AS replaced_len,
+               lpad(lang, 5, '*') AS lang_padded,
+               CAST(strpos(text, 'data') AS BIGINT) AS data_pos,
+               CAST(text LIKE '%query%' AS INTEGER) AS has_query
+        FROM documents ORDER BY doc_id
+        """,
+        "scalar_fn",
+    ),
+    "q43_pivot": QuerySpec(
+        relational.q43_pivot,
+        """
+        SELECT l_returnflag,
+               round(coalesce(sum(CASE WHEN l_linestatus='F' THEN l_quantity END), 0), 4) AS qty_F,
+               round(coalesce(sum(CASE WHEN l_linestatus='O' THEN l_quantity END), 0), 4) AS qty_O
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "aggregation",
+    ),
+    "q45_unpivot": QuerySpec(
+        relational.q45_unpivot,
+        """
+        WITH piv AS (
+          SELECT l_returnflag,
+                 round(coalesce(sum(CASE WHEN l_linestatus='F' THEN l_quantity END), 0), 4) AS qty_F,
+                 round(coalesce(sum(CASE WHEN l_linestatus='O' THEN l_quantity END), 0), 4) AS qty_O
+          FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, 'F' AS l_linestatus, qty_F AS sum_qty FROM piv
+        UNION ALL
+        SELECT l_returnflag, 'O' AS l_linestatus, qty_O AS sum_qty FROM piv
+        ORDER BY l_returnflag, l_linestatus
+        """,
+        "aggregation",
+    ),
+    "q46_decimal_agg": QuerySpec(
+        relational.q46_decimal_agg,
+        """
+        SELECT l_returnflag,
+               round(CAST(sum(CAST(l_extendedprice AS DECIMAL(30,10))) AS DOUBLE), 4) AS total_price_exact,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "aggregation",
+    ),
+    "q47_posexplode": QuerySpec(
+        relational.q47_posexplode,
+        """
+        SELECT (i - 1) % 8 AS dim_bucket, count(*) AS n,
+               round(sum(CAST(embedding[i] AS DOUBLE)), 4) AS total
+        FROM embeddings CROSS JOIN range(1, 65) t(i)
+        GROUP BY 1 ORDER BY dim_bucket
+        """,
+        "scalar_fn",
+    ),
+    "q48_null_functions": QuerySpec(
+        relational.q48_null_functions,
+        """
+        SELECT o_orderstatus,
+               round(sum(greatest(o_totalprice - 250000, 0)), 4) AS sum_overage,
+               round(sum(least(o_totalprice, 250000)), 4) AS sum_capped,
+               count(nullif(o_orderpriority, '5-LOW')) AS n_not_low,
+               round(coalesce(avg(CASE WHEN o_totalprice > 1e9 THEN o_totalprice END), -1.0), 4) AS avg_huge_or_default
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "scalar_fn",
+    ),
 }
 
 
