@@ -159,6 +159,58 @@ class FormulaEvaluator:
         self.last_invalid_count = count
         return df
 
+    def evaluate_to_parquet(self, formula: str, path: str) -> dict:
+        """Production path: evaluate + validate + write in ONE pass.
+
+        The interactive ``evaluate_formula`` runs a separate audit
+        aggregate before returning (reference-parity eager warnings).
+        Here the invalid-count metrics ride the SAME action that
+        writes the result, via ``DataFrame.observe`` — each cell is
+        touched exactly once (the reference re-scans results up to 3
+        times, reference coeff_maker.py:93,101,106). Fill (when
+        enabled) is fused into the write projection. Raises after the
+        write if every cell was invalid; returns the metrics dict.
+        """
+        from pyspark.sql import Observation
+
+        from ssb_coefficient_maker_spark.validation import fill_invalid as _fill
+        from ssb_coefficient_maker_spark.validation import invalid_cond
+
+        expr = self.parse_formula(formula)
+        if self.adp_enabled:
+            raise NotImplementedError("evaluate_to_parquet supports standard mode only")
+        compiled = compile_formula(expr, self.datasets)
+        if compiled.df is None:
+            raise ValueError("evaluate_to_parquet needs at least one matrix operand")
+        import pyspark.sql.functions as F
+
+        obs = Observation()
+        metrics_exprs = [F.count(F.lit(1)).alias("rows")] + [
+            F.sum(invalid_cond(F.col(c)).cast("long")).alias(f"inv_{c}")
+            for c in compiled.value_cols
+        ]
+        observed = compiled.df.observe(obs, *metrics_exprs)
+        out = _fill(observed, compiled.value_cols) if self.fill_invalid else observed
+        out.write.mode("overwrite").parquet(path)
+        got = obs.get
+        n_invalid = sum(got[f"inv_{c}"] or 0 for c in compiled.value_cols)
+        n_cells = got["rows"] * len(compiled.value_cols)
+        if n_cells and n_invalid == n_cells:
+            raise ValueError(
+                f"All values in the result of formula '{formula}' are invalid "
+                f"(written to {path} before post-hoc validation)."
+            )
+        if n_invalid and not self.fill_invalid:
+            import warnings
+
+            warnings.warn(
+                f"Result of formula '{formula}' contains {n_invalid} invalid "
+                f"value(s) ({100.0 * n_invalid / n_cells:.1f}% of {n_cells} cells).",
+                UserWarning,
+                stacklevel=2,
+            )
+        return {"rows": got["rows"], "cells": n_cells, "invalid": n_invalid, "path": path}
+
     def evaluate_to_pandas(self, formula: str | FormulaExpr) -> Any:
         """Evaluate and collect to pandas (tests / small results)."""
         result = self.evaluate_formula(formula)

@@ -105,9 +105,11 @@ def matrix_from_spark(df: DataFrame, row_id: str | None = None) -> Matrix:
             f"matrix has {len(value_cols)} columns; wide matrices beyond "
             f"{WIDE_MATRIX_THRESHOLD} should use the long/triplet form"
         )
-    sel = [F.col(rid).cast("string").alias(ROW_ID)] + [
-        F.col(c).cast("double").alias(c) for c in value_cols
-    ]
+    # keep the row-id's NATIVE type: a long key joins on long (and can
+    # reuse upstream hash-partitioning, e.g. a groupBy that produced
+    # this matrix); the alignment join only falls back to string when
+    # operands disagree on the key type
+    sel = [F.col(rid).alias(ROW_ID)] + [F.col(c).cast("double").alias(c) for c in value_cols]
     return Matrix(df=df.select(sel), value_cols=value_cols)
 
 

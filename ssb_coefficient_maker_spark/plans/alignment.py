@@ -44,6 +44,7 @@ from ssb_coefficient_maker_spark.formula.parser import (
     Var,
     extract_variables,
 )
+from ssb_coefficient_maker_spark.functions.math import safe_div, safe_floordiv, safe_mod
 from ssb_coefficient_maker_spark.session import ROW_ID
 
 INF = float("inf")
@@ -51,36 +52,6 @@ INF = float("inf")
 
 def NAN() -> Column:
     return F.lit(float("nan"))
-
-
-def safe_div(n: Column, d: Column) -> Column:
-    """Division with numpy semantics: x/0 → ±Inf, 0/0 → NaN.
-
-    Spark's Divide returns NULL on a zero divisor (non-ANSI mode); the
-    reference relies on numpy IEEE behavior (verified: `a/e` with an
-    all-zero denominator fixture, reference tests pt1:140-156).
-    Branches stay inside whole-stage codegen — no UDF.
-    """
-    return (
-        F.when(F.isnan(n) | F.isnan(d), NAN())
-        .when(d != 0, n / d)
-        .when(n > 0, F.lit(INF))
-        .when(n < 0, F.lit(-INF))
-        .otherwise(NAN())
-    )
-
-
-def safe_mod(n: Column, d: Column) -> Column:
-    """numpy fmod-to-floor semantics: x % 0 → NaN; sign follows divisor."""
-    # numpy mod: result has the sign of the divisor (Python semantics).
-    # Spark pmod/% follows the dividend; emulate via ((n % d) + d) % d.
-    raw = ((n % d) + d) % d
-    return F.when(F.isnan(n) | F.isnan(d) | (d == 0), NAN()).otherwise(raw)
-
-
-def safe_floordiv(n: Column, d: Column) -> Column:
-    """numpy floor_divide: floor(n/d), with n/0 → ±Inf→ floor keeps Inf."""
-    return F.floor(safe_div(n, d))
 
 
 def _binop_column(op: str, left: Column, right: Column) -> Column:
@@ -200,9 +171,15 @@ def _aligned_join(frames: dict[str, Matrix]) -> DataFrame:
     join key is identical at every step → one exchange per input, one
     sort-merge (or broadcast under AQE) cascade, no re-shuffle.
     """
+    # operands keep their native row-id type (so a long key can reuse
+    # upstream partitioning); only heterogeneous key types force a
+    # unifying cast to string
+    key_types = {m.df.schema[ROW_ID].dataType.simpleString() for m in frames.values()}
+    unify = len(key_types) > 1
     prefixed: list[DataFrame] = []
     for name, m in frames.items():
-        sel = [F.col(ROW_ID)] + [F.col(c).alias(f"{name}__{c}") for c in m.value_cols]
+        rid = F.col(ROW_ID).cast("string") if unify else F.col(ROW_ID)
+        sel = [rid.alias(ROW_ID)] + [F.col(c).alias(f"{name}__{c}") for c in m.value_cols]
         prefixed.append(m.df.select(sel))
     if len(prefixed) == 1:
         return prefixed[0]

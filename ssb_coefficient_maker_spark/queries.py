@@ -66,12 +66,12 @@ def q24_formula_coeffmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("A", 4).alias("A"),
         F.round("N", 4).alias("N"),
         F.round("R", 4).alias("R"),
-    ).orderBy(F.col(ROW_ID).cast("long"))
+    ).orderBy(ROW_ID)
 
 
 _Q24_ORACLE = """
 WITH piv AS (
-  SELECT CAST(l_orderkey AS VARCHAR) AS __row_id__,
+  SELECT l_orderkey AS __row_id__,
          sum(CASE WHEN l_returnflag='A' THEN l_extendedprice END) AS a_A,
          sum(CASE WHEN l_returnflag='N' THEN l_extendedprice END) AS a_N,
          sum(CASE WHEN l_returnflag='R' THEN l_extendedprice END) AS a_R,
@@ -84,7 +84,7 @@ SELECT __row_id__,
        round(coalesce(a_A / (a_A + b_A), 0), 4) AS A,
        round(coalesce(a_N / (a_N + b_N), 0), 4) AS N,
        round(coalesce(a_R / (a_R + b_R), 0), 4) AS R
-FROM piv ORDER BY CAST(__row_id__ AS BIGINT)
+FROM piv ORDER BY __row_id__
 """
 
 

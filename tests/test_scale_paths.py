@@ -1,0 +1,84 @@
+"""Tests for the scale-path utilities: observe-based single-pass
+validation, salted join, native-key alignment."""
+
+from __future__ import annotations
+
+import shutil
+import warnings
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ssb_coefficient_maker_spark.api import FormulaEvaluator
+from ssb_coefficient_maker_spark.operators.skew import salted_join
+from ssb_coefficient_maker_spark.sources.loaders import load_table
+
+TMP = "/root/repo/.tmp_test_scale"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def cleanup():
+    yield
+    shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_evaluate_to_parquet_single_pass(spark):
+    a = pd.DataFrame({"x": [1.0, 2.0, 3.0], "y": [4.0, 0.0, 6.0]})
+    b = pd.DataFrame({"x": [1.0, 1.0, 0.0], "y": [2.0, 2.0, 2.0]})
+    fe = FormulaEvaluator({"a": a, "b": b}, fill_invalid=True, spark=spark)
+    metrics = fe.evaluate_to_parquet("a / b", f"{TMP}/result")
+    assert metrics["rows"] == 3 and metrics["cells"] == 6
+    assert metrics["invalid"] == 1  # 3.0 / 0.0 -> inf
+    back = spark.read.parquet(f"{TMP}/result").toPandas().sort_values("__row_id__")
+    assert np.isfinite(back[["x", "y"]].to_numpy()).all()  # filled
+    assert back["x"].tolist() == [1.0, 2.0, 0.0]
+
+
+def test_evaluate_to_parquet_all_invalid_raises(spark):
+    z = pd.DataFrame({"x": [0.0, 0.0]})
+    fe = FormulaEvaluator({"z": z}, spark=spark)
+    with pytest.raises(ValueError, match="All values"):
+        fe.evaluate_to_parquet("z / z", f"{TMP}/bad")
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(orders, "l_orderkey").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 4).alias("s")
+    ).collect()[0]
+    salted = salted_join(li, orders, on="l_orderkey", salt=4).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 4).alias("s")
+    ).collect()[0]
+    assert plain["n"] == salted["n"]
+    assert abs(plain["s"] - salted["s"]) < 1e-6
+
+
+def test_native_long_keys_no_string_cast(spark):
+    # two Spark matrices keyed by long: the alignment join must keep
+    # the long key (no unifying string cast)
+    a = spark.range(5).select(
+        F.col("id").alias("__row_id__"), (F.col("id") * 1.0).alias("v")
+    )
+    b = spark.range(5).select(
+        F.col("id").alias("__row_id__"), (F.col("id") * 2.0).alias("v")
+    )
+    fe = FormulaEvaluator({"a": a, "b": b}, spark=spark)
+    res = fe.evaluate_formula("a + b")
+    assert res.schema["__row_id__"].dataType.simpleString() == "bigint"
+    got = {r["__row_id__"]: r["v"] for r in res.collect()}
+    assert got == {i: 3.0 * i for i in range(5)}
+
+
+def test_mixed_key_types_unify(spark):
+    a = spark.range(3).select(F.col("id").alias("__row_id__"), F.lit(1.0).alias("v"))
+    b = pd.DataFrame({"v": [10.0, 20.0, 30.0]}, index=[0, 1, 2])
+    fe = FormulaEvaluator({"a": a, "b": b}, spark=spark)
+    res = fe.evaluate_formula("a + b")
+    assert res.schema["__row_id__"].dataType.simpleString() == "string"
+    got = {r["__row_id__"]: r["v"] for r in res.collect()}
+    assert got == {"0": 11.0, "1": 21.0, "2": 31.0}
