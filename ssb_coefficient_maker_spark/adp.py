@@ -226,3 +226,65 @@ def adp_to_pandas(df: DataFrame, value_cols: list[str], dps: int) -> pd.DataFram
         pass
     out.index.name = None
     return out
+
+
+# ---------------------------------------------------------------- validation
+# ADP results travel as strings; mpmath.nstr renders invalids as
+# 'nan' / '+inf' / '-inf', so the audit is a plain isin() aggregate —
+# same single-pass shape as the float validator (validation.py), no
+# per-cell Python loop (the reference loops cell-by-cell in ADP fill,
+# reference coeff_maker.py:274-279).
+
+from pyspark.sql import functions as F  # noqa: E402
+
+_INVALID_STRS = ["nan", "+inf", "-inf", "inf"]
+
+
+def validate_adp(
+    df: DataFrame,
+    value_cols: list[str],
+    formula_str: str,
+    *,
+    fill: bool = False,
+    verbose: bool = False,
+):
+    """Audit an ADP (string-carried) result; fill, warn, or raise."""
+    import warnings
+
+    def bad(c: str):
+        return F.isnull(F.col(c)) | F.lower(F.col(c)).isin(_INVALID_STRS)
+
+    aggs = [F.count(F.lit(1)).alias("__rows__")] + [
+        F.sum(bad(c).cast("long")).alias(f"__inv__{c}") for c in value_cols
+    ]
+    row = df.agg(*aggs).collect()[0].asDict()
+    n_cells = row["__rows__"] * len(value_cols)
+    n_invalid = sum(row[f"__inv__{c}"] or 0 for c in value_cols)
+    if verbose:
+        print(f"[validate-adp] formula={formula_str!r} cells={n_cells} invalid={n_invalid}")
+    if n_invalid == 0:
+        return df, 0
+    if fill:
+        warnings.warn(
+            f"Filled {n_invalid} invalid value(s) with 0 in result of "
+            f"formula '{formula_str}'",
+            UserWarning,
+            stacklevel=3,
+        )
+        from ssb_coefficient_maker_spark.session import ROW_ID
+
+        sel = [F.col(ROW_ID)] + [
+            F.when(bad(c), F.lit("0.0")).otherwise(F.col(c)).alias(c) for c in value_cols
+        ]
+        return df.select(sel), n_invalid
+    if n_invalid == n_cells:
+        raise ValueError(
+            f"All values in the result of formula '{formula_str}' are invalid."
+        )
+    warnings.warn(
+        f"Result of formula '{formula_str}' contains {n_invalid} invalid "
+        f"value(s) ({100.0 * n_invalid / n_cells:.1f}% of {n_cells} cells).",
+        UserWarning,
+        stacklevel=3,
+    )
+    return df, n_invalid

@@ -82,13 +82,30 @@ class FormulaEvaluator:
                     value, self.decimal_precision
                 )
                 return
+        from ssb_coefficient_maker_spark.catalog import WIDE_MATRIX_THRESHOLD
+        from ssb_coefficient_maker_spark.plans.triplet import (
+            COL_ID,
+            VALUE,
+            TripletMatrix,
+            wide_to_triplet,
+        )
+
         if isinstance(value, pd.DataFrame):
             self.datasets[name] = matrix_from_pandas(self.spark, value)
         elif isinstance(value, pd.Series):
             self.datasets[name] = vector_from_pandas(value)
         elif isinstance(value, DataFrame):
-            self.datasets[name] = matrix_from_spark(value)
-        elif isinstance(value, (Matrix, Vector)):
+            if COL_ID in value.columns and VALUE in value.columns:
+                self.datasets[name] = TripletMatrix(value)
+            elif len(value.columns) - 1 > WIDE_MATRIX_THRESHOLD:
+                # wide matrices switch to the long/triplet form
+                # automatically (SURVEY.md §7 risk 3)
+                self.datasets[name] = wide_to_triplet(
+                    matrix_from_spark(value, on_wide="allow")
+                )
+            else:
+                self.datasets[name] = matrix_from_spark(value)
+        elif isinstance(value, (Matrix, Vector, TripletMatrix)):
             self.datasets[name] = value
         elif isinstance(value, (int, float)):
             self.datasets[name] = float(value)
@@ -137,8 +154,38 @@ class FormulaEvaluator:
             df, cols = adp_mod.compile_adp_formula(
                 expr, self.datasets, self.decimal_precision
             )
+            df, count = adp_mod.validate_adp(
+                df,
+                cols,
+                formula_str,
+                fill=self.fill_invalid,
+                verbose=self.verbose,
+            )
             self._last_value_cols = cols
+            self.last_invalid_count = count
             return df
+
+        from ssb_coefficient_maker_spark.plans.triplet import (
+            VALUE,
+            TripletMatrix,
+            compile_formula_triplet,
+        )
+
+        if any(isinstance(self.datasets[n], TripletMatrix) for n in names):
+            tdf = compile_formula_triplet(expr, self.datasets)
+            tdf, count = _validate(
+                tdf,
+                [VALUE],
+                formula_str,
+                fill=self.fill_invalid,
+                mixed_operands=mixed,
+                verbose=self.verbose,
+            )
+            self._last_value_cols = [VALUE]
+            self.last_invalid_count = count
+            self._last_is_triplet = True
+            return tdf
+        self._last_is_triplet = False
 
         compiled = compile_formula(expr, self.datasets)
         if compiled.is_scalar:
@@ -220,6 +267,16 @@ class FormulaEvaluator:
             return adp_mod.adp_to_pandas(
                 result, self._last_value_cols, self.decimal_precision
             )
+        if getattr(self, "_last_is_triplet", False):
+            from ssb_coefficient_maker_spark.plans.triplet import (
+                TripletMatrix,
+                triplet_to_wide,
+            )
+            from ssb_coefficient_maker_spark.session import ROW_ID
+
+            wide = triplet_to_wide(TripletMatrix(result))
+            cols = [c for c in wide.columns if c != ROW_ID]
+            return matrix_to_pandas(Matrix(df=wide, value_cols=cols))
         return matrix_to_pandas(Matrix(df=result, value_cols=self._last_value_cols))
 
 

@@ -86,12 +86,16 @@ def matrix_from_pandas(spark: SparkSession, pdf: pd.DataFrame) -> Matrix:
     return Matrix(df=spark.createDataFrame(out, schema=schema), value_cols=cols)
 
 
-def matrix_from_spark(df: DataFrame, row_id: str | None = None) -> Matrix:
+def matrix_from_spark(
+    df: DataFrame, row_id: str | None = None, on_wide: str = "error"
+) -> Matrix:
     """Wrap an existing Spark DataFrame as a Matrix.
 
     ``row_id`` names the row-label column (default: ``__row_id__`` if
     present, else error — Spark rows are unordered, an explicit key is
     required; never synthesize one after a shuffle, SURVEY.md §7 risk 2).
+    ``on_wide="allow"`` skips the width guard (the caller is converting
+    to the long/triplet form, plans/triplet.py).
     """
     rid = row_id or ROW_ID
     if rid not in df.columns:
@@ -100,7 +104,7 @@ def matrix_from_spark(df: DataFrame, row_id: str | None = None) -> Matrix:
             f"got columns {df.columns}"
         )
     value_cols = [c for c in df.columns if c != rid]
-    if len(value_cols) > WIDE_MATRIX_THRESHOLD:
+    if on_wide == "error" and len(value_cols) > WIDE_MATRIX_THRESHOLD:
         raise ValueError(
             f"matrix has {len(value_cols)} columns; wide matrices beyond "
             f"{WIDE_MATRIX_THRESHOLD} should use the long/triplet form"

@@ -510,3 +510,21 @@ def q48_null_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+def q49_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytics: per-user inter-event deltas and next type."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.col("value") - F.lag("value", 1).over(w), 4).alias("value_delta"),
+            F.lead("event_type", 1).over(w).alias("next_type"),
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts"), 1).over(w)).alias(
+                "micros_since_prev"
+            ),
+        )
+        .orderBy("user_id", "event_id")
+    )

@@ -628,6 +628,19 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         "scalar_fn",
     ),
+    "q49_lag_lead": QuerySpec(
+        relational.q49_lag_lead,
+        """
+        SELECT user_id, event_id,
+               round(value - lag(value, 1) OVER w, 4) AS value_delta,
+               lead(event_type, 1) OVER w AS next_type,
+               date_diff('microsecond', lag(ts, 1) OVER w, ts) AS micros_since_prev
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, event_id
+        """,
+        "window",
+    ),
     "q48_null_functions": QuerySpec(
         relational.q48_null_functions,
         """

@@ -86,7 +86,9 @@ def invalid_status(df: DataFrame, value_cols: list[str]) -> InvalidStatus:
 def fill_invalid(df: DataFrame, value_cols: list[str], fill_value: float = 0.0) -> DataFrame:
     """Lazy fill of invalid cells (reference ``_fill_invalid_values``,
     coeff_maker.py:205-229 — but vectorized, no per-cell loop)."""
-    sel = [F.col(ROW_ID)] + [
+    # preserve every non-value column (wide: just ROW_ID; triplet:
+    # ROW_ID + __col_id__)
+    sel = [F.col(c) for c in df.columns if c not in value_cols] + [
         F.when(invalid_cond(F.col(c)), F.lit(fill_value)).otherwise(F.col(c)).alias(c)
         for c in value_cols
     ]

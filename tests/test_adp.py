@@ -118,3 +118,31 @@ def test_adp_power_works(adp_eval):
     fe = adp_eval({"a": a})
     res = fe.evaluate_to_pandas("a ** 2")
     assert res.iloc[0, 0] == 4 and res.iloc[0, 1] == 9
+
+
+def test_adp_fill_invalid(spark):
+    # i (with NaN cells) * a, ADP mode, fill → zeros where NaN was
+    import numpy as np
+
+    a = pd.DataFrame(np.ones((2, 2)) * 3.0)
+    i = pd.DataFrame([[1.0, float("nan")], [2.0, 4.0]])
+    fe = FormulaEvaluator(
+        {"a": a, "i": i}, adp_enabled=True, decimal_precision=30,
+        fill_invalid=True, spark=spark,
+    )
+    import warnings
+
+    with pytest.warns(UserWarning, match="Filled 1"):
+        res = fe.evaluate_to_pandas("a * i")
+    assert res.iloc[0, 1] == 0
+    assert res.iloc[1, 1] == 12
+
+
+def test_adp_partial_invalid_warns(spark):
+    import numpy as np
+
+    a = pd.DataFrame(np.ones((2, 2)))
+    i = pd.DataFrame([[1.0, float("nan")], [2.0, 4.0]])
+    fe = FormulaEvaluator({"a": a, "i": i}, adp_enabled=True, spark=spark)
+    with pytest.warns(UserWarning, match="invalid"):
+        fe.evaluate_formula("a * i")

@@ -130,3 +130,14 @@ def test_all_oracles_sf0001(spark, sf_dir):
         if problems:
             failures.append(f"{name}: {problems}")
     assert not failures, failures
+
+
+def test_cli(capsys):
+    from ssb_coefficient_maker_spark.__main__ import main
+
+    assert main(["--version"]) == 0
+    assert capsys.readouterr().out.strip() == "0.1.0"
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert "q01_pricing_summary" in out and "rows-only" in out
+    assert main(["run", "nope"]) == 2

@@ -72,3 +72,31 @@ def test_stateful_dedup(spark, sf_dir, events_stream):
     # within one replayed batch everything is inside the watermark →
     # exactly one row per key
     assert n_out == n_keys
+
+
+def test_stateful_custom_operator(spark, sf_dir, events_stream):
+    """applyInPandasWithState running totals == batch groupBy totals
+    after a full replay."""
+    from ssb_coefficient_maker_spark.streaming.stateful import running_user_totals
+
+    out = run_to_memory(spark, running_user_totals(events_stream), "t_state", "update")
+    # update mode may emit a row per micro-batch per user; the LAST
+    # emission per user carries the final running totals
+    final = (
+        out.toPandas()
+        .sort_values(["user_id", "n_events_total"])
+        .groupby("user_id")
+        .tail(1)
+        .set_index("user_id")
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("tv"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(batch)
+    joined = final.join(batch)
+    assert (joined["n_events_total"] == joined["n"]).all()
+    assert (abs(joined["total_value"] - joined["tv"]) < 1e-6).all()
