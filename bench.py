@@ -38,6 +38,7 @@ def main() -> int:
     run_query(load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").count())
 
     timings: dict[str, float] = {}
+    warm: dict[str, float] = {}
     for name, spec in REGISTRY.items():
         t0 = time.time()
         try:
@@ -46,8 +47,15 @@ def main() -> int:
         except Exception as exc:  # a failed query must not hide the rest
             timings[name] = -1.0
             print(f"BENCH ERROR {name}: {type(exc).__name__}: {exc}", file=sys.stderr)
+            continue
+        # second run = steady-state (whole-stage-codegen JIT'd, parquet
+        # footers cached) — the per-query cost that scales with data
+        t1 = time.time()
+        run_query(spec.fn(spark, sf_dir))
+        warm[name] = round(time.time() - t1, 3)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
+    total_warm = round(sum(warm.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
         json.dumps(
@@ -56,6 +64,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_warm": warm,
+                "total_warm_sec": total_warm,
                 "sf": float(sf) if sf else sf_dir,
                 "n_queries": len(timings),
             }

@@ -56,13 +56,24 @@ class FormulaEvaluator:
         fill_invalid: bool = False,
         verbose: bool = False,
         spark: SparkSession | None = None,
+        validation: str = "eager",
     ):
+        """``validation='eager'`` (default) reproduces the reference's
+        behavior: every evaluation immediately audits the result (one
+        aggregate job) and warns/raises. ``validation='defer'`` skips
+        that action: with ``fill_invalid`` the fill is fused lazily
+        into the plan and the result computes exactly once at the
+        consumer's action — the scale-friendly mode (pair with
+        ``evaluate_to_parquet`` for audited writes)."""
         if decimal_precision <= 0:
             raise ValueError("decimal_precision must be positive")
+        if validation not in ("eager", "defer"):
+            raise ValueError("validation must be 'eager' or 'defer'")
         self.spark = spark or get_spark()
         self.adp_enabled = adp_enabled
         self.decimal_precision = decimal_precision
         self.fill_invalid = fill_invalid
+        self.validation = validation
         self.verbose = verbose
         self.datasets: dict[str, Matrix | Vector | float] = {}
         for name, value in data_dict.items():
@@ -194,6 +205,17 @@ class FormulaEvaluator:
             return pd.Series(
                 compiled.vector.values, index=compiled.vector.labels, dtype=np.float64
             )
+        if self.validation == "defer":
+            from ssb_coefficient_maker_spark.validation import fill_invalid as _fill
+
+            df = (
+                _fill(compiled.df, compiled.value_cols)
+                if self.fill_invalid
+                else compiled.df
+            )
+            self._last_value_cols = compiled.value_cols
+            self.last_invalid_count = None  # not audited in defer mode
+            return df
         df, count = _validate(
             compiled.df,
             compiled.value_cols,

@@ -92,7 +92,11 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4) -> DataFrame:
     4. exact Jaccard verification joins the candidate pairs back to
        the shingle table (arrays never travel through the band join).
     """
-    sh_tbl = docs.select("doc_id", shingles_col(F.col("text")).alias("sh"))
+    # the shingle table feeds three consumers (signature stream and
+    # both sides of the verification join) — persist it once instead
+    # of recomputing the shingling 3x; at 100 TB this is the
+    # intermediate you'd write to storage
+    sh_tbl = docs.select("doc_id", shingles_col(F.col("text")).alias("sh")).persist()
 
     ex = sh_tbl.select("doc_id", F.explode("sh").alias("s")).withColumn(
         "h", F.pmod(F.xxhash64("s"), F.lit(MERSENNE))

@@ -55,7 +55,12 @@ def q24_formula_coeffmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("l_returnflag", ["A", "N", "R"])
         .agg(F.sum("l_quantity"))
     )
-    fe = FormulaEvaluator({"a": a, "b": b}, fill_invalid=True, spark=spark)
+    # defer validation: the fill fuses into the lazy plan and the
+    # pivots compute exactly once at the consumer's action (eager
+    # parity mode would run an audit aggregate first — 2x the work)
+    fe = FormulaEvaluator(
+        {"a": a, "b": b}, fill_invalid=True, validation="defer", spark=spark
+    )
     import warnings
 
     with warnings.catch_warnings():
