@@ -133,6 +133,10 @@ def _mp_eval(expr: FormulaExpr, resolve, mpmath_mod) -> Any:
             return args[0] ** args[1]
         if expr.func == "fillna":
             return args[1] if mp.isnan(args[0]) else args[0]
+        if expr.func == "where":
+            cond = args[0]
+            truthy = (not mp.isnan(cond)) and cond != 0
+            return args[1] if truthy else args[2]
     raise FormulaError(f"ADP cannot evaluate node {expr!r}")
 
 

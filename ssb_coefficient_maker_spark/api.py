@@ -323,6 +323,7 @@ class CoefficientCalculator:
         fill_invalid: bool = False,
         verbose: bool = False,
         spark: SparkSession | None = None,
+        validation: str = "eager",
     ):
         if isinstance(coefficient_map, DataFrame):
             coefficient_map = coefficient_map.toPandas()
@@ -338,6 +339,7 @@ class CoefficientCalculator:
             fill_invalid=fill_invalid,
             verbose=verbose,
             spark=spark,
+            validation=validation,
         )
 
     @staticmethod

@@ -12,7 +12,7 @@ Here the language is explicit:
                reference coeff_maker.py:688-691)
     unary   := -x, +x
     compare := < <= > >= == !=
-    calls   := whitelisted only: abs(x), pow(x, y), x.fillna(v)
+    calls   := whitelisted only: abs(x), pow(x, y), where(c, a, b), x.fillna(v)
 
 Parsing yields a small typed tree (``FormulaExpr``) that downstream
 compiles either to ``pyspark.sql.Column`` (standard mode) or to an
@@ -83,7 +83,7 @@ _CMPOPS: dict[type[ast.cmpop], str] = {
     ast.NotEq: "!=",
 }
 
-_FUNC_WHITELIST = {"abs", "pow"}
+_FUNC_WHITELIST = {"abs", "pow", "where"}
 _METHOD_WHITELIST = {"fillna"}
 
 
@@ -142,6 +142,8 @@ def _convert_call(node: ast.Call, formula: str) -> FormulaExpr:
             raise FormulaError("abs() takes exactly one argument")
         if name == "pow" and len(args) != 2:
             raise FormulaError("pow() takes exactly two arguments")
+        if name == "where" and len(args) != 3:
+            raise FormulaError("where() takes exactly three arguments (cond, a, b)")
         return Call(name, args)
     if isinstance(node.func, ast.Attribute):
         method = node.func.attr

@@ -98,3 +98,37 @@ def q36_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("nrm"), 4).alias("avg_norm"))
         .orderBy("label")
     )
+
+
+def q50_embedding_neardup(spark: SparkSession, sf_dir: str, threshold: float = 0.4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (dedup tier for modalities
+    where text hashing can't see the duplication).
+
+    Brute-force all-pairs here (oracle-checkable); norms are computed
+    once per vector BEFORE the self-join, so the pair loop is one
+    zip_with dot product. The scale path replaces the self-join with
+    bucketed candidates from ``assign_buckets`` (probe same-bucket
+    pairs only) — identical scoring expression.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    a = normed.alias("a")
+    b = normed.alias("b")
+    from ssb_coefficient_maker_spark.functions.vectors import dot
+
+    cos = F.round(
+        dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm")),
+        4,
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+        .orderBy("vec_a", "vec_b")
+    )

@@ -204,6 +204,10 @@ def _to_column(expr: FormulaExpr, resolve) -> Column:
             return F.abs(args[0])
         if expr.func == "pow":
             return F.pow(args[0], args[1])
+        if expr.func == "where":
+            cond, yes, no = args
+            # numpy.where: NaN condition is truthy-false; nonzero = true
+            return F.when(F.isnan(cond) | (cond == 0), no).otherwise(yes)
         if expr.func == "fillna":
             target, fill = args
             return F.when(F.isnull(target) | F.isnan(target), fill).otherwise(target)
@@ -279,4 +283,8 @@ def _np_eval(expr: FormulaExpr, resolve):
             return np.power(args[0], args[1])
         if expr.func == "fillna":
             return np.where(np.isnan(args[0]), args[1], args[0])
+        if expr.func == "where":
+            with np.errstate(invalid="ignore"):
+                cond = np.nan_to_num(np.asarray(args[0], dtype=np.float64), nan=0.0)
+            return np.where(cond != 0, args[1], args[2])
     raise FormulaError(f"cannot evaluate node {expr!r}")

@@ -526,6 +526,27 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         "similarity",
     ),
+    "q50_embedding_neardup": QuerySpec(
+        similarity.q50_embedding_neardup,
+        """
+        WITH n AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(embedding,
+                      x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+          FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                     / (a.nrm * b.nrm), 4) AS cos_sim
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                    / (a.nrm * b.nrm), 4) >= 0.4
+        ORDER BY vec_a, vec_b
+        """,
+        "dedup",
+    ),
     "q37_media_bytes": QuerySpec(
         multimodal.q37_media_bytes,
         """

@@ -174,3 +174,17 @@ def test_comparison_formula(spark, fixtures):
         [np.inf, -np.inf, np.nan], 0
     )
     np.testing.assert_allclose(res.values, exp.values)
+
+
+def test_where_function(spark, fixtures):
+    # where(cond, a, b) == np.where elementwise (numpy semantics)
+    fe = FormulaEvaluator(fixtures, fill_invalid=True, spark=spark)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        res = fe.evaluate_to_pandas("where(a > b, a, b)")
+    a, b = fixtures["a"], fixtures["b"]
+    exp = pd.DataFrame(
+        np.where((a > b).to_numpy(), a.to_numpy(), b.to_numpy()),
+        index=a.index, columns=a.columns,
+    )
+    np.testing.assert_allclose(res.values, exp.values)

@@ -104,3 +104,10 @@ def test_rejected_formulas(bad):
 def test_numeric_literals_only():
     with pytest.raises(FormulaError):
         parse_formula("a + True")
+
+
+def test_where_whitelist():
+    expr = parse_formula("where(a > b, a, b)")
+    assert isinstance(expr, Call) and expr.func == "where"
+    with pytest.raises(FormulaError):
+        parse_formula("where(a, b)")
