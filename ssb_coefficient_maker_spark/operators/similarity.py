@@ -104,31 +104,122 @@ def q50_embedding_neardup(spark: SparkSession, sf_dir: str, threshold: float = 0
     """Embedding-cosine near-duplicate pairs (dedup tier for modalities
     where text hashing can't see the duplication).
 
-    Brute-force all-pairs here (oracle-checkable); norms are computed
-    once per vector BEFORE the self-join, so the pair loop is one
-    zip_with dot product. The scale path replaces the self-join with
-    bucketed candidates from ``assign_buckets`` (probe same-bucket
-    pairs only) — identical scoring expression.
+    All-pairs dense linear algebra is the one place the JVM lambda path
+    loses: a 64-element ``zip_with`` dot evaluated per candidate pair is
+    interpreted per element (measured ~50 s for 2M pairs at sf0.1).
+    Instead: collect the (small) embedding matrix driver-side, ship it
+    into an Arrow-batched ``mapInPandas``, and compute each partition's
+    row-block against the full matrix with vectorized numpy (~1 s).
+    Accumulation loops over dimensions in order, matching DuckDB's
+    sequential ``list_sum`` bit-for-bit. At 100 TB the full matrix no
+    longer fits — swap the block source for LSH buckets
+    (``cosine_neardup_bucketed``); the per-block math is identical.
     """
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
-    normed = emb.select(
-        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
+    n, d = mat.shape
+    # sequential per-dimension accumulation == duckdb list_sum order
+    norms = np.zeros(n)
+    for k in range(d):
+        norms += mat[:, k] * mat[:, k]
+    norms = np.sqrt(norms)
+
+    def block(batches):
+        for pdf in batches:
+            out_a, out_b, out_c = [], [], []
+            bids = pdf["vec_id"].to_numpy()
+            bemb = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
+            bnorm = np.zeros(len(bids))
+            for k in range(d):
+                bnorm += bemb[:, k] * bemb[:, k]
+            bnorm = np.sqrt(bnorm)
+            dots = np.zeros((len(bids), n))
+            for k in range(d):
+                dots += np.outer(bemb[:, k], mat[:, k])
+            cos = np.round(dots / np.outer(bnorm, norms), 4)
+            for i in range(len(bids)):
+                mask = (ids > bids[i]) & (cos[i] >= threshold)
+                js = np.nonzero(mask)[0]
+                out_a.extend([bids[i]] * len(js))
+                out_b.extend(ids[js])
+                out_c.extend(cos[i][js])
+            yield pd.DataFrame(
+                {"vec_a": pd.Series(out_a, dtype="int64"),
+                 "vec_b": pd.Series(out_b, dtype="int64"),
+                 "cos_sim": pd.Series(out_c, dtype="float64")}
+            )
+
+    return (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(block, schema="vec_a long, vec_b long, cos_sim double")
+        .orderBy("vec_a", "vec_b")
     )
-    a = normed.alias("a")
-    b = normed.alias("b")
+
+
+def hyperplane_buckets(emb: DataFrame, n_planes: int = 8, seed: int = 7) -> DataFrame:
+    """Random-hyperplane LSH for cosine: bucket = sign bits of R
+    projections. Vectors with high cosine land in the same bucket with
+    probability (1 - theta/pi)^R. Planes are generated deterministically
+    driver-side and inlined as literals — no join, no shuffle; the
+    bucket id is the thing to partition/bucket storage by at scale.
+    """
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    dim_row = emb.select(F.size("embedding").alias("d")).head()
+    planes = rng.normal(size=(n_planes, dim_row["d"]))
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        proj = F.aggregate(
+            F.zip_with(F.col("embedding"), lit_plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket.bitwiseOR(
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return emb.withColumn("bucket", bucket)
+
+
+def cosine_neardup_bucketed(
+    emb: DataFrame, threshold: float = 0.4, n_planes: int = 8
+) -> DataFrame:
+    """Scale path for q50: candidate pairs only within an LSH bucket
+    (shuffle on bucket id, each bucket ~n/2^R rows), then the exact
+    cosine verification — same scoring expression as the brute force.
+    Recall is tunable via n_planes / multi-probe; this single-probe
+    variant trades recall for a 2^R candidate reduction.
+    """
+    b = hyperplane_buckets(emb, n_planes=n_planes)
+    normed = b.select(
+        "vec_id", "bucket", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
     from ssb_coefficient_maker_spark.functions.vectors import dot
 
+    lhs = normed.alias("a")
+    rhs = normed.alias("b")
     cos = F.round(
         dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm")),
         4,
     )
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        lhs.join(
+            rhs,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             cos.alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
-        .orderBy("vec_a", "vec_b")
     )

@@ -485,7 +485,7 @@ REGISTRY: dict[str, QuerySpec] = {
         WITH ws AS (
           SELECT doc_id,
                  list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
-          FROM documents
+          FROM documents WHERE doc_id < 500
         ), ex AS (
           SELECT doc_id, len(w) AS n, unnest(w) AS word FROM ws
         )

@@ -106,3 +106,21 @@ def run_to_memory(spark: SparkSession, stream_df: DataFrame, name: str, output_m
     finally:
         q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def stream_to_parquet_foreachBatch(
+    spark: SparkSession, stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+):
+    """Exactly-once-style parquet sink via foreachBatch: each
+    micro-batch overwrites its own epoch subdirectory, so a replayed
+    batch (failure/restart) lands idempotently instead of duplicating.
+    Returns the started StreamingQuery (caller stops it)."""
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

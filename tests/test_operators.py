@@ -141,3 +141,23 @@ def test_cli(capsys):
     out = capsys.readouterr().out
     assert "q01_pricing_summary" in out and "rows-only" in out
     assert main(["run", "nope"]) == 2
+
+
+def test_cosine_lsh_bucketed_subset_of_bruteforce(spark, sf_dir):
+    from ssb_coefficient_maker_spark.operators.similarity import (
+        cosine_neardup_bucketed,
+        q50_embedding_neardup,
+    )
+    from ssb_coefficient_maker_spark.sources.loaders import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = q50_embedding_neardup(spark, sf_dir, threshold=0.3).toPandas()
+    approx = cosine_neardup_bucketed(emb, threshold=0.3, n_planes=4).toPandas()
+    exact_pairs = set(zip(exact.vec_a, exact.vec_b))
+    approx_pairs = set(zip(approx.vec_a, approx.vec_b))
+    # LSH candidates are a SUBSET of the exact result (identical
+    # verification expression), with data-dependent recall
+    assert approx_pairs <= exact_pairs
+    if exact_pairs:
+        recall = len(approx_pairs) / len(exact_pairs)
+        assert recall > 0.05  # single-probe, 4 planes: nonzero recall

@@ -100,3 +100,23 @@ def test_stateful_custom_operator(spark, sf_dir, events_stream):
     joined = final.join(batch)
     assert (joined["n_events_total"] == joined["n"]).all()
     assert (abs(joined["total_value"] - joined["tv"]) < 1e-6).all()
+
+
+def test_foreachbatch_parquet_sink(spark, sf_dir, events_stream, tmp_path):
+    from ssb_coefficient_maker_spark.streaming.windows import (
+        stream_to_parquet_foreachBatch,
+        tumbling_window_agg,
+    )
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_to_parquet_foreachBatch(
+        spark, tumbling_window_agg(events_stream), out, ckpt
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    back = spark.read.parquet(f"{out}/epoch=*")
+    assert back.count() > 0
+    assert {"window_start", "event_type", "n", "total_value"} <= set(back.columns)
