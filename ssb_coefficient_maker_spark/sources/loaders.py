@@ -31,9 +31,23 @@ TABLES = [
 BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Make any caller-provided session able to run our queries.
+
+    The driver (and any embedding application) may hand us a session
+    built without our factory: set the runtime-settable SQL confs the
+    queries depend on. Both are per-session and idempotent.
+    """
+    # events.parquet carries TIMESTAMP(NANOS) — unreadable without this
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # timestamp→string formatting must be UTC for oracle comparison
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # ts is TIMESTAMP(NANOS) in the file; Spark has no nanosecond

@@ -37,6 +37,9 @@ EVENTS_SCHEMA = T.StructType(
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (file source; stands in for
     Kafka). Converts the nanos-long ts like the batch loader."""
+    from ssb_coefficient_maker_spark.sources.loaders import _ensure_session_confs
+
+    _ensure_session_confs(spark)
     # the file stream source wants a directory: scan sf_dir, keep only
     # the events file
     raw = (

@@ -161,3 +161,17 @@ def test_cosine_lsh_bucketed_subset_of_bruteforce(spark, sf_dir):
     if exact_pairs:
         recall = len(approx_pairs) / len(exact_pairs)
         assert recall > 0.05  # single-probe, 4 planes: nonzero recall
+
+
+def test_queries_run_on_vanilla_session(spark, sf_dir):
+    """The driver hands us ITS session (no engine confs): the loader
+    must self-provision the runtime-settable SQL confs (nanos
+    timestamps, UTC) instead of assuming our session factory ran."""
+    vanilla = spark.newSession()
+    # newSession inherits builder defaults in-suite; force the raw state
+    vanilla.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    vanilla.conf.unset("spark.sql.session.timeZone")
+    from ssb_coefficient_maker_spark.queries import REGISTRY
+
+    assert REGISTRY["q20_window_tumbling"].fn(vanilla, sf_dir).count() > 0
+    assert REGISTRY["q38_asof_join"].fn(vanilla, sf_dir).count() > 0
