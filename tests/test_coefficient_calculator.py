@@ -118,3 +118,66 @@ def test_header_validation(spark, data, coefficient_map):
 def test_extra_columns_allowed(calculator):
     # description column tolerated (reference tests:173-197)
     assert "description" in calculator.coefficient_map.columns
+
+
+def test_spark_native_batch_over_lineitem(spark, sf_dir):
+    """End-to-end Spark-native batch: matrices derived from lineitem
+    pivots, a 4-formula coefficient map, lazy results verified against
+    a direct SQL computation."""
+    from pyspark.sql import functions as F
+
+    from ssb_coefficient_maker_spark.sources.loaders import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    price = (
+        li.groupBy(F.col("l_orderkey").alias("__row_id__"))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_extendedprice"))
+    )
+    qty = (
+        li.groupBy(F.col("l_orderkey").alias("__row_id__"))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_quantity"))
+    )
+    cmap = pd.DataFrame(
+        {
+            "name": ["unit_price", "share", "scaled", "broken"],
+            "formula": [
+                "price / qty",
+                "price / (price + qty)",
+                "price * 0.25",
+                "price + not_registered",
+            ],
+        }
+    )
+    calc = CoefficientCalculator(
+        {"price": price, "qty": qty},
+        cmap,
+        "name",
+        "formula",
+        fill_invalid=True,
+        validation="defer",
+        spark=spark,
+    )
+    results = calc.compute_coefficients()
+    assert set(results) == {"unit_price", "share", "scaled"}  # 'broken' skipped
+    # verify one cell chain against direct SQL
+    li.createOrReplaceTempView("cc_lineitem")
+    expected = spark.sql(
+        """
+        SELECT l_orderkey,
+               sum(CASE WHEN l_returnflag='A' THEN l_extendedprice END)
+             / sum(CASE WHEN l_returnflag='A' THEN l_quantity END) AS up_A
+        FROM cc_lineitem GROUP BY l_orderkey
+        HAVING up_A IS NOT NULL
+        ORDER BY l_orderkey LIMIT 5
+        """
+    ).collect()
+    got = {
+        r["__row_id__"]: r["A"]
+        for r in results["unit_price"]
+        .filter(F.col("__row_id__").isin([e["l_orderkey"] for e in expected]))
+        .collect()
+    }
+    for e in expected:
+        assert abs(got[e["l_orderkey"]] - e["up_A"]) < 1e-9
