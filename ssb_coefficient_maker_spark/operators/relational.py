@@ -528,3 +528,86 @@ def q49_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+def q52_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two nations by year.
+
+    Two independent broadcast joins resolve customer-nation and
+    supplier-nation; the symmetric pair filter keeps both directions.
+    """
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    sup = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .filter(
+            ((F.col("cust_nation") == n1) & (F.col("supp_nation") == n2))
+            | ((F.col("cust_nation") == n2) & (F.col("supp_nation") == n1))
+        )
+        .groupBy("cust_nation", "supp_nation", F.year("l_shipdate").alias("yr"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("volume"))
+        .orderBy("cust_nation", "supp_nation", "yr")
+    )
+
+
+def q53_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's supplier share of regional revenue
+    per year — conditional aggregation over a star join."""
+    target = "NATION_3"
+    nation = load_table(spark, sf_dir, "nation")
+    sup = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == target, rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("mkt_share"),
+            F.round(F.sum(rev), 4).alias("total_rev"),
+        )
+        .orderBy("yr")
+    )
+
+
+def q54_pipeline_filter_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite LLM-data-pipeline: quality filter → exact dedup
+    (keep lowest doc_id per content hash) → token stats per language.
+    The canonical pre-training data flow as ONE lazy Spark plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), "\\s+")
+    n_words = F.size(words).cast("long")
+    quality = docs.filter(n_words >= 20).select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")).alias("h"),
+    )
+    w = W.partitionBy("h").orderBy("doc_id")
+    deduped = quality.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") == 1)
+    return (
+        deduped.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_tokens"),
+            F.round(F.avg("n_words"), 4).alias("avg_tokens"),
+        )
+        .orderBy("lang")
+    )

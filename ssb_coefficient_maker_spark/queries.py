@@ -667,6 +667,60 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         "window",
     ),
+    "q52_nation_volume": QuerySpec(
+        relational.q52_nation_volume,
+        """
+        SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS yr,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS volume
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                      JOIN customer ON o_custkey = c_custkey
+                      JOIN nation cn ON c_nationkey = cn.n_nationkey
+                      JOIN supplier ON l_suppkey = s_suppkey
+                      JOIN nation sn ON s_nationkey = sn.n_nationkey
+        WHERE (cn.n_name = 'NATION_1' AND sn.n_name = 'NATION_2')
+           OR (cn.n_name = 'NATION_2' AND sn.n_name = 'NATION_1')
+        GROUP BY 1, 2, 3 ORDER BY cust_nation, supp_nation, yr
+        """,
+        "join",
+    ),
+    "q53_market_share": QuerySpec(
+        relational.q53_market_share,
+        """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+               round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                      JOIN supplier ON l_suppkey = s_suppkey
+                      JOIN nation sn ON s_nationkey = sn.n_nationkey
+        GROUP BY 1 ORDER BY yr
+        """,
+        "join",
+    ),
+    "q54_pipeline_filter_dedup_stats": QuerySpec(
+        relational.q54_pipeline_filter_dedup_stats,
+        """
+        WITH quality AS (
+          SELECT doc_id, lang,
+                 CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words,
+                 md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+          FROM documents
+          WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 20
+        ), deduped AS (
+          SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rk
+            FROM quality
+          ) WHERE rk = 1
+        )
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_words) AS BIGINT) AS total_tokens,
+               round(avg(n_words), 4) AS avg_tokens
+        FROM deduped GROUP BY lang ORDER BY lang
+        """,
+        "text",
+    ),
     "q48_null_functions": QuerySpec(
         relational.q48_null_functions,
         """
