@@ -611,3 +611,49 @@ def q54_pipeline_filter_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("lang")
     )
+
+
+def q51_below_brand_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: parts priced below 95% of their brand's
+    average — a correlated aggregate, decorrelated as agg + join-back
+    (what Catalyst does to the subquery form anyway, written
+    explicitly so the plan is one broadcast join on the tiny agg)."""
+    part = load_table(spark, sf_dir, "part")
+    brand_avg = part.groupBy(F.col("p_brand").alias("ba_brand")).agg(
+        F.avg("p_retailprice").alias("brand_avg")
+    )
+    return (
+        part.join(F.broadcast(brand_avg), part.p_brand == F.col("ba_brand"))
+        .filter(F.col("p_retailprice") < 0.95 * F.col("brand_avg"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.round("p_retailprice", 4).alias("price"),
+            F.round("brand_avg", 4).alias("brand_avg"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def q55_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a
+    threshold, joined back to customers — GROUP BY + HAVING + join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy("o_orderkey")
+    )

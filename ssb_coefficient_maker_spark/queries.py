@@ -667,6 +667,31 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         "window",
     ),
+    "q51_below_brand_average": QuerySpec(
+        relational.q51_below_brand_average,
+        """
+        SELECT p_partkey, p_brand, round(p_retailprice, 4) AS price,
+               round(ba.brand_avg, 4) AS brand_avg
+        FROM part JOIN (SELECT p_brand AS b, avg(p_retailprice) AS brand_avg
+                        FROM part GROUP BY p_brand) ba ON p_brand = ba.b
+        WHERE p_retailprice < 0.95 * ba.brand_avg
+        ORDER BY p_partkey
+        """,
+        "join",
+    ),
+    "q55_large_volume_orders": QuerySpec(
+        relational.q55_large_volume_orders,
+        """
+        SELECT c_custkey, o_orderkey, round(o_totalprice, 4) AS totalprice, total_qty
+        FROM (SELECT l_orderkey, round(sum(l_quantity), 4) AS total_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING round(sum(l_quantity), 4) > 180) big
+        JOIN orders ON big.l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_orderkey
+        """,
+        "join",
+    ),
     "q52_nation_volume": QuerySpec(
         relational.q52_nation_volume,
         """

@@ -60,16 +60,27 @@ def test_random_formula_matches_pandas(shared_evaluator, matrices, formula):
         except ValueError:
             # all-invalid result raises by policy when every cell is
             # invalid; pandas oracle must agree it is all-invalid
+            import re as _re
+
             env = {k: v for k, v in matrices.items()}
+            env["__builtins__"] = {}
+            np_f = _re.sub(r"(?<![\w.])(\d+(?:\.\d+)?)", r"np.float64(\1)", formula)
             with np.errstate(divide="ignore", invalid="ignore"):
-                exp = eval(formula, {}, env)
+                exp = eval(np_f, {"np": np}, env)
             if np.isscalar(exp):
                 return
             assert (~np.isfinite(exp.to_numpy())).all()
             return
     env = {k: v for k, v in matrices.items()}
+    # literals in the oracle must be numpy scalars: the engine is IEEE
+    # everywhere (scalar 1/0 -> inf, like the matrix path), while plain
+    # Python int division raises
+    env["__builtins__"] = {}
+    import re as _re
+
+    np_formula = _re.sub(r"(?<![\w.])(\d+(?:\.\d+)?)", r"np.float64(\1)", formula)
     with np.errstate(divide="ignore", invalid="ignore"):
-        exp = eval(formula, {}, env)
+        exp = eval(np_formula, {"np": np}, env)
     if np.isscalar(exp) or not hasattr(exp, "replace"):
         assert got == pytest.approx(float(exp), nan_ok=True)
         return
