@@ -16,7 +16,7 @@ Two tiers:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ssb_coefficient_maker_spark.functions.vectors import cosine, l2_norm
@@ -222,4 +222,55 @@ def cosine_neardup_bucketed(
             cos.alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def kmeans_fit(emb: DataFrame, k: int = 10, iters: int = 3) -> DataFrame:
+    """Distributed Lloyd iterations for an IVF coarse quantizer.
+
+    Iterative-algorithm shape on Spark: the BIG side (vectors) never
+    leaves the cluster; only the k centroids (k×dim doubles) cross the
+    driver boundary per iteration. Each iteration = one broadcast
+    cross-score + argmax (assign_buckets) and one posexplode + groupBy
+    average for the new means. Deterministic init (lowest vec_ids) —
+    reproducible runs, no RNG state.
+
+    Returns the final assignment: (vec_id, bucket, label, embedding).
+    """
+    centroids = (
+        emb.orderBy("vec_id")
+        .limit(k)
+        .select(
+            (F.row_number().over(W.orderBy("vec_id")) - 1).alias("centroid_id"),
+            F.col("embedding").alias("cvec"),
+        )
+    )
+    assigned = None
+    for _ in range(iters):
+        assigned = assign_buckets(emb, centroids)
+        means = (
+            assigned.select("bucket", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("bucket", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .groupBy("bucket")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cvec")
+            )
+        )
+        centroids = means.select(F.col("bucket").alias("centroid_id"), "cvec")
+    return assigned
+
+
+def q56_kmeans_ivf(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Trained-IVF summary: cluster sizes and cohesion after 3 Lloyd
+    iterations (rows-only: iterative + data-dependent)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_fit(emb, k=k, iters=3)
+    return (
+        assigned.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("bucket")
     )

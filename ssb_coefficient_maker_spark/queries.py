@@ -516,6 +516,7 @@ REGISTRY: dict[str, QuerySpec] = {
         "similarity",
     ),
     "q35_ivf_topk": QuerySpec(similarity.q35_ivf_topk, None, "similarity"),
+    "q56_kmeans_ivf": QuerySpec(similarity.q56_kmeans_ivf, None, "similarity"),
     "q36_embedding_stats": QuerySpec(
         similarity.q36_embedding_stats,
         """

@@ -175,3 +175,20 @@ def test_queries_run_on_vanilla_session(spark, sf_dir):
 
     assert REGISTRY["q20_window_tumbling"].fn(vanilla, sf_dir).count() > 0
     assert REGISTRY["q38_asof_join"].fn(vanilla, sf_dir).count() > 0
+
+
+def test_kmeans_ivf_deterministic_and_complete(spark, sf_dir):
+    from ssb_coefficient_maker_spark.operators.similarity import kmeans_fit
+    from ssb_coefficient_maker_spark.sources.loaders import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    a1 = kmeans_fit(emb, k=5, iters=2).select("vec_id", "bucket").toPandas()
+    a2 = kmeans_fit(emb, k=5, iters=2).select("vec_id", "bucket").toPandas()
+    # every vector assigned exactly once
+    assert len(a1) == n and a1.vec_id.nunique() == n
+    # deterministic across runs (no RNG state anywhere)
+    m1 = a1.sort_values("vec_id").bucket.tolist()
+    m2 = a2.sort_values("vec_id").bucket.tolist()
+    assert m1 == m2
+    assert a1.bucket.nunique() >= 2
