@@ -113,8 +113,12 @@ def _mp_eval(expr: FormulaExpr, resolve, mpmath_mod) -> Any:
         if expr.op == "**":
             return lhs**rhs
         if expr.op == "%":
+            if rhs == 0:
+                raise ZeroDivisionError(ADP_ZERO_DIV_MSG)
             return lhs % rhs
         if expr.op == "//":
+            if rhs == 0:
+                raise ZeroDivisionError(ADP_ZERO_DIV_MSG)
             return mp.floor(lhs / rhs)
         cmps = {
             "<": lhs < rhs,
@@ -138,6 +142,49 @@ def _mp_eval(expr: FormulaExpr, resolve, mpmath_mod) -> Any:
             truthy = (not mp.isnan(cond)) and cond != 0
             return args[1] if truthy else args[2]
     raise FormulaError(f"ADP cannot evaluate node {expr!r}")
+
+
+def adp_eval_vectors(
+    expr: FormulaExpr,
+    vectors: dict[str, Vector],
+    scalars: dict[str, float],
+    dps: int,
+) -> pd.Series:
+    """Vector-only ADP evaluation (reference supports Series under ADP,
+    coeff_maker.py:647-671): mpf per cell, driver-side (vectors are
+    small/driver-resident by construction), positional alignment with
+    equal-length check — same semantics as the float path's
+    ``_eval_vectors`` (plans/alignment.py) but at ``dps`` digits.
+
+    Returns an object-dtype pandas Series of mpf values labeled by the
+    first vector's labels.
+    """
+    import mpmath
+
+    sizes = {vec.size for vec in vectors.values()}
+    if len(sizes) > 1:
+        raise FormulaError(f"vector operands disagree on length: {sizes}")
+    first = next(iter(vectors.values()))
+    with mpmath.workdps(dps):
+        scalar_mpf = {n: mpmath.mpf(repr(v)) for n, v in scalars.items()}
+        out = []
+        for i in range(first.size):
+
+            def resolve(name: str):
+                if name in vectors:
+                    raw = vectors[name].values[i]
+                    if raw is None:
+                        return mpmath.mpf("nan")
+                    return mpmath.mpf(str(raw))
+                return scalar_mpf[name]
+
+            out.append(_mp_eval(expr, resolve, mpmath))
+    labels = list(first.labels)
+    try:
+        labels = [int(x) for x in labels]
+    except (TypeError, ValueError):
+        pass
+    return pd.Series(out, index=labels, dtype=object)
 
 
 def compile_adp_formula(
@@ -269,12 +316,13 @@ def validate_adp(
     if n_invalid == 0:
         return df, 0
     if fill:
-        warnings.warn(
-            f"Filled {n_invalid} invalid value(s) with 0 in result of "
-            f"formula '{formula_str}'",
-            UserWarning,
-            stacklevel=3,
-        )
+        # match the float validator: fill notification only under
+        # verbose (print, like the reference's coeff_maker.py:104-112)
+        if verbose:
+            print(
+                f"Filled {n_invalid} invalid value(s) with 0 in result of "
+                f"formula '{formula_str}'"
+            )
         from ssb_coefficient_maker_spark.session import ROW_ID
 
         sel = [F.col(ROW_ID)] + [

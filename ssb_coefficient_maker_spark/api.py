@@ -176,6 +176,27 @@ class FormulaEvaluator:
             self.last_invalid_count = count
             return df
 
+        if self.adp_enabled and any(
+            isinstance(self.datasets[n], Vector) for n in names
+        ):
+            # Series-only (or Series∘scalar) ADP formula: the operands
+            # were registered as string-carried ADP Vectors, so the
+            # numeric driver path would operate on strings. Evaluate
+            # through _mp_eval at full precision instead.
+            vectors = {
+                n: self.datasets[n]
+                for n in names
+                if isinstance(self.datasets[n], Vector)
+            }
+            scalars = {
+                n: float(self.datasets[n])
+                for n in names
+                if isinstance(self.datasets[n], (int, float))
+            }
+            return adp_mod.adp_eval_vectors(
+                expr, vectors, scalars, self.decimal_precision
+            )
+
         from ssb_coefficient_maker_spark.plans.triplet import (
             VALUE,
             TripletMatrix,

@@ -71,7 +71,6 @@ _BINOPS: dict[type[ast.operator], str] = {
     ast.Mod: "%",
     ast.FloorDiv: "//",
     ast.Pow: "**",
-    ast.BitXor: "**",  # '^' means power, reference coeff_maker.py:688-691
 }
 
 _CMPOPS: dict[type[ast.cmpop], str] = {
@@ -93,6 +92,13 @@ def parse_formula(formula: str) -> FormulaExpr:
         raise FormulaError(f"formula must be a string, got {type(formula)}")
     if not formula.strip():
         raise FormulaError("empty formula")
+    # '^' means power with POWER precedence: rewrite at the text level
+    # before ast.parse, exactly like sympy's convert_xor token pass
+    # (reference coeff_maker.py:688-691). Mapping ast.BitXor instead
+    # would keep XOR's precedence and parse '2*a^2' as (2*a)**2.
+    # Safe as plain text replacement: the grammar has no string
+    # literals, so '^' can only occur as the operator.
+    formula = formula.replace("^", "**")
     try:
         tree = ast.parse(formula, mode="eval")
     except SyntaxError as exc:

@@ -72,6 +72,18 @@ def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SHINGLE_CACHE: DataFrame | None = None
+
+
+def release_shingle_cache() -> None:
+    """Unpersist the shingle table cached by the last
+    ``minhash_lsh_pairs`` call (safe to call any time)."""
+    global _SHINGLE_CACHE
+    if _SHINGLE_CACHE is not None:
+        _SHINGLE_CACHE.unpersist()
+        _SHINGLE_CACHE = None
+
+
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
 
@@ -95,8 +107,16 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4) -> DataFrame:
     # the shingle table feeds three consumers (signature stream and
     # both sides of the verification join) — persist it once instead
     # of recomputing the shingling 3x; at 100 TB this is the
-    # intermediate you'd write to storage
+    # intermediate you'd write to storage. A long-lived session must
+    # not accumulate one cached copy per call, so the previous call's
+    # cache is released here and `release_shingle_cache()` frees the
+    # last one (caller owns the final unpersist — the returned frame
+    # is lazy, so unpersisting before the caller's action would just
+    # force a 3x recompute).
+    release_shingle_cache()
     sh_tbl = docs.select("doc_id", shingles_col(F.col("text")).alias("sh")).persist()
+    global _SHINGLE_CACHE
+    _SHINGLE_CACHE = sh_tbl
 
     ex = sh_tbl.select("doc_id", F.explode("sh").alias("s")).withColumn(
         "h", F.pmod(F.xxhash64("s"), F.lit(MERSENNE))

@@ -77,16 +77,18 @@ def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: dim filter → fact join → agg → top-k.
 
-    customer is broadcast (small side); the orders⋈lineitem join is a
-    shuffle on orderkey; top-10 is TakeOrderedAndProject (no global
-    sort materialization).
+    customer scales with SF, so no forced broadcast hint — AQE picks
+    broadcast vs shuffle from runtime stats (a hard hint would force
+    an OOM at 100×); the orders⋈lineitem join is a shuffle on
+    orderkey; top-10 is TakeOrderedAndProject (no global sort
+    materialization).
     """
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-01-01")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
         .select("l_orderkey", _ts("o_orderdate").alias("o_orderdate"), "revenue")
@@ -98,8 +100,10 @@ def q03_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-table star join, revenue per nation.
 
-    All dimensions (region→nation→customer, supplier) broadcast; only
-    the orders⋈lineitem edge shuffles.
+    Fixed-cardinality dimensions (region, nation) broadcast by hint;
+    customer/supplier scale with SF so their join strategy is left to
+    AQE runtime stats (forced broadcast would OOM at 100×). The
+    orders⋈lineitem edge shuffles on orderkey.
     """
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
@@ -111,8 +115,8 @@ def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(sup), (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey))
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey))
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
@@ -533,8 +537,10 @@ def q49_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q52_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: shipping volume between two nations by year.
 
-    Two independent broadcast joins resolve customer-nation and
-    supplier-nation; the symmetric pair filter keeps both directions.
+    nation (fixed 25 rows) broadcasts by hint into customer/supplier;
+    the enriched customer/supplier sides scale with SF, so their joins
+    into the fact stream are left to AQE. The symmetric pair filter
+    keeps both directions.
     """
     n1, n2 = "NATION_1", "NATION_2"
     nation = load_table(spark, sf_dir, "nation")
@@ -548,8 +554,8 @@ def q52_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .filter(
             ((F.col("cust_nation") == n1) & (F.col("supp_nation") == n2))
             | ((F.col("cust_nation") == n2) & (F.col("supp_nation") == n1))
@@ -573,7 +579,7 @@ def q53_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .groupBy(F.year("o_orderdate").alias("yr"))
         .agg(
             F.round(
@@ -648,7 +654,7 @@ def q55_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .select(
             "c_custkey",
             "o_orderkey",

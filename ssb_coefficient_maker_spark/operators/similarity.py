@@ -1,48 +1,70 @@
-"""Similarity search over embedding vectors (SURVEY.md §2 Part C EXT).
+"""Similarity search + embedding near-dup (SURVEY.md §2 Part C EXT).
 
-Two tiers:
+Tiers, and when each is the right one:
 
-- brute-force cosine top-k — the exact baseline: one scan, per-row
-  dot product via ``F.aggregate``/``F.zip_with`` (JVM lambda
-  functions, no Python), then TakeOrderedAndProject. Linear in rows;
-  at 100 TB this is the verifier, not the server.
-- IVF-style bucketed search — deterministic coarse quantizer
-  (centroid per residue class stands in for k-means here), each
-  vector assigned to its nearest centroid once (broadcast of the tiny
-  centroid table), then queries probe only their bucket: the scan
-  shrinks by ~n_centroids×. The bucket assignment is the thing you'd
-  persist + bucket-by at scale.
+- **brute-force cosine top-k** (q34) — the exact baseline: one scan,
+  per-row dot product via ``F.aggregate``/``F.zip_with`` (JVM lambda,
+  no Python), then TakeOrderedAndProject. Linear in rows.
+- **IVF bucketed search** (q35) — k-means-trained coarse quantizer
+  (``kmeans_centroids``), each vector assigned to its nearest centroid
+  (broadcast of the tiny centroid table), queries probe only their
+  bucket: the scan shrinks ~n_centroids×.
+- **exact near-dup, block-distributed** (q50) — all-pairs cosine ≥ t
+  without EVER collecting the corpus to the driver: vectors pack into
+  blocks, block PAIRS join (n_blocks² small rows), each pair's dense
+  product runs vectorized numpy inside Arrow-batched ``mapInPandas``.
+  Shuffle volume O(n·n_blocks); driver memory O(1). This is the right
+  tool for LOW thresholds: at cos 0.4 (θ≈66°) sign-LSH's per-bit
+  collision gap (0.64 vs 0.50 background) is so thin that any
+  recall-preserving banding admits ~90% of all pairs — more work than
+  exact. Measured on this corpus: every true pair sits at cos
+  0.40–0.43, i.e. exactly the regime where LSH cannot prune.
+- **banded sign-LSH near-dup** (q57) — the scale path for HIGH
+  thresholds (cos ≥ ~0.8), where the math works: B bands of r
+  hyperplane sign bits; a pair collides in one band with p_bit^r,
+  overall recall 1-(1-p_bit^r)^B, background admit B/2^r. With
+  r=10, B=40 at cos 0.95: recall 1-(1-0.38)^40 ≈ 1-5e-9, background
+  3.9%. Candidates shuffle on (band, bucket); the exact verify runs
+  only on candidates, vectorized.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window as W
+from typing import Iterable, Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ssb_coefficient_maker_spark.functions.vectors import cosine, l2_norm
 from ssb_coefficient_maker_spark.sources.loaders import load_table
 
 
-def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> Column:
-    """Collect one query vector driver-side and inline it as an array
-    literal — broadcast-by-literal, no join at all."""
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0):
+    """Collect one query vector driver-side and return (Column literal,
+    numpy values) — broadcast-by-literal, no join at all."""
     emb = load_table(spark, sf_dir, "embeddings")
     row = emb.filter(F.col("vec_id") == vec_id).select("embedding").head()
     if row is None:
         raise ValueError(f"no embedding with vec_id={vec_id}")
-    return F.array(*[F.lit(float(x)) for x in row[0]])
+    vals = np.array([float(x) for x in row[0]], dtype=np.float64)
+    return F.array(*[F.lit(float(x)) for x in row[0]]), vals
 
 
 def q34_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10, query_id: int = 0) -> DataFrame:
     """Exact top-k by cosine against the vec_id=0 query vector."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = _query_vector(spark, sf_dir, query_id)
+    q, _ = _query_vector(spark, sf_dir, query_id)
     return (
         emb.filter(F.col("vec_id") != query_id)
         .select("vec_id", "label", F.round(cosine(F.col("embedding"), q), 4).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)
     )
+
+
+# ------------------------------------------------------------ IVF / k-means
 
 
 def assign_buckets(emb: DataFrame, centroids: DataFrame) -> DataFrame:
@@ -67,19 +89,92 @@ def assign_buckets(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     )
 
 
-def q35_ivf_topk(spark: SparkSession, sf_dir: str, k: int = 10, query_id: int = 0) -> DataFrame:
-    """Bucketed ANN: probe only the query's bucket (rows-only check —
+def _centroids_df(spark: SparkSession, cents: Sequence[Sequence[float]]) -> DataFrame:
+    return spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        schema="centroid_id int, cvec array<double>",
+    )
+
+
+def kmeans_centroids(emb: DataFrame, k: int = 10, iters: int = 3) -> list[list[float]]:
+    """Distributed Lloyd iterations for an IVF coarse quantizer;
+    returns the trained centroids driver-side (k×dim doubles).
+
+    Iterative-algorithm hygiene on Spark: the BIG side (vectors) is
+    persisted once and re-read from cache each iteration; ONLY the
+    k×dim centroid matrix crosses the driver boundary per iteration
+    (collected, then re-inlined as a literal DataFrame), so the plan
+    depth is CONSTANT in ``iters`` — no lineage growth, no
+    re-derivation of earlier iterations. Deterministic init (lowest
+    vec_ids) — reproducible runs, no RNG state.
+    """
+    spark = emb.sparkSession
+    work = emb.select("vec_id", F.lit("").alias("label"), "embedding").persist()
+    try:
+        init_rows = work.orderBy("vec_id").limit(k).select("embedding").collect()
+        cents: list[list[float]] = [[float(x) for x in r[0]] for r in init_rows]
+        dim = len(cents[0])
+        for _ in range(iters):
+            assigned = assign_buckets(work, _centroids_df(spark, cents))
+            mean_rows = (
+                assigned.select("bucket", F.posexplode("embedding").alias("pos", "val"))
+                .groupBy("bucket", "pos")
+                .agg(F.avg(F.col("val").cast("double")).alias("m"))
+                .collect()  # k×dim rows — tiny
+            )
+            new_cents = [list(c) for c in cents]  # empty bucket keeps old centroid
+            by_bucket: dict[int, list[float]] = {}
+            for r in mean_rows:
+                by_bucket.setdefault(r["bucket"], [0.0] * dim)[r["pos"]] = r["m"]
+            for b, vec in by_bucket.items():
+                new_cents[b] = vec
+            cents = new_cents
+    finally:
+        work.unpersist()
+    return cents
+
+
+def kmeans_fit(emb: DataFrame, k: int = 10, iters: int = 3) -> DataFrame:
+    """Final k-means assignment: (vec_id, bucket, label, embedding).
+
+    One pass over the data against the trained literal centroids —
+    plan depth constant regardless of ``iters``.
+    """
+    cents = kmeans_centroids(emb, k=k, iters=iters)
+    return assign_buckets(emb, _centroids_df(emb.sparkSession, cents))
+
+
+def q56_kmeans_ivf(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Trained-IVF summary: cluster sizes after 3 Lloyd iterations
+    (rows-only: iterative + data-dependent)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_fit(emb, k=k, iters=3)
+    return (
+        assigned.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("bucket")
+    )
+
+
+def q35_ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    query_id: int = 0,
+    n_centroids: int = 20,
+) -> DataFrame:
+    """Bucketed ANN with a TRAINED coarse quantizer: k-means centroids
+    (not a placeholder), query's bucket computed driver-side against
+    the tiny centroid matrix (no extra cluster action), then ONE
+    filtered assignment pass probes only that bucket (rows-only check —
     recall vs exact is data-dependent by construction)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids = (
-        emb.filter(F.col("vec_id") % 50 == 0)
-        .select((F.col("vec_id") / 50).cast("int").alias("centroid_id"), F.col("embedding").alias("cvec"))
-    )
-    bucketed = assign_buckets(emb, centroids)
-    q = _query_vector(spark, sf_dir, query_id)
-    qbucket = (
-        bucketed.filter(F.col("vec_id") == query_id).select("bucket").head()[0]
-    )
+    cents = kmeans_centroids(emb, k=n_centroids, iters=3)
+    q, qvals = _query_vector(spark, sf_dir, query_id)
+    cmat = np.array(cents, dtype=np.float64)
+    sims = (cmat @ qvals) / (np.linalg.norm(cmat, axis=1) * np.linalg.norm(qvals))
+    qbucket = int(np.argmax(sims))
+    bucketed = assign_buckets(emb, _centroids_df(spark, cents))
     return (
         bucketed.filter((F.col("bucket") == qbucket) & (F.col("vec_id") != query_id))
         .select("vec_id", "label", F.round(cosine(F.col("embedding"), q), 4).alias("cos_sim"))
@@ -100,177 +195,215 @@ def q36_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ----------------------------------------- exact near-dup, block-distributed
+
+
+def _seq_norms(mat: np.ndarray) -> np.ndarray:
+    """L2 norms with strictly sequential per-dimension accumulation —
+    matches DuckDB's ordered ``list_sum`` bit-for-bit."""
+    acc = np.zeros(mat.shape[0])
+    for k in range(mat.shape[1]):
+        acc += mat[:, k] * mat[:, k]
+    return np.sqrt(acc)
+
+
+def _unpack_block(blk) -> tuple[np.ndarray, np.ndarray]:
+    ids = np.array([e["vec_id"] for e in blk], dtype=np.int64)
+    mat = np.array([list(e["embedding"]) for e in blk], dtype=np.float64)
+    return ids, mat
+
+
+def cosine_neardup_blocked(
+    emb: DataFrame, threshold: float = 0.4, block_size: int = 1024
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold, fully distributed.
+
+    Plan shape (the 100 TB story): pack vectors into contiguous blocks
+    (ONE shuffle on block id; each packed row = block_size × dim
+    doubles, sized to stay well under an Arrow batch), join block
+    PAIRS (n_blocks² tiny rows, each carrying two packed blocks — at
+    cluster scale each block is replicated n_blocks times, total
+    shuffle O(n·n_blocks), tunable via block_size), then each pair's
+    dense product runs vectorized numpy inside Arrow-batched
+    ``mapInPandas``. The driver never holds ANY vector data — this
+    replaces the previous driver-side ``collect`` of the full matrix,
+    which capped the corpus at driver memory.
+
+    Accumulation loops over dimensions in order, matching DuckDB's
+    sequential ``list_sum`` bit-for-bit (oracle-exact).
+    """
+    packed = (
+        emb.select(
+            "vec_id",
+            "embedding",
+            (F.col("vec_id") / block_size).cast("long").alias("bid"),
+        )
+        .groupBy("bid")
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias("blk"))
+    )
+    pairs = (
+        packed.alias("a")
+        .join(packed.alias("b"), F.col("a.bid") <= F.col("b.bid"))
+        .select(F.col("a.blk").alias("blk_a"), F.col("b.blk").alias("blk_b"))
+    )
+
+    def block_product(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_a: list[int] = []
+            out_b: list[int] = []
+            out_c: list[float] = []
+            for blk_a, blk_b in zip(pdf["blk_a"], pdf["blk_b"]):
+                ids_a, mat_a = _unpack_block(blk_a)
+                ids_b, mat_b = _unpack_block(blk_b)
+                d = mat_a.shape[1]
+                dots = np.zeros((len(ids_a), len(ids_b)))
+                for k in range(d):
+                    dots += np.outer(mat_a[:, k], mat_b[:, k])
+                cos = np.round(dots / np.outer(_seq_norms(mat_a), _seq_norms(mat_b)), 4)
+                mask = (ids_a[:, None] < ids_b[None, :]) & (cos >= threshold)
+                ii, jj = np.nonzero(mask)
+                out_a.extend(ids_a[ii])
+                out_b.extend(ids_b[jj])
+                out_c.extend(cos[ii, jj])
+            yield pd.DataFrame(
+                {
+                    "vec_a": pd.Series(out_a, dtype="int64"),
+                    "vec_b": pd.Series(out_b, dtype="int64"),
+                    "cos_sim": pd.Series(out_c, dtype="float64"),
+                }
+            )
+
+    return pairs.mapInPandas(block_product, schema="vec_a long, vec_b long, cos_sim double")
+
+
 def q50_embedding_neardup(spark: SparkSession, sf_dir: str, threshold: float = 0.4) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup tier for modalities
-    where text hashing can't see the duplication).
-
-    All-pairs dense linear algebra is the one place the JVM lambda path
-    loses: a 64-element ``zip_with`` dot evaluated per candidate pair is
-    interpreted per element (measured ~50 s for 2M pairs at sf0.1).
-    Instead: collect the (small) embedding matrix driver-side, ship it
-    into an Arrow-batched ``mapInPandas``, and compute each partition's
-    row-block against the full matrix with vectorized numpy (~1 s).
-    Accumulation loops over dimensions in order, matching DuckDB's
-    sequential ``list_sum`` bit-for-bit. At 100 TB the full matrix no
-    longer fits — swap the block source for LSH buckets
-    (``cosine_neardup_bucketed``); the per-block math is identical.
-    """
-    import numpy as np
-    import pandas as pd
-
+    where text hashing can't see the duplication). Exact, block-
+    distributed — see ``cosine_neardup_blocked`` for the scale story."""
     emb = load_table(spark, sf_dir, "embeddings")
-    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    mat = np.array([list(r["embedding"]) for r in rows], dtype=np.float64)
-    n, d = mat.shape
-    # sequential per-dimension accumulation == duckdb list_sum order
-    norms = np.zeros(n)
-    for k in range(d):
-        norms += mat[:, k] * mat[:, k]
-    norms = np.sqrt(norms)
-
-    def block(batches):
-        for pdf in batches:
-            out_a, out_b, out_c = [], [], []
-            bids = pdf["vec_id"].to_numpy()
-            bemb = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
-            bnorm = np.zeros(len(bids))
-            for k in range(d):
-                bnorm += bemb[:, k] * bemb[:, k]
-            bnorm = np.sqrt(bnorm)
-            dots = np.zeros((len(bids), n))
-            for k in range(d):
-                dots += np.outer(bemb[:, k], mat[:, k])
-            cos = np.round(dots / np.outer(bnorm, norms), 4)
-            for i in range(len(bids)):
-                mask = (ids > bids[i]) & (cos[i] >= threshold)
-                js = np.nonzero(mask)[0]
-                out_a.extend([bids[i]] * len(js))
-                out_b.extend(ids[js])
-                out_c.extend(cos[i][js])
-            yield pd.DataFrame(
-                {"vec_a": pd.Series(out_a, dtype="int64"),
-                 "vec_b": pd.Series(out_b, dtype="int64"),
-                 "cos_sim": pd.Series(out_c, dtype="float64")}
-            )
-
-    return (
-        emb.select("vec_id", "embedding")
-        .mapInPandas(block, schema="vec_a long, vec_b long, cos_sim double")
-        .orderBy("vec_a", "vec_b")
+    return cosine_neardup_blocked(emb.select("vec_id", "embedding"), threshold).orderBy(
+        "vec_a", "vec_b"
     )
 
 
-def hyperplane_buckets(emb: DataFrame, n_planes: int = 8, seed: int = 7) -> DataFrame:
-    """Random-hyperplane LSH for cosine: bucket = sign bits of R
-    projections. Vectors with high cosine land in the same bucket with
-    probability (1 - theta/pi)^R. Planes are generated deterministically
-    driver-side and inlined as literals — no join, no shuffle; the
-    bucket id is the thing to partition/bucket storage by at scale.
-    """
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    dim_row = emb.select(F.size("embedding").alias("d")).head()
-    planes = rng.normal(size=(n_planes, dim_row["d"]))
-    bucket = F.lit(0).cast("long")
-    for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
-        proj = F.aggregate(
-            F.zip_with(F.col("embedding"), lit_plane, lambda x, y: x.cast("double") * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bucket = bucket.bitwiseOR(
-            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    return emb.withColumn("bucket", bucket)
+# ----------------------------------------------------- banded sign-LSH tier
 
 
-def cosine_neardup_bucketed(
-    emb: DataFrame, threshold: float = 0.4, n_planes: int = 8
+def lsh_band_keys(
+    emb: DataFrame, n_bands: int = 40, band_bits: int = 10, seed: int = 7
 ) -> DataFrame:
-    """Scale path for q50: candidate pairs only within an LSH bucket
-    (shuffle on bucket id, each bucket ~n/2^R rows), then the exact
-    cosine verification — same scoring expression as the brute force.
-    Recall is tunable via n_planes / multi-probe; this single-probe
-    variant trades recall for a 2^R candidate reduction.
+    """(vec_id, band, bkey) rows: band = index of a group of
+    ``band_bits`` random hyperplanes, bkey = that band's sign-bit
+    integer. Vectors at angle θ share one band's key with
+    (1-θ/π)^band_bits; OR-ing over bands amplifies recall.
+
+    The projection (n × d·B·r flops) runs as ONE vectorized matmul per
+    Arrow batch — the plane matrix (d × B·r doubles, ~200 KB) ships in
+    the closure; no join, no shuffle for key generation.
     """
-    b = hyperplane_buckets(emb, n_planes=n_planes)
-    normed = b.select(
-        "vec_id", "bucket", "embedding", l2_norm(F.col("embedding")).alias("nrm")
-    )
-    from ssb_coefficient_maker_spark.functions.vectors import dot
+    dim_row = emb.select(F.size("embedding").alias("d")).head()
+    d = dim_row["d"]
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(d, n_bands * band_bits))
+    weights = 1 << np.arange(band_bits, dtype=np.int64)
 
-    lhs = normed.alias("a")
-    rhs = normed.alias("b")
-    cos = F.round(
-        dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm")),
-        4,
-    )
-    return (
-        lhs.join(
-            rhs,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cos_sim"),
-        )
-        .filter(F.col("cos_sim") >= threshold)
-    )
-
-
-def kmeans_fit(emb: DataFrame, k: int = 10, iters: int = 3) -> DataFrame:
-    """Distributed Lloyd iterations for an IVF coarse quantizer.
-
-    Iterative-algorithm shape on Spark: the BIG side (vectors) never
-    leaves the cluster; only the k centroids (k×dim doubles) cross the
-    driver boundary per iteration. Each iteration = one broadcast
-    cross-score + argmax (assign_buckets) and one posexplode + groupBy
-    average for the new means. Deterministic init (lowest vec_ids) —
-    reproducible runs, no RNG state.
-
-    Returns the final assignment: (vec_id, bucket, label, embedding).
-    """
-    centroids = (
-        emb.orderBy("vec_id")
-        .limit(k)
-        .select(
-            (F.row_number().over(W.orderBy("vec_id")) - 1).alias("centroid_id"),
-            F.col("embedding").alias("cvec"),
-        )
-    )
-    assigned = None
-    for _ in range(iters):
-        assigned = assign_buckets(emb, centroids)
-        means = (
-            assigned.select("bucket", F.posexplode("embedding").alias("pos", "val"))
-            .groupBy("bucket", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("m"))
-            .groupBy("bucket")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("cvec")
+    def proj(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
+            bits = (mat @ planes) > 0  # n × (B·r)
+            keys = bits.reshape(len(mat), n_bands, band_bits).astype(np.int64) @ weights
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "keys": [list(row) for row in keys]}
             )
-        )
-        centroids = means.select(F.col("bucket").alias("centroid_id"), "cvec")
-    return assigned
 
-
-def q56_kmeans_ivf(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
-    """Trained-IVF summary: cluster sizes and cohesion after 3 Lloyd
-    iterations (rows-only: iterative + data-dependent)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    assigned = kmeans_fit(emb, k=k, iters=3)
-    return (
-        assigned.groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_vectors"))
-        .orderBy("bucket")
+    keyed = emb.select("vec_id", "embedding").mapInPandas(
+        proj, schema="vec_id long, keys array<long>"
     )
+    return keyed.select("vec_id", F.posexplode("keys").alias("band", "bkey"))
+
+
+def _verify_pairs_exact(emb: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact cosine over candidate pairs only: join both sides'
+    vectors, then vectorized numpy per Arrow batch (sequential
+    per-dimension accumulation — DuckDB ``list_sum`` order)."""
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    joined = cand.join(a, "vec_a").join(b, "vec_b")
+
+    def score(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                yield pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
+                continue
+            ea = np.array([list(e) for e in pdf["ea"]], dtype=np.float64)
+            eb = np.array([list(e) for e in pdf["eb"]], dtype=np.float64)
+            dots = np.zeros(len(pdf))
+            for k in range(ea.shape[1]):
+                dots += ea[:, k] * eb[:, k]
+            cos = np.round(dots / (_seq_norms(ea) * _seq_norms(eb)), 4)
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "vec_a": pdf["vec_a"].to_numpy()[keep],
+                    "vec_b": pdf["vec_b"].to_numpy()[keep],
+                    "cos_sim": cos[keep],
+                }
+            )
+
+    return joined.mapInPandas(score, schema="vec_a long, vec_b long, cos_sim double")
+
+
+def lsh_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.9,
+    n_bands: int = 40,
+    band_bits: int = 10,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-dup pairs via banded sign-LSH + exact verify.
+
+    Candidate generation shuffles on (band, bkey) — bucket sizes
+    ~n/2^band_bits per band; candidates ≈ B/2^r of all pairs for
+    unrelated vectors, while a pair at cos c survives with
+    1-(1-p^r)^B, p = 1-arccos(c)/π. Defaults (r=10, B=40) give
+    ~1-5e-9 recall at cos 0.95 and 3.9% background admit. Use for
+    thresholds ≥ ~0.8; below that, ``cosine_neardup_blocked`` (exact)
+    does strictly less work — see module docstring.
+    """
+    keys = lsh_band_keys(emb, n_bands=n_bands, band_bits=band_bits, seed=seed)
+    cand = (
+        keys.alias("l")
+        .join(
+            keys.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(F.col("l.vec_id").alias("vec_a"), F.col("r.vec_id").alias("vec_b"))
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    return _verify_pairs_exact(emb, cand, threshold)
+
+
+def q57_lsh_neardup(spark: SparkSession, sf_dir: str, threshold: float = 0.9) -> DataFrame:
+    """Banded-LSH near-dup on a corpus with planted duplicates: each
+    base vector (vec_id < 2000 slice, like q32's bounded slice) gets a
+    perturbed copy (dim0 + 0.3 → cos ≈ 0.95..0.97 vs its source), and
+    the LSH tier must recover every (base, planted) pair at cos ≥ 0.9
+    — the regime banded LSH is FOR. Oracle = exact all-pairs SQL over
+    the same derived corpus; with r=10, B=40 the per-pair miss
+    probability is ~5e-9, so the oracle match is deterministic in
+    practice (fixed seed, fixed data)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    planted = base.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) + F.lit(0.3)),
+            F.expr("slice(embedding, 2, size(embedding) - 1)"),
+        ).alias("embedding"),
+    )
+    corpus = base.unionAll(planted)
+    return lsh_neardup_pairs(corpus, threshold=threshold).orderBy("vec_a", "vec_b")

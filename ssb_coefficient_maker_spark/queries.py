@@ -61,11 +61,7 @@ def q24_formula_coeffmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     fe = FormulaEvaluator(
         {"a": a, "b": b}, fill_invalid=True, validation="defer", spark=spark
     )
-    import warnings
-
-    with warnings.catch_warnings():
-        warnings.simplefilter("ignore")
-        res = fe.evaluate_formula("a / (a + b)")
+    res = fe.evaluate_formula("a / (a + b)")
     return res.select(
         ROW_ID,
         F.round("A", 4).alias("A"),
@@ -544,6 +540,31 @@ REGISTRY: dict[str, QuerySpec] = {
         WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
                     / (a.nrm * b.nrm), 4) >= 0.4
+        ORDER BY vec_a, vec_b
+        """,
+        "dedup",
+    ),
+    "q57_lsh_neardup": QuerySpec(
+        similarity.q57_lsh_neardup,
+        """
+        WITH b AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings WHERE vec_id < 2000
+        ), corpus AS (
+          SELECT vec_id, e FROM b
+          UNION ALL
+          SELECT vec_id + 1000000 AS vec_id, list_concat([e[1] + 0.3], e[2:]) AS e FROM b
+        ), n AS (
+          SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM corpus
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round(list_sum(list_transform(list_zip(a.e, b.e),
+                     p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                     / (a.nrm * b.nrm), 4) AS cos_sim
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE round(list_sum(list_transform(list_zip(a.e, b.e),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                    / (a.nrm * b.nrm), 4) >= 0.9
         ORDER BY vec_a, vec_b
         """,
         "dedup",

@@ -126,12 +126,15 @@ def validate(
     if status.n_invalid == 0:
         return df, 0
     if fill:
-        warnings.warn(
-            f"Filled {status.n_invalid} invalid value(s) with 0 in result of "
-            f"formula '{formula_str}'",
-            UserWarning,
-            stacklevel=2,
-        )
+        # fill_invalid=True is the intended mode (e.g. diagonal-matrix
+        # division) — the reference only prints the fill count under
+        # verbose (coeff_maker.py:104-112), it does not warn. Warning
+        # unconditionally would spam every normal evaluation.
+        if verbose:
+            print(
+                f"Filled {status.n_invalid} invalid value(s) with 0 in "
+                f"result of formula '{formula_str}'"
+            )
         return fill_invalid(df, value_cols), status.n_invalid
     if status.all_invalid:
         if mixed_operands:

@@ -130,10 +130,7 @@ def test_adp_fill_invalid(spark):
         {"a": a, "i": i}, adp_enabled=True, decimal_precision=30,
         fill_invalid=True, spark=spark,
     )
-    import warnings
-
-    with pytest.warns(UserWarning, match="Filled 1"):
-        res = fe.evaluate_to_pandas("a * i")
+    res = fe.evaluate_to_pandas("a * i")  # no warning: fill is intended mode
     assert res.iloc[0, 1] == 0
     assert res.iloc[1, 1] == 12
 
@@ -146,3 +143,48 @@ def test_adp_partial_invalid_warns(spark):
     fe = FormulaEvaluator({"a": a, "i": i}, adp_enabled=True, spark=spark)
     with pytest.warns(UserWarning, match="invalid"):
         fe.evaluate_formula("a * i")
+
+
+def test_adp_series_only_formula(adp_eval):
+    # Series-only ADP formulas route through _mp_eval, not the numeric
+    # path (which would operate on the string carrier): 'u + v' must be
+    # high-precision addition, not string concatenation.
+    u = pd.Series([1.5, 2.0])
+    v = pd.Series([2.0, 1e-30])
+    fe = adp_eval({"u": u, "v": v})
+    res = fe.evaluate_formula("u + v")
+    assert isinstance(res, pd.Series)
+    assert res.iloc[0] == mpmath.mpf("3.5")
+    with mpmath.workdps(DPS):
+        assert mpmath.almosteq(
+            res.iloc[1], mpmath.mpf("2") + mpmath.mpf("1e-30"),
+            rel_eps=mpmath.mpf("1e-45"),
+        )
+
+
+def test_adp_series_scalar_and_comparison(adp_eval):
+    u = pd.Series([1.0, 4.0], index=[10, 20])
+    fe = adp_eval({"u": u, "c": 2.0})
+    res = fe.evaluate_formula("u * c")
+    assert list(res.index) == [10, 20]
+    assert [float(x) for x in res] == [2.0, 8.0]
+    cmp_res = fe.evaluate_formula("u > c")
+    assert [float(x) for x in cmp_res] == [0.0, 1.0]
+
+
+def test_adp_series_length_mismatch_raises(adp_eval):
+    from ssb_coefficient_maker_spark.formula.parser import FormulaError
+
+    fe = adp_eval({"u": pd.Series([1.0, 2.0]), "v": pd.Series([1.0, 2.0, 3.0])})
+    with pytest.raises(FormulaError, match="length"):
+        fe.evaluate_formula("u + v")
+
+
+def test_adp_floordiv_mod_zero_division_guarded(adp_eval):
+    # '//' and '%' by zero surface the same guarded ADP diagnostic as '/'
+    a = pd.DataFrame([[1.0]])
+    z = pd.DataFrame([[0.0]])
+    fe = adp_eval({"a": a, "z": z})
+    for op in ("//", "%"):
+        with pytest.raises(Exception, match="ADP division by zero"):
+            fe.evaluate_to_pandas(f"a {op} z")

@@ -44,6 +44,23 @@ def test_caret_is_power():
     assert expr.right == Num(2.0)
 
 
+def test_caret_has_power_precedence():
+    # sympy convert_xor semantics: '2*a^2' == 2*(a**2), NOT (2*a)**2.
+    expr = parse_formula("2*a^2")
+    assert isinstance(expr, BinOp) and expr.op == "*"
+    assert expr.left == Num(2.0)
+    assert isinstance(expr.right, BinOp) and expr.right.op == "**"
+    assert expr.right.left == Var("a") and expr.right.right == Num(2.0)
+
+
+def test_caret_binds_tighter_than_addition():
+    # 'a^2 + b' == (a**2) + b, NOT a**(2+b)
+    expr = parse_formula("a^2 + b")
+    assert isinstance(expr, BinOp) and expr.op == "+"
+    assert isinstance(expr.left, BinOp) and expr.left.op == "**"
+    assert expr.right == Var("b")
+
+
 def test_power_and_unary():
     expr = parse_formula("-a ** 2")
     # Python precedence: -(a**2)

@@ -143,24 +143,33 @@ def test_cli(capsys):
     assert main(["run", "nope"]) == 2
 
 
-def test_cosine_lsh_bucketed_subset_of_bruteforce(spark, sf_dir):
-    from ssb_coefficient_maker_spark.operators.similarity import (
-        cosine_neardup_bucketed,
-        q50_embedding_neardup,
-    )
-    from ssb_coefficient_maker_spark.sources.loaders import load_table
+def test_lsh_neardup_recall_on_planted_dups(spark, sf_dir):
+    """Banded LSH must recover ≥0.9 (in practice all) of noisy planted
+    near-dups at cos≥0.9, and never emit a pair the exact tier
+    wouldn't (identical verification math)."""
+    import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    exact = q50_embedding_neardup(spark, sf_dir, threshold=0.3).toPandas()
-    approx = cosine_neardup_bucketed(emb, threshold=0.3, n_planes=4).toPandas()
+    from ssb_coefficient_maker_spark.operators.similarity import (
+        cosine_neardup_blocked,
+        lsh_neardup_pairs,
+    )
+
+    rng = np.random.default_rng(42)
+    base = rng.normal(size=(200, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    # noise norm² = dim·scale² = 64·0.0016 ≈ 0.10 → cos ≈ 1/√1.10 ≈ 0.95
+    noisy = base + rng.normal(scale=0.04, size=base.shape)
+    rows = [(int(i), [float(x) for x in base[i]]) for i in range(200)] + [
+        (int(i + 1000), [float(x) for x in noisy[i]]) for i in range(200)
+    ]
+    emb = spark.createDataFrame(rows, schema="vec_id long, embedding array<double>")
+    exact = cosine_neardup_blocked(emb, threshold=0.9, block_size=64).toPandas()
+    approx = lsh_neardup_pairs(emb, threshold=0.9).toPandas()
     exact_pairs = set(zip(exact.vec_a, exact.vec_b))
     approx_pairs = set(zip(approx.vec_a, approx.vec_b))
-    # LSH candidates are a SUBSET of the exact result (identical
-    # verification expression), with data-dependent recall
     assert approx_pairs <= exact_pairs
-    if exact_pairs:
-        recall = len(approx_pairs) / len(exact_pairs)
-        assert recall > 0.05  # single-probe, 4 planes: nonzero recall
+    assert len(exact_pairs) >= 150  # the plant worked
+    assert len(approx_pairs) / len(exact_pairs) >= 0.9
 
 
 def test_queries_run_on_vanilla_session(spark, sf_dir):
@@ -192,3 +201,17 @@ def test_kmeans_ivf_deterministic_and_complete(spark, sf_dir):
     m2 = a2.sort_values("vec_id").bucket.tolist()
     assert m1 == m2
     assert a1.bucket.nunique() >= 2
+
+
+def test_minhash_shingle_cache_bounded(spark, sf_dir):
+    """Repeated minhash calls must not accumulate cached shingle
+    tables; release_shingle_cache drops the last one."""
+    from ssb_coefficient_maker_spark.operators import dedup
+
+    docs = dedup.load_table(spark, sf_dir, "documents")
+    for _ in range(2):
+        dedup.minhash_lsh_pairs(docs).count()
+    jsc = spark.sparkContext._jsc.sc()
+    assert jsc.getPersistentRDDs().size() <= 1
+    dedup.release_shingle_cache()
+    assert jsc.getPersistentRDDs().size() == 0

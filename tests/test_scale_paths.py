@@ -82,3 +82,47 @@ def test_mixed_key_types_unify(spark):
     assert res.schema["__row_id__"].dataType.simpleString() == "string"
     got = {r["__row_id__"]: r["v"] for r in res.collect()}
     assert got == {"0": 11.0, "1": 21.0, "2": 31.0}
+
+
+def _broadcast_hint_subtrees(df):
+    """Stringified subtrees under every ResolvedHint node in the
+    analyzed plan (py4j tree walk)."""
+    out = []
+
+    def walk(node):
+        if node.getClass().getSimpleName() == "ResolvedHint":
+            out.append(node.child().toString())
+        kids = node.children()
+        for i in range(kids.size()):
+            walk(kids.apply(i))
+
+    walk(df._jdf.queryExecution().analyzed())
+    return out
+
+
+def test_no_forced_broadcast_of_sf_scaled_tables(spark, sf_dir):
+    """customer/supplier grow with scale factor: a hard broadcast hint
+    on them forces an OOM at 100x where AQE would pick correctly from
+    runtime stats. Only fixed-cardinality dims (nation/region) may
+    carry hints."""
+    from ssb_coefficient_maker_spark.operators import relational
+
+    for q in (
+        relational.q03_top_revenue_orders,
+        relational.q05_regional_revenue,
+        relational.q52_nation_volume,
+        relational.q53_market_share,
+        relational.q55_large_volume_orders,
+    ):
+        for subtree in _broadcast_hint_subtrees(q(spark, sf_dir)):
+            assert "customer" not in subtree and "supplier" not in subtree, (
+                f"{q.__name__} forces broadcast of an SF-scaled table:\n{subtree[:500]}"
+            )
+
+
+def test_fixed_dims_still_hinted(spark, sf_dir):
+    from ssb_coefficient_maker_spark.operators import relational
+
+    hints = _broadcast_hint_subtrees(relational.q05_regional_revenue(spark, sf_dir))
+    assert any("nation" in h for h in hints)
+    assert any("region" in h for h in hints)

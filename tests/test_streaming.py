@@ -120,3 +120,43 @@ def test_foreachbatch_parquet_sink(spark, sf_dir, events_stream, tmp_path):
     back = spark.read.parquet(f"{out}/epoch=*")
     assert back.count() > 0
     assert {"window_start", "event_type", "n", "total_value"} <= set(back.columns)
+
+
+def test_stateful_ttl_evicts_state(spark, sf_dir, events_stream):
+    """With a processing-time TTL, Spark runs continuous cleanup
+    batches (so processAllAvailable would never go idle) and the
+    timed-out branch removes per-user state. Bounded poll: wait until
+    every user has emitted, then until a cleanup batch has fired."""
+    import time
+
+    from ssb_coefficient_maker_spark.streaming.stateful import running_user_totals
+
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    q = (
+        running_user_totals(events_stream, state_ttl_ms=200)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_state_ttl")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            got = spark.sql(
+                "SELECT count(DISTINCT user_id) AS n FROM t_state_ttl"
+            ).head()["n"]
+            if got >= n_users:
+                break
+            time.sleep(1)
+        assert got >= n_users
+        # wait for at least one timeout-cleanup cycle (TTL 200ms)
+        saw_cleanup = False
+        while time.time() < deadline:
+            msg = (q.status or {}).get("message", "")
+            if "cleaning up state" in msg:
+                saw_cleanup = True
+                break
+            time.sleep(0.5)
+        assert saw_cleanup
+    finally:
+        q.stop()

@@ -80,12 +80,17 @@ def test_validate_warns_on_partial(mixed):
     assert count == 3
 
 
-def test_validate_fill_path(mixed):
-    with pytest.warns(UserWarning, match="Filled 3"):
-        df, count = validate(mixed.df, mixed.value_cols, "a + b", fill=True)
+def test_validate_fill_path(mixed, recwarn, capsys):
+    # fill is the intended mode: NO warning (reference prints only
+    # under verbose, coeff_maker.py:104-112)
+    df, count = validate(mixed.df, mixed.value_cols, "a + b", fill=True)
     assert count == 3
+    assert not [w for w in recwarn if issubclass(w.category, UserWarning)]
     status = invalid_status(df, mixed.value_cols)
     assert status.n_invalid == 0
+    # verbose prints the fill count
+    validate(mixed.df, mixed.value_cols, "a + b", fill=True, verbose=True)
+    assert "Filled 3" in capsys.readouterr().out
 
 
 def test_validate_clean_no_warning(all_good, recwarn):
