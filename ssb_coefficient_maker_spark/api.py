@@ -323,6 +323,17 @@ class FormulaEvaluator:
         return matrix_to_pandas(Matrix(df=result, value_cols=self._last_value_cols))
 
 
+class FusedGroup:
+    """One fused-evaluation plan: ``df`` holds ``__row_id__`` plus
+    ``{result}_{col}`` columns for every formula in the group (one scan
+    of each shared input); ``result_cols`` maps result name → its
+    column list."""
+
+    def __init__(self, df: DataFrame, result_cols: dict[str, list[str]]):
+        self.df = df
+        self.result_cols = result_cols
+
+
 class CoefficientCalculator:
     """Batch driver over a coefficient map (reference
     coeff_maker.py:843-1016).
@@ -399,6 +410,75 @@ class CoefficientCalculator:
                 continue
             results[name] = self.evaluator.evaluate_formula(str(formula))
         return results
+
+    def compute_coefficients_fused(
+        self,
+    ) -> tuple[list["FusedGroup"], dict[str, Any]]:
+        """Batch evaluation with shared-operand fusion.
+
+        Map rows are grouped by their frame-operand set; each group
+        compiles to ONE plan (``plans.alignment.compile_formulas_fused``)
+        — one scan of each shared input, all of the group's formulas
+        projected from the same aligned join. The reference's loop
+        (coeff_maker.py:989-1012) re-evaluates shared operands once per
+        formula; at 100 TB fusing N formulas over one operand set
+        divides the input-scan volume by N.
+
+        Returns ``(groups, extras)``: each ``FusedGroup`` carries the
+        fused DataFrame (``__row_id__`` + ``{result}_{col}`` columns)
+        and the result→columns mapping; ``extras`` holds vector/scalar
+        results (driver-cheap, evaluated directly). Skip rules (empty
+        formula, unknown variable, unparseable) match
+        ``compute_coefficients``.
+        """
+        from ssb_coefficient_maker_spark.plans.alignment import (
+            compile_formulas_fused,
+        )
+        from ssb_coefficient_maker_spark.validation import fill_invalid as _fill
+
+        parsed: dict[str, Any] = {}
+        extras: dict[str, Any] = {}
+        by_frames: dict[frozenset, dict[str, Any]] = {}
+        for _, row in self.coefficient_map.iterrows():
+            name = row[self.result_name_col]
+            formula = row[self.formula_name_col]
+            if formula is None or (isinstance(formula, float) and np.isnan(formula)):
+                continue
+            if not str(formula).strip():
+                continue
+            try:
+                expr = self.evaluator.parse_formula(str(formula))
+            except Exception as exc:
+                if self.verbose:
+                    print(f"[skip] {name}: unparseable formula {formula!r}: {exc}")
+                continue
+            variables = self.evaluator.extract_variables(expr)
+            unknown = [v for v in variables if v not in self.evaluator.datasets]
+            if unknown:
+                if self.verbose:
+                    print(f"[skip] {name}: missing variable(s) {unknown}")
+                continue
+            frame_names = frozenset(
+                v
+                for v in variables
+                if isinstance(self.evaluator.datasets[v], Matrix)
+            )
+            if not frame_names:
+                # vector/scalar-only: driver-resident operands, no scan
+                # to share — evaluate directly
+                extras[name] = self.evaluator.evaluate_formula(str(formula))
+                continue
+            parsed[name] = expr
+            by_frames.setdefault(frame_names, {})[name] = expr
+
+        groups: list[FusedGroup] = []
+        for _frames, exprs in by_frames.items():
+            df, result_cols = compile_formulas_fused(exprs, self.evaluator.datasets)
+            if self.evaluator.fill_invalid:
+                all_cols = [c for cols in result_cols.values() for c in cols]
+                df = _fill(df, all_cols)
+            groups.append(FusedGroup(df=df, result_cols=result_cols))
+        return groups, extras
 
     def compute_coefficients_to_pandas(self) -> dict[str, Any]:
         out = {}

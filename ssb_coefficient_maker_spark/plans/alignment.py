@@ -163,6 +163,102 @@ def compile_formula(
     return CompiledFormula(joined.select(projections), out_cols)
 
 
+def compile_formulas_fused(
+    exprs: dict[str, FormulaExpr],
+    datasets: dict[str, Matrix | Vector | float],
+) -> tuple[DataFrame, dict[str, list[str]]]:
+    """Compile SEVERAL formulas over one shared operand set into ONE
+    plan: a single aligned join of the union of frame operands, then
+    one projection per (formula × column).
+
+    The reference's batch workload (coeff_maker.py:989-1012) loops N
+    formulas over one ``data_dict``; evaluated independently, each
+    formula re-scans (and re-pivots/re-aggregates) every shared input
+    N times. Fused, each input is scanned ONCE: same chained
+    full-outer join on ``__row_id__`` as ``compile_formula``, with all
+    N formulas' arithmetic landing in one whole-stage-codegen'd
+    ``Project`` on top.
+
+    Every formula must use the same FRAME-operand set (that is what
+    makes the row universe — the outer-join key space — identical, so
+    per-formula row semantics are exactly the unfused ones). Vector
+    and scalar operands may differ freely; they compile to literals.
+    Raises ``FormulaError`` if the frame sets differ — the caller
+    (``CoefficientCalculator.compute_coefficients_fused``) groups by
+    frame set before calling.
+
+    Returns ``(df, result_cols)``: ``df`` has ``__row_id__`` plus
+    columns named ``{result}_{col}``; ``result_cols`` maps each result
+    name to its column list.
+    """
+    if not exprs:
+        raise FormulaError("compile_formulas_fused: no formulas given")
+    per_formula: dict[str, tuple[dict, dict, dict]] = {}
+    frame_sets = set()
+    for rname, expr in exprs.items():
+        names = extract_variables(expr)
+        missing = [n for n in names if n not in datasets]
+        if missing:
+            raise KeyError(f"formula {rname!r} references unknown dataset(s): {missing}")
+        frames = {n: datasets[n] for n in names if isinstance(datasets[n], Matrix)}
+        vectors = {n: datasets[n] for n in names if isinstance(datasets[n], Vector)}
+        scalars = {
+            n: float(datasets[n]) for n in names if isinstance(datasets[n], (int, float))
+        }
+        if not frames:
+            raise FormulaError(
+                f"formula {rname!r} has no frame operand; evaluate vector/"
+                f"scalar formulas directly (driver-side) instead of fusing"
+            )
+        per_formula[rname] = (frames, vectors, scalars)
+        frame_sets.add(frozenset(frames))
+    if len(frame_sets) > 1:
+        raise FormulaError(
+            f"fused formulas must share one frame-operand set (the row "
+            f"universe of the aligned join); got {sorted(map(sorted, frame_sets))}"
+        )
+
+    frames = per_formula[next(iter(per_formula))][0]
+    out_cols: list[str] = []
+    for m in frames.values():
+        for c in m.value_cols:
+            if c not in out_cols:
+                out_cols.append(c)
+
+    joined = _aligned_join(frames)
+    projections = [F.col(ROW_ID)]
+    result_cols: dict[str, list[str]] = {}
+    for rname, (fr, vectors, scalars) in per_formula.items():
+        for vname, vec in vectors.items():
+            if vec.size != len(out_cols):
+                raise FormulaError(
+                    f"vector {vname!r} has length {vec.size} but the frame "
+                    f"operands have {len(out_cols)} columns"
+                )
+
+        def col_ref(var: str, pos: int, vectors=vectors, scalars=scalars) -> Column:
+            entry = frames.get(var)
+            if entry is not None:
+                cname = f"{var}__{out_cols[pos]}"
+                if out_cols[pos] in entry.value_cols:
+                    return F.coalesce(F.col(cname), NAN())
+                return NAN()
+            vec = vectors.get(var)
+            if vec is not None:
+                return F.lit(float(vec.values[pos]))
+            return F.lit(scalars[var])
+
+        cols: list[str] = []
+        expr = exprs[rname]
+        for pos, out_c in enumerate(out_cols):
+            col = _to_column(expr, lambda v: col_ref(v, pos))
+            alias = f"{rname}_{out_c}"
+            projections.append(col.cast("double").alias(alias))
+            cols.append(alias)
+        result_cols[rname] = cols
+    return joined.select(projections), result_cols
+
+
 def _aligned_join(frames: dict[str, Matrix]) -> DataFrame:
     """Chained full-outer join of all frame operands on ROW_ID.
 

@@ -89,6 +89,73 @@ FROM piv ORDER BY __row_id__
 """
 
 
+def q58_fused_coeffmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-formula fusion: three coefficient formulas over the SAME
+    two pivoted operands compile to ONE plan — each pivot (and so the
+    lineitem scan under it) appears exactly once, with all nine result
+    columns projected from one aligned join (the reference's batch
+    loop, coeff_maker.py:989-1012, would re-pivot per formula). Plan
+    asserted in tests/test_coefficient_calculator.py."""
+    from ssb_coefficient_maker_spark.api import CoefficientCalculator
+    from ssb_coefficient_maker_spark.session import ROW_ID
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = (
+        li.groupBy(F.col("l_orderkey").alias(ROW_ID))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_extendedprice"))
+    )
+    b = (
+        li.groupBy(F.col("l_orderkey").alias(ROW_ID))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("l_quantity"))
+    )
+    import pandas as pd
+
+    cmap = pd.DataFrame(
+        {
+            "name": ["share", "flip", "spread"],
+            "formula": ["a / (a + b)", "b / (a + b)", "(a - b) / (a + b)"],
+        }
+    )
+    cc = CoefficientCalculator(
+        {"a": a, "b": b}, cmap, "name", "formula",
+        fill_invalid=True, validation="defer", spark=spark,
+    )
+    groups, _extras = cc.compute_coefficients_fused()
+    (g,) = groups
+    fused = g.df
+    rounded = [F.col(ROW_ID)] + [
+        F.round(c, 4).alias(c) for cols in sorted(g.result_cols.values()) for c in cols
+    ]
+    return fused.select(rounded).orderBy(ROW_ID)
+
+
+_Q58_ORACLE = """
+WITH piv AS (
+  SELECT l_orderkey AS __row_id__,
+         sum(CASE WHEN l_returnflag='A' THEN l_extendedprice END) AS a_A,
+         sum(CASE WHEN l_returnflag='N' THEN l_extendedprice END) AS a_N,
+         sum(CASE WHEN l_returnflag='R' THEN l_extendedprice END) AS a_R,
+         sum(CASE WHEN l_returnflag='A' THEN l_quantity END) AS b_A,
+         sum(CASE WHEN l_returnflag='N' THEN l_quantity END) AS b_N,
+         sum(CASE WHEN l_returnflag='R' THEN l_quantity END) AS b_R
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT __row_id__,
+       round(coalesce(a_A / (a_A + b_A), 0), 4) AS share_A,
+       round(coalesce(a_N / (a_N + b_N), 0), 4) AS share_N,
+       round(coalesce(a_R / (a_R + b_R), 0), 4) AS share_R,
+       round(coalesce(b_A / (a_A + b_A), 0), 4) AS flip_A,
+       round(coalesce(b_N / (a_N + b_N), 0), 4) AS flip_N,
+       round(coalesce(b_R / (a_R + b_R), 0), 4) AS flip_R,
+       round(coalesce((a_A - b_A) / (a_A + b_A), 0), 4) AS spread_A,
+       round(coalesce((a_N - b_N) / (a_N + b_N), 0), 4) AS spread_N,
+       round(coalesce((a_R - b_R) / (a_R + b_R), 0), 4) AS spread_R
+FROM piv ORDER BY __row_id__
+"""
+
+
 def q38_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase event picks up the latest click at or
     before it for the same user (union+window construction)."""
@@ -383,6 +450,7 @@ REGISTRY: dict[str, QuerySpec] = {
         "scalar_fn",
     ),
     "q24_formula_coeffmap": QuerySpec(q24_formula_coeffmap, _Q24_ORACLE, "formula"),
+    "q58_fused_coeffmap": QuerySpec(q58_fused_coeffmap, _Q58_ORACLE, "formula"),
     "q25_text_stats": QuerySpec(
         text.q25_text_stats,
         """

@@ -181,3 +181,68 @@ def test_spark_native_batch_over_lineitem(spark, sf_dir):
     }
     for e in expected:
         assert abs(got[e["l_orderkey"]] - e["up_A"]) < 1e-9
+
+
+def test_fused_matches_unfused(spark):
+    import numpy as np
+
+    a = pd.DataFrame({"x": [1.0, 2.0, 3.0], "y": [4.0, 0.0, 6.0]})
+    b = pd.DataFrame({"x": [2.0, 4.0, 0.0], "y": [1.0, 5.0, 3.0]})
+    cmap = pd.DataFrame(
+        {
+            "name": ["share", "diff_ratio", "prod", "scalar_only"],
+            "formula": ["a / (a + b)", "(a - b) / (a + b)", "a * b", "3 + 4"],
+        }
+    )
+    calc = CoefficientCalculator(
+        {"a": a, "b": b}, cmap, "name", "formula",
+        fill_invalid=True, validation="defer", spark=spark,
+    )
+    groups, extras = calc.compute_coefficients_fused()
+    assert extras == {"scalar_only": 7.0}
+    assert len(groups) == 1  # all three frame formulas share {a, b}
+    g = groups[0]
+    assert set(g.result_cols) == {"share", "diff_ratio", "prod"}
+    fused = g.df.toPandas().sort_values("__row_id__").reset_index(drop=True)
+
+    unfused = calc.compute_coefficients()
+    for rname, cols in g.result_cols.items():
+        ref = (
+            unfused[rname].toPandas().sort_values("__row_id__").reset_index(drop=True)
+        )
+        for col in cols:
+            plain = col[len(rname) + 1 :]
+            np.testing.assert_allclose(
+                fused[col].to_numpy(), ref[plain].to_numpy(), rtol=1e-12,
+                err_msg=f"{rname}.{plain}",
+            )
+
+
+def test_fused_groups_by_frame_set(spark):
+    a = pd.DataFrame({"x": [1.0, 2.0]})
+    b = pd.DataFrame({"x": [3.0, 4.0]})
+    cmap = pd.DataFrame(
+        {
+            "name": ["both", "only_a", "only_b"],
+            "formula": ["a + b", "a * 2", "b - 1"],
+        }
+    )
+    calc = CoefficientCalculator(
+        {"a": a, "b": b}, cmap, "name", "formula", spark=spark, validation="defer"
+    )
+    groups, extras = calc.compute_coefficients_fused()
+    assert not extras
+    assert {frozenset(g.result_cols) for g in groups} == {
+        frozenset({"both"}), frozenset({"only_a"}), frozenset({"only_b"}),
+    }
+
+
+def test_fused_single_scan_plan(spark, sf_dir):
+    """The fused plan must scan each parquet input once: 3 formulas
+    over the same two lineitem pivots -> exactly 2 parquet scans (one
+    per pivot), not 6."""
+    from ssb_coefficient_maker_spark.queries import q58_fused_coeffmap
+
+    df = q58_fused_coeffmap(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("parquet") == 2, plan
