@@ -189,6 +189,165 @@ ORDER BY p.event_id
 """
 
 
+# ------------------------------------------------- storage-layout queries
+
+
+def q59_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned write + PRUNED read: events re-written partitioned
+    by event date (sources/derived.py), then a 5-day slice aggregated.
+    The date filter binds to the directory structure — the scan plans
+    only 5 of 30 partition directories (``PartitionFilters`` in the
+    formatted plan, asserted in tests/test_scale_paths.py) instead of
+    row-filtering the full table. At 100 TB this is the difference
+    between reading 100 TB and reading 16 TB; the reference's
+    period-partitioned ledger batches (reference/README.md:95-133)
+    depend on exactly this layout."""
+    from ssb_coefficient_maker_spark.sources.derived import read_partitioned_events
+
+    ev = read_partitioned_events(spark, sf_dir)
+    return (
+        ev.filter(F.col("event_date").between("2024-01-05", "2024-01-09"))
+        .groupBy("event_date", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("event_date").cast("string").alias("event_date"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("event_date", "event_type")
+    )
+
+
+_Q59_ORACLE = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date, event_type,
+       count(*) AS n, round(sum(value), 4) AS total_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'
+GROUP BY 1, 2 ORDER BY event_date, event_type
+"""
+
+
+def q60_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source scan with an explicit schema (no inferSchema — that
+    reads the input twice): orders round-tripped through CSV
+    (sources/derived.py), filtered and aggregated. Spark's CSV writer
+    emits shortest-roundtrip doubles, so the DuckDB oracle on the
+    original parquet hash-matches."""
+    from ssb_coefficient_maker_spark.sources.derived import (
+        ORDERS_CSV_SCHEMA,
+        orders_csv_path,
+    )
+    from ssb_coefficient_maker_spark.sources.loaders import read_csv
+
+    orders = read_csv(spark, orders_csv_path(spark, sf_dir), ORDERS_CSV_SCHEMA)
+    return (
+        orders.filter(F.col("o_orderstatus") != "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q60_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS sum_price
+FROM orders WHERE o_orderstatus <> 'F'
+GROUP BY 1 ORDER BY o_orderpriority
+"""
+
+
+def q61_json_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source scan with an explicit schema: part
+    round-tripped through JSON (sources/derived.py), aggregated per
+    brand."""
+    from ssb_coefficient_maker_spark.sources.derived import (
+        PART_JSON_SCHEMA,
+        part_json_path,
+    )
+    from ssb_coefficient_maker_spark.sources.loaders import read_json
+
+    part = read_json(spark, part_json_path(spark, sf_dir), PART_JSON_SCHEMA)
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+            F.max("p_size").alias("max_size"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_Q61_ORACLE = """
+SELECT p_brand, count(*) AS n_parts,
+       round(avg(p_retailprice), 4) AS avg_price,
+       max(p_size) AS max_size
+FROM part GROUP BY 1 ORDER BY p_brand
+"""
+
+
+def q62_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (Greenwald-Khanna sketch): mergeable
+    partial aggregates, one shuffle of O(accuracy)-size sketches — the
+    100 TB replacement for q39's exact full-sort percentiles. Accuracy
+    1e6 makes the rank error < 1 row at oracle scale, so the result is
+    exactly DuckDB's ``quantile_disc`` (verified); production would
+    dial accuracy down to trade memory for tolerance."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 1000000)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(p[0], 4).alias("p50"),
+            F.round(p[1], 4).alias("p90"),
+            F.round(p[2], 4).alias("p99"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q62_ORACLE = """
+SELECT l_returnflag,
+       round(quantile_disc(l_extendedprice, 0.5), 4) AS p50,
+       round(quantile_disc(l_extendedprice, 0.9), 4) AS p90,
+       round(quantile_disc(l_extendedprice, 0.99), 4) AS p99
+FROM lineitem GROUP BY 1 ORDER BY l_returnflag
+"""
+
+_q63_counter = [0]
+
+
+def q63_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming through the driver-checked surface: the
+    events table replayed as a file stream, aggregated by the SAME
+    tumbling-window code the streaming tests exercise
+    (streaming/windows.py tumbling_window_agg), driven to completion
+    on the memory sink. Complete output mode emits every window on the
+    finite replay, so the result equals the batch q20 aggregation and
+    shares its oracle. Production: same plan off Kafka, append mode,
+    watermark-bounded state."""
+    from ssb_coefficient_maker_spark.streaming.windows import (
+        run_to_memory,
+        stream_events,
+        tumbling_window_agg,
+    )
+
+    _q63_counter[0] += 1
+    name = f"q63_sink_{_q63_counter[0]}"
+    ev = stream_events(spark, sf_dir)
+    sink = run_to_memory(spark, tumbling_window_agg(ev), name, "complete")
+    return sink.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    ).orderBy("window_start", "event_type")
+
+
 # ------------------------------------------------------------------ registry
 
 STOP_SQL = "['" + "','".join(text.STOPWORDS) + "']"
@@ -451,6 +610,21 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "q24_formula_coeffmap": QuerySpec(q24_formula_coeffmap, _Q24_ORACLE, "formula"),
     "q58_fused_coeffmap": QuerySpec(q58_fused_coeffmap, _Q58_ORACLE, "formula"),
+    "q59_partition_pruning": QuerySpec(q59_partition_pruning, _Q59_ORACLE, "source"),
+    "q60_csv_scan": QuerySpec(q60_csv_scan, _Q60_ORACLE, "source"),
+    "q61_json_scan": QuerySpec(q61_json_scan, _Q61_ORACLE, "source"),
+    "q62_approx_percentile": QuerySpec(q62_approx_percentile, _Q62_ORACLE, "agg"),
+    "q63_streaming_tumbling": QuerySpec(
+        q63_streaming_tumbling,
+        # identical to q20's oracle: full streaming replay in complete
+        # mode equals the batch tumbling aggregation
+        """
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n, round(sum(value), 4) AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+        """,
+        "streaming",
+    ),
     "q25_text_stats": QuerySpec(
         text.q25_text_stats,
         """

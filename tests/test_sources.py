@@ -67,3 +67,60 @@ def test_parquet_sink_partitioned(spark, sf_dir):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [isnotnull(yr" in plan or "yr#" in plan
     assert pruned.count() == orders.filter(F.col("yr") == 1996).count()
+
+
+def test_q59_partition_pruning_plan(spark, sf_dir):
+    """The registered q59 query's scan must prune by the partition
+    column (directory-level skip), not row-filter the full table."""
+    from ssb_coefficient_maker_spark.queries import q59_partition_pruning
+
+    df = q59_partition_pruning(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the date predicate binds as a PartitionFilter on event_date...
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1].split("]")[0]
+    assert "event_date" in pf
+    # ...and only 5 of the 30 daily directories are planned
+    from ssb_coefficient_maker_spark.sources.derived import read_partitioned_events
+
+    ev = read_partitioned_events(spark, sf_dir)
+    sliced = ev.filter(F.col("event_date").between("2024-01-05", "2024-01-09"))
+    n_files = sliced.select(F.input_file_name()).distinct().count()
+    all_files = ev.select(F.input_file_name()).distinct().count()
+    assert n_files < all_files
+    dates = [r[0] for r in sliced.select("event_date").distinct().collect()]
+    assert len(dates) == 5
+
+
+def test_q60_q61_derived_scans(spark, sf_dir):
+    from ssb_coefficient_maker_spark.queries import q60_csv_scan, q61_json_scan
+
+    orders = load_table(spark, sf_dir, "orders")
+    got = {r["o_orderpriority"]: r["n_orders"] for r in q60_csv_scan(spark, sf_dir).collect()}
+    exp = {
+        r["o_orderpriority"]: r["n"]
+        for r in orders.filter(F.col("o_orderstatus") != "F")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == exp
+    part = load_table(spark, sf_dir, "part")
+    assert q61_json_scan(spark, sf_dir).count() == part.select("p_brand").distinct().count()
+
+
+def test_q62_approx_percentile_matches_exact(spark, sf_dir):
+    """At accuracy 1e6 the GK sketch's rank error is <1 row at test
+    scale: result equals the exact discrete percentile."""
+    from ssb_coefficient_maker_spark.queries import q62_approx_percentile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["p"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("percentile_approx(l_extendedprice, 0.5, 2147483647)").alias("p"))
+        .collect()
+    }
+    got = {r["l_returnflag"]: r["p50"] for r in q62_approx_percentile(spark, sf_dir).collect()}
+    for k, v in got.items():
+        assert abs(v - round(exact[k], 4)) < 1e-9

@@ -160,3 +160,14 @@ def test_stateful_ttl_evicts_state(spark, sf_dir, events_stream):
         assert saw_cleanup
     finally:
         q.stop()
+
+
+def test_q63_streaming_equals_batch_q20(spark, sf_dir):
+    """The driver-checked streaming entry: full replay in complete
+    mode equals the batch tumbling aggregation (q20) row for row."""
+    from ssb_coefficient_maker_spark.operators.relational import q20_window_tumbling
+    from ssb_coefficient_maker_spark.queries import q63_streaming_tumbling
+
+    got = q63_streaming_tumbling(spark, sf_dir).collect()
+    exp = q20_window_tumbling(spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
