@@ -72,7 +72,7 @@ def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SHINGLE_CACHE: DataFrame | None = None
+_SHINGLE_CACHE: tuple[int, DataFrame] | None = None
 
 
 def release_shingle_cache() -> None:
@@ -80,8 +80,26 @@ def release_shingle_cache() -> None:
     ``minhash_lsh_pairs`` call (safe to call any time)."""
     global _SHINGLE_CACHE
     if _SHINGLE_CACHE is not None:
-        _SHINGLE_CACHE.unpersist()
+        _SHINGLE_CACHE[1].unpersist(blocking=True)
         _SHINGLE_CACHE = None
+
+
+def _shingle_table(docs: DataFrame) -> DataFrame:
+    """Persisted (doc_id, shingles) table, reused across calls on the
+    SAME input (keyed by the canonicalized plan): the shingle table is
+    the materialized intermediate a 100 TB pipeline writes once and
+    reads from every downstream dedup stage — re-shingling per call
+    would be the expensive mistake. A DIFFERENT input releases the
+    previous cache first, so a long-lived session holds at most one
+    copy."""
+    global _SHINGLE_CACHE
+    key = docs._jdf.queryExecution().analyzed().semanticHash()
+    if _SHINGLE_CACHE is not None and _SHINGLE_CACHE[0] == key:
+        return _SHINGLE_CACHE[1]
+    release_shingle_cache()
+    sh_tbl = docs.select("doc_id", shingles_col(F.col("text")).alias("sh")).persist()
+    _SHINGLE_CACHE = (key, sh_tbl)
+    return sh_tbl
 
 
 def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4) -> DataFrame:
@@ -106,17 +124,12 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4) -> DataFrame:
     """
     # the shingle table feeds three consumers (signature stream and
     # both sides of the verification join) — persist it once instead
-    # of recomputing the shingling 3x; at 100 TB this is the
-    # intermediate you'd write to storage. A long-lived session must
-    # not accumulate one cached copy per call, so the previous call's
-    # cache is released here and `release_shingle_cache()` frees the
-    # last one (caller owns the final unpersist — the returned frame
-    # is lazy, so unpersisting before the caller's action would just
-    # force a 3x recompute).
-    release_shingle_cache()
-    sh_tbl = docs.select("doc_id", shingles_col(F.col("text")).alias("sh")).persist()
-    global _SHINGLE_CACHE
-    _SHINGLE_CACHE = sh_tbl
+    # of recomputing the shingling 3x; repeated calls on the same
+    # input reuse it (see _shingle_table), and `release_shingle_cache`
+    # frees the last copy (caller owns the final unpersist — the
+    # returned frame is lazy, so unpersisting before the caller's
+    # action would just force a 3x recompute).
+    sh_tbl = _shingle_table(docs)
 
     ex = sh_tbl.select("doc_id", F.explode("sh").alias("s")).withColumn(
         "h", F.pmod(F.xxhash64("s"), F.lit(MERSENNE))

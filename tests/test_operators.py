@@ -209,9 +209,12 @@ def test_minhash_shingle_cache_bounded(spark, sf_dir):
     from ssb_coefficient_maker_spark.operators import dedup
 
     docs = dedup.load_table(spark, sf_dir, "documents")
+    jsc = spark.sparkContext._jsc.sc()
+    dedup.release_shingle_cache()
+    before = jsc.getPersistentRDDs().size()
     for _ in range(2):
         dedup.minhash_lsh_pairs(docs).count()
-    jsc = spark.sparkContext._jsc.sc()
-    assert jsc.getPersistentRDDs().size() <= 1
+    # repeated same-input calls share ONE cached shingle table
+    assert jsc.getPersistentRDDs().size() <= before + 1
     dedup.release_shingle_cache()
-    assert jsc.getPersistentRDDs().size() == 0
+    assert jsc.getPersistentRDDs().size() <= before
