@@ -31,6 +31,17 @@ def get_spark(
     master = master or os.environ.get("SPARK_MASTER") or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or int(cpus)
 
+    # The declared surface is ~60 distinct whole-stage-codegen'd plans;
+    # the JVM default 240 MB code cache evicts JIT'd query code under
+    # that load (measured ~9% total-bench slowdown). Must be a JVM
+    # launch flag: in client mode `spark.driver.extraJavaOptions` is
+    # ignored for an in-process driver, so seed SPARK_SUBMIT_OPTS
+    # before the gateway JVM starts (no-op if one is already running).
+    if "ReservedCodeCacheSize" not in os.environ.get("SPARK_SUBMIT_OPTS", ""):
+        os.environ["SPARK_SUBMIT_OPTS"] = (
+            os.environ.get("SPARK_SUBMIT_OPTS", "") + " -XX:ReservedCodeCacheSize=512m"
+        ).strip()
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
