@@ -86,3 +86,71 @@ def running_user_totals(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Same operator on Spark 4's ``transformWithStateInPandas`` —
+    the replacement API for ``applyInPandasWithState`` (typed state
+    handles, timers, multiple state variables per key; backed by the
+    new operator with state-schema evolution support).
+
+    Semantics match ``running_user_totals`` with no TTL: one
+    (count, total) ValueState per user, an update-mode emission per
+    key per micro-batch. Both APIs stay implemented: the old one until
+    its removal, this one as the forward path.
+
+    Runtime requirements (checked here, fail fast with a clear
+    message): the RocksDB state store provider (the only one TWS
+    supports) and the ``protobuf`` package (TWS's Python worker talks
+    to the state server over protobuf — not installed in every
+    environment; the operator is import-gated rather than stubbed).
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        raise ImportError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(its Python worker speaks protobuf to the state server); "
+            "use running_user_totals (applyInPandasWithState) instead"
+        ) from exc
+    spark = events.sparkSession
+    provider = spark.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    if "RocksDB" not in (provider or ""):
+        raise RuntimeError(
+            "transformWithStateInPandas supports only the RocksDB state "
+            "store: set spark.sql.streaming.stateStore.providerClass to "
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider before starting the query"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events_total": [n],
+                    "total_value": [round(total, 4)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

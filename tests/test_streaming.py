@@ -171,3 +171,60 @@ def test_q63_streaming_equals_batch_q20(spark, sf_dir):
     got = q63_streaming_tumbling(spark, sf_dir).collect()
     exp = q20_window_tumbling(spark, sf_dir).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+
+
+def test_transform_with_state_matches_old_api(spark, sf_dir, events_stream):
+    """transformWithStateInPandas running totals == batch groupBy
+    totals after a full replay (same contract as the
+    applyInPandasWithState operator it replaces). Skipped where the
+    protobuf package TWS's worker protocol needs isn't installed."""
+    pytest.importorskip("google.protobuf")
+    from ssb_coefficient_maker_spark.streaming.stateful import running_user_totals_tws
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_to_memory(
+            spark, running_user_totals_tws(events_stream), "t_tws", "update"
+        )
+    finally:
+        if old:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    final = (
+        out.toPandas()
+        .sort_values(["user_id", "n_events_total"])
+        .groupby("user_id")
+        .tail(1)
+        .set_index("user_id")
+    )
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("tv"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(batch)
+    joined = final.join(batch)
+    assert (joined["n_events_total"] == joined["n"]).all()
+    assert (abs(joined["total_value"] - joined["tv"]) < 1e-6).all()
+
+
+def test_tws_gate_without_protobuf(spark, events_stream):
+    """In environments without protobuf the operator must fail fast
+    with an actionable message, not crash the streaming worker."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        pytest.skip("protobuf present; gate inactive")
+    except ImportError:
+        pass
+    from ssb_coefficient_maker_spark.streaming.stateful import running_user_totals_tws
+
+    with pytest.raises(ImportError, match="protobuf"):
+        running_user_totals_tws(events_stream)
