@@ -348,6 +348,68 @@ def q63_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start", "event_type")
 
 
+def q64_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join on BUCKETED storage: orders and lineitem
+    saved bucketed by orderkey into the same bucket count
+    (sources/derived.py), so the SortMergeJoin (forced via the merge
+    hint — the strategy this layout exists for) reads co-located
+    buckets with NO Exchange under the join (asserted in
+    tests/test_sources.py). At 100 TB the avoided shuffle of both
+    fact tables is the dominant cost of the unbucketed plan."""
+    from ssb_coefficient_maker_spark.sources.derived import bucketed_tables
+
+    t_orders, t_lineitem = bucketed_tables(spark, sf_dir)
+    o = spark.table(t_orders)
+    li = spark.table(t_lineitem)
+    return (
+        li.hint("merge")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+        )
+        .orderBy("yr")
+    )
+
+
+_Q64_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, count(*) AS n_items,
+       round(sum(l_extendedprice), 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY yr
+"""
+
+
+def q65_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-granular backfill via DYNAMIC partition overwrite:
+    one day of the date-partitioned events copy is rewritten with
+    corrected values (×2, recomputed idempotently from the source);
+    every other partition's files are physically untouched
+    (sources/derived.py, asserted in tests). The aggregate over the
+    surrounding window shows exactly the corrected day doubled."""
+    from ssb_coefficient_maker_spark.sources.derived import backfilled_events_path
+
+    ev = spark.read.parquet(backfilled_events_path(spark, sf_dir))
+    return (
+        ev.filter(F.col("event_date").between("2024-01-05", "2024-01-09"))
+        .groupBy("event_date")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("event_date").cast("string").alias("event_date"), "n", "total_value")
+        .orderBy("event_date")
+    )
+
+
+_Q65_ORACLE = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date, count(*) AS n,
+       round(sum(value * CASE WHEN CAST(ts AS DATE) = DATE '2024-01-07'
+                              THEN 2.0 ELSE 1.0 END), 4) AS total_value
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-09'
+GROUP BY 1 ORDER BY event_date
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 STOP_SQL = "['" + "','".join(text.STOPWORDS) + "']"
@@ -611,6 +673,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "q24_formula_coeffmap": QuerySpec(q24_formula_coeffmap, _Q24_ORACLE, "formula"),
     "q58_fused_coeffmap": QuerySpec(q58_fused_coeffmap, _Q58_ORACLE, "formula"),
     "q59_partition_pruning": QuerySpec(q59_partition_pruning, _Q59_ORACLE, "source"),
+    "q64_bucketed_join": QuerySpec(q64_bucketed_join, _Q64_ORACLE, "source"),
+    "q65_partition_backfill": QuerySpec(q65_partition_backfill, _Q65_ORACLE, "source"),
     "q60_csv_scan": QuerySpec(q60_csv_scan, _Q60_ORACLE, "source"),
     "q61_json_scan": QuerySpec(q61_json_scan, _Q61_ORACLE, "source"),
     "q62_approx_percentile": QuerySpec(q62_approx_percentile, _Q62_ORACLE, "agg"),

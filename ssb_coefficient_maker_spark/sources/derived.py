@@ -103,3 +103,72 @@ def part_json_path(spark: SparkSession, sf_dir: str) -> str:
 
 def read_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(partitioned_events_path(spark, sf_dir))
+
+
+N_BUCKETS = 8
+BACKFILL_DAY = "2024-01-07"
+BACKFILL_FACTOR = 2.0
+
+
+def backfilled_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """A second date-partitioned events copy with ONE day backfilled
+    via DYNAMIC partition overwrite: the corrected day's rows (value ×
+    BACKFILL_FACTOR, recomputed from the ORIGINAL source — idempotent)
+    replace exactly that partition directory; every other partition's
+    files are untouched (asserted in tests/test_sources.py). This is
+    the partition-granular upsert a 100 TB event store uses for
+    backfills — rewrite one day, not the table. Kept separate from the
+    q59 copy so that query's oracle stays valid."""
+    path = _derived_root(sf_dir, "events_backfill")
+    marker = os.path.join(path, "_BACKFILL_DONE")
+    if not os.path.exists(marker):
+        ev = load_table(spark, sf_dir, "events").withColumn("event_date", F.to_date("ts"))
+        ev.write.mode("overwrite").partitionBy("event_date").parquet(path)
+        corrected = ev.filter(F.col("event_date") == BACKFILL_DAY).withColumn(
+            "value", F.col("value") * BACKFILL_FACTOR
+        )
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            # mode=overwrite + dynamic: only partitions PRESENT in the
+            # written data are replaced — here, exactly one directory
+            corrected.write.mode("overwrite").partitionBy("event_date").parquet(path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        with open(marker, "w") as f:
+            f.write(BACKFILL_DAY)
+    return path
+
+
+def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """orders + lineitem saved as BUCKETED tables (same key, same
+    bucket count) — the storage layout that makes their join
+    shuffle-free: each side's files are already hash-partitioned by
+    ``orderkey`` into N_BUCKETS, so the SortMergeJoin reads co-located
+    buckets with NO Exchange on either side (asserted in
+    tests/test_sources.py). At 100 TB this is THE fact-to-fact join
+    strategy — the shuffle this avoids is the dominant cost of the
+    unbucketed plan. Registered once per (session, sf_dir) in the
+    session catalog as external tables under the derived temp root.
+    """
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    t_orders, t_lineitem = f"orders_bkt_{key}", f"lineitem_bkt_{key}"
+    for tname, src, cols in (
+        (t_orders, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"]),
+        (t_lineitem, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice"]),
+    ):
+        if spark.catalog.tableExists(tname):
+            continue
+        path = _derived_root(sf_dir, tname)
+        bucket_col = cols[0]
+        (
+            load_table(spark, sf_dir, src)
+            .select(*cols)
+            .write.mode("overwrite")
+            .bucketBy(N_BUCKETS, bucket_col)
+            .sortBy(bucket_col)
+            .option("path", path)
+            .format("parquet")
+            .saveAsTable(tname)
+        )
+    return t_orders, t_lineitem
