@@ -112,3 +112,127 @@ def q29_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("content_hash"),
         rolling.alias("rolling_hash"),
     ).orderBy("doc_id")
+
+
+def q66_tfidf_top_terms(spark: SparkSession, sf_dir: str, top_k: int = 3) -> DataFrame:
+    """TF-IDF top terms per document (bounded 200-doc slice so the
+    oracle output stays small; the plan is corpus-size-agnostic).
+
+    Shape at scale: one explode of the token stream, ONE (doc, term)
+    count aggregation, a term-level document-frequency aggregation of
+    that (already tiny), broadcast back, then a per-doc top-k window.
+    All JVM expressions; the only wide shuffles are the two
+    aggregations, both on high-cardinality keys (no skew).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    n_docs = docs.count()
+    ex = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("w"))
+    tf = ex.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tfreq"))
+    doclen = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
+    scored = (
+        tf.join(doclen, "doc_id")
+        .join(F.broadcast(dfreq), "w")
+        .withColumn(
+            "tfidf",
+            F.round(
+                (F.col("tfreq") / F.col("dlen"))
+                * F.log(F.lit(float(n_docs)) / F.col("dfreq")),
+                4,
+            ),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("w"))
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= top_k)
+        .select("doc_id", F.col("rk").alias("rank"), F.col("w").alias("term"), "tfidf")
+        .orderBy("doc_id", "rank")
+    )
+
+
+def q67_doc_chunking(
+    spark: SparkSession, sf_dir: str, chunk: int = 50, stride: int = 40
+) -> DataFrame:
+    """Fixed-size overlapping token chunking (chunk=50, overlap=10) —
+    the standard context-window prep for LLM training. Pure
+    expressions: one ``sequence`` + ``posexplode`` per doc, a
+    ``slice`` per chunk; no shuffle at all until the final sort. Each
+    chunk is verified by content hash, so the oracle checks the exact
+    token spans, not just counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = words_col(F.col("text"))
+    n = F.size(words)
+    n_extra = F.greatest(n - chunk, F.lit(0))
+    last_idx = F.ceil(n_extra.cast("double") / stride).cast("int")
+    chunked = docs.select(
+        "doc_id",
+        words.alias("ws"),
+        F.posexplode(F.sequence(F.lit(0), last_idx)).alias("chunk_idx", "start0"),
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        F.slice("ws", F.col("start0") * stride + 1, chunk).alias("ck"),
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_idx",
+        F.size("ck").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", "ck")).alias("chunk_hash"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def q68_sequence_packing(
+    spark: SparkSession, sf_dir: str, capacity: int = 512
+) -> DataFrame:
+    """Deterministic sequence packing: documents (in doc_id order)
+    are packed into ~capacity-token bins by running token total —
+    ``bin = floor(cum_tokens_before / capacity)``. The contiguous
+    variant every distributed trainer actually uses (true first-fit
+    bin packing is inherently sequential; the running-total rule is
+    order-deterministic and integer-exact across engines).
+
+    The prefix sum is DISTRIBUTED: a naive global-order window would
+    collapse to one partition. Instead: local running totals inside
+    doc_id range groups + a broadcast of the per-group offsets (the
+    classic two-stage prefix sum — the offset table is one row per
+    group, the only single-partition step, and it is tiny). The
+    decomposition is exact, so the simple global-cumsum SQL oracle
+    produces identical bins."""
+    from pyspark.sql import Window
+
+    group = 1000  # docs per prefix-sum group; at 100 TB pick ~rows/partition
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(words_col(F.col("text"))).cast("long").alias("n_tok"),
+        (F.col("doc_id") / group).cast("long").alias("grp"),
+    )
+    local_win = Window.partitionBy("grp").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    grp_totals = toks.groupBy("grp").agg(F.sum("n_tok").alias("grp_tok"))
+    offset_win = Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = grp_totals.withColumn(
+        "grp_offset", F.coalesce(F.sum("grp_tok").over(offset_win), F.lit(0))
+    ).select("grp", "grp_offset")
+    binned = (
+        toks.join(F.broadcast(offsets), "grp")
+        .withColumn(
+            "cum_before",
+            F.col("grp_offset") + F.coalesce(F.sum("n_tok").over(local_win), F.lit(0)),
+        )
+        .withColumn("bin_id", F.floor(F.col("cum_before") / capacity).cast("long"))
+    )
+    return (
+        binned.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("bin_id")
+    )

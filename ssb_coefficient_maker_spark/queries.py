@@ -675,6 +675,76 @@ REGISTRY: dict[str, QuerySpec] = {
     "q59_partition_pruning": QuerySpec(q59_partition_pruning, _Q59_ORACLE, "source"),
     "q64_bucketed_join": QuerySpec(q64_bucketed_join, _Q64_ORACLE, "source"),
     "q65_partition_backfill": QuerySpec(q65_partition_backfill, _Q65_ORACLE, "source"),
+    "q66_tfidf_top_terms": QuerySpec(
+        text.q66_tfidf_top_terms,
+        """
+        WITH docs AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+          FROM documents WHERE doc_id < 200
+        ),
+        ex AS (SELECT doc_id, unnest(ws) AS w FROM docs),
+        tf AS (SELECT doc_id, w, count(*) AS tfreq FROM ex GROUP BY 1, 2),
+        dl AS (SELECT doc_id, count(*) AS dlen FROM ex GROUP BY 1),
+        df AS (SELECT w, count(*) AS dfreq FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM docs),
+        scored AS (
+          SELECT tf.doc_id, tf.w,
+                 round((tf.tfreq * 1.0 / dl.dlen)
+                       * ln((SELECT n_docs FROM n) * 1.0 / df.dfreq), 4) AS tfidf
+          FROM tf JOIN dl USING (doc_id) JOIN df USING (w)
+        )
+        SELECT doc_id, CAST(rk AS INTEGER) AS rank, w AS term, tfidf FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, w ASC) AS rk
+          FROM scored
+        ) WHERE rk <= 3 ORDER BY doc_id, rank
+        """,
+        "text",
+    ),
+    "q67_doc_chunking": QuerySpec(
+        text.q67_doc_chunking,
+        """
+        WITH docs AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+          FROM documents
+        ),
+        idx AS (
+          SELECT doc_id, ws,
+                 unnest(range(0, 1 + CAST(ceil(greatest(len(ws) - 50, 0) / 40.0) AS BIGINT))) AS chunk_idx
+          FROM docs
+        ),
+        chunks AS (
+          SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+                 ws[chunk_idx * 40 + 1 : chunk_idx * 40 + 50] AS ck
+          FROM idx
+        )
+        SELECT doc_id, chunk_idx, CAST(len(ck) AS INTEGER) AS chunk_len,
+               md5(array_to_string(ck, ' ')) AS chunk_hash
+        FROM chunks ORDER BY doc_id, chunk_idx
+        """,
+        "text",
+    ),
+    "q68_sequence_packing": QuerySpec(
+        text.q68_sequence_packing,
+        """
+        WITH toks AS (
+          SELECT doc_id,
+                 CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+          FROM documents
+        ),
+        binned AS (
+          SELECT doc_id, n_tok,
+                 CAST(floor(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     / 512) AS BIGINT) AS bin_id
+          FROM toks
+        )
+        SELECT bin_id, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM binned GROUP BY 1 ORDER BY bin_id
+        """,
+        "text",
+    ),
     "q60_csv_scan": QuerySpec(q60_csv_scan, _Q60_ORACLE, "source"),
     "q61_json_scan": QuerySpec(q61_json_scan, _Q61_ORACLE, "source"),
     "q62_approx_percentile": QuerySpec(q62_approx_percentile, _Q62_ORACLE, "agg"),

@@ -1,0 +1,48 @@
+"""Edge-case tests for the training-pipeline text operators
+(chunking, packing)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+
+def test_chunking_edges(spark, sf_dir):
+    """Every doc yields >=1 chunk; consecutive chunks overlap by 10
+    tokens (stride 40, size 50); short docs yield exactly one chunk."""
+    from ssb_coefficient_maker_spark.operators.text import q67_doc_chunking, words_col
+    from ssb_coefficient_maker_spark.sources.loaders import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = q67_doc_chunking(spark, sf_dir).toPandas()
+    n_docs = docs.count()
+    assert chunks.groupby("doc_id").size().min() >= 1
+    assert chunks["doc_id"].nunique() == n_docs
+    assert (chunks["chunk_len"] <= 50).all() and (chunks["chunk_len"] >= 1).all()
+    # a doc with <=50 tokens must produce exactly one chunk
+    short_ids = {
+        r["doc_id"]
+        for r in docs.select("doc_id", F.size(words_col(F.col("text"))).alias("n"))
+        .filter(F.col("n") <= 50)
+        .collect()
+    }
+    if short_ids:
+        per_doc = chunks.groupby("doc_id").size()
+        assert all(per_doc[d] == 1 for d in short_ids)
+
+
+def test_sequence_packing_conserves_tokens(spark, sf_dir):
+    """Packing must conserve the corpus token count and never let a
+    bin start past the running-total capacity rule (each bin's fill
+    is < capacity + its last doc's length by construction)."""
+    from ssb_coefficient_maker_spark.operators.text import q68_sequence_packing, words_col
+    from ssb_coefficient_maker_spark.sources.loaders import load_table
+
+    bins = q68_sequence_packing(spark, sf_dir).toPandas()
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.select(F.sum(F.size(words_col(F.col("text")))).alias("t")).head()["t"]
+    assert bins["n_tokens"].sum() == total
+    # bin ids are the dense prefix range
+    assert bins["bin_id"].tolist() == sorted(bins["bin_id"].tolist())
+    # doc ranges are contiguous across bins (order-preserving packing)
+    assert (bins["first_doc"].iloc[1:].to_numpy() > bins["last_doc"].iloc[:-1].to_numpy()).all()
