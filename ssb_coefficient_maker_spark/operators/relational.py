@@ -663,3 +663,67 @@ def q55_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+def binned_interval_join(
+    left: DataFrame,
+    ts_col: str,
+    right: DataFrame,
+    start_col: str,
+    end_col: str,
+    bin_seconds: int,
+):
+    """Keyless interval-containment join (ts in [start, end)) as an
+    EQUI-join on time bins — the scale path for range joins with no
+    shared key, which Spark would otherwise plan as a
+    BroadcastNestedLoopJoin (quadratic work, single-broadcast memory).
+
+    Each interval explodes into the bins it covers (constant factor =
+    interval_len / bin_seconds, choose bin_seconds accordingly); each
+    left row computes its ONE bin. The shuffle is a plain hash join on
+    bin id, then the exact containment predicate refines candidates.
+    A (left, right) pair can match in at most one bin — the left row's
+    own — so no dedup pass is needed. Bin arithmetic is in integer
+    microseconds (exact at boundary instants).
+    """
+    bin_us = F.lit(int(bin_seconds) * 1_000_000)
+    lb = left.withColumn("__bin", F.floor(F.unix_micros(F.col(ts_col)) / bin_us))
+    rb = right.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col)) / bin_us),
+                F.floor((F.unix_micros(F.col(end_col)) - 1) / bin_us),
+            )
+        ),
+    )
+    return (
+        lb.join(rb, "__bin")
+        .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))
+        .drop("__bin")
+    )
+
+
+def q69_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events landing in daily 06:00-12:00 maintenance windows,
+    counted per window — a keyless interval join executed as a binned
+    equi-join (``binned_interval_join``; the plan must contain NO
+    BroadcastNestedLoopJoin, asserted in tests/test_scale_paths.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    windows = spark.sql(
+        """
+        SELECT CAST(w_start AS DATE) AS w_day, w_start,
+               w_start + INTERVAL 6 HOURS AS w_end
+        FROM (
+          SELECT explode(sequence(
+            TIMESTAMP '2024-01-01 06:00:00', TIMESTAMP '2024-01-30 06:00:00',
+            INTERVAL 1 DAY)) AS w_start
+        )
+        """
+    )
+    joined = binned_interval_join(ev, "ts", windows, "w_start", "w_end", bin_seconds=3600)
+    return (
+        joined.groupBy(F.col("w_day").cast("string").alias("w_day"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .orderBy("w_day")
+    )

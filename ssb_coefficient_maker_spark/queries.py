@@ -648,6 +648,25 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         "window",
     ),
+    "q69_interval_join": QuerySpec(
+        relational.q69_interval_join,
+        """
+        WITH windows AS (
+          SELECT CAST(w_start AS DATE) AS w_day, w_start,
+                 w_start + INTERVAL 6 HOUR AS w_end
+          FROM (SELECT unnest(generate_series(
+                  TIMESTAMP '2024-01-01 06:00:00',
+                  TIMESTAMP '2024-01-30 06:00:00',
+                  INTERVAL 1 DAY)) AS w_start)
+        )
+        SELECT CAST(w_day AS VARCHAR) AS w_day, count(*) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM events JOIN windows
+          ON ts >= w_start AND ts < w_end
+        GROUP BY 1 ORDER BY w_day
+        """,
+        "join",
+    ),
     "q22_range_join": QuerySpec(
         relational.q22_range_join,
         """

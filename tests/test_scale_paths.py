@@ -126,3 +126,54 @@ def test_fixed_dims_still_hinted(spark, sf_dir):
     hints = _broadcast_hint_subtrees(relational.q05_regional_revenue(spark, sf_dir))
     assert any("nation" in h for h in hints)
     assert any("region" in h for h in hints)
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_plan_battery_pushdown_and_pruning(spark, sf_dir):
+    """q02's filter must reach the parquet scan (PushedFilters) and
+    the scan schema must shrink to the referenced columns."""
+    from ssb_coefficient_maker_spark.queries import REGISTRY
+
+    plan = _executed_plan(REGISTRY["q02_filter_project"].fn(spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [")[1].split("]")[0]
+    assert pushed.strip()  # non-empty: at least one predicate pushed
+    schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "l_comment" not in schema  # untouched wide column pruned
+
+
+def test_plan_battery_no_nested_loop_interval_join(spark, sf_dir):
+    """q69's keyless interval join must run as a binned equi-join,
+    never a BroadcastNestedLoopJoin."""
+    from ssb_coefficient_maker_spark.queries import REGISTRY
+
+    plan = _executed_plan(REGISTRY["q69_interval_join"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_plan_battery_fusion_scan_count(spark, sf_dir):
+    """The fused 3-formula plan must scan lineitem exactly as often as
+    the single-formula plan (2 pivots) — that IS the fusion claim."""
+    from ssb_coefficient_maker_spark.queries import REGISTRY
+
+    single = _executed_plan(REGISTRY["q24_formula_coeffmap"].fn(spark, sf_dir))
+    fused = _executed_plan(REGISTRY["q58_fused_coeffmap"].fn(spark, sf_dir))
+    assert single.count("Scan parquet") == fused.count("Scan parquet") == 2
+
+
+def test_plan_battery_codegen(spark, sf_dir):
+    """The hot aggregation path must run inside whole-stage codegen."""
+    from ssb_coefficient_maker_spark.queries import REGISTRY
+
+    df = REGISTRY["q01_pricing_summary"].fn(spark, sf_dir)
+    df.collect()  # executes THIS QueryExecution: AQE finalizes + codegens
+    plan = _executed_plan(df)
+    assert "isFinalPlan=true" in plan
+    # codegen'd stages print as "*(n) Operator" in the final plan
+    import re
+
+    assert re.search(r"\*\(\d+\) HashAggregate", plan)
