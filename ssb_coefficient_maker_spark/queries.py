@@ -410,6 +410,121 @@ GROUP BY 1 ORDER BY event_date
 """
 
 
+def q70_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join through explicit salting: lineitem has only THREE
+    distinct values of the join key (l_returnflag) — the worst-case
+    skew where every row of a 100 TB fact table lands on 3 reducers.
+    ``salted_join`` spreads each hot key over ``salt`` reducers by
+    hashing the left row and replicating the (tiny, but per the skew
+    contract not broadcast) right side. Result is oracle-identical to
+    the plain join."""
+    from ssb_coefficient_maker_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    rates = spark.createDataFrame(
+        [("A", 0.02), ("N", 0.01), ("R", 0.03)], "l_returnflag string, fee_rate double"
+    )
+    return (
+        salted_join(li, rates, on="l_returnflag", salt=8)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(F.col("l_extendedprice") * F.col("fee_rate")), 4).alias("total_fee"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q70_ORACLE = """
+WITH rates AS (
+  SELECT * FROM (VALUES ('A', 0.02), ('N', 0.01), ('R', 0.03)) AS t(l_returnflag, fee_rate)
+)
+SELECT l.l_returnflag, count(*) AS n_items,
+       round(sum(l.l_extendedprice * r.fee_rate), 4) AS total_fee
+FROM lineitem l JOIN rates r USING (l_returnflag)
+GROUP BY 1 ORDER BY l_returnflag
+"""
+
+
+def q71_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet schema evolution: two batches of the part table written
+    with DIFFERENT schemas (the second adds ``p_size`` — the standard
+    additive evolution of a long-lived dataset), read back as one
+    dataset via ``mergeSchema`` with NULLs where the old batch lacks
+    the column. Per-brand aggregate counts rows from both batches and
+    non-nulls only from the evolved one."""
+    from ssb_coefficient_maker_spark.sources.derived import evolved_part_path
+
+    part = spark.read.option("mergeSchema", "true").parquet(evolved_part_path(spark, sf_dir))
+    return (
+        part.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.count("p_size").alias("n_with_size"),
+            F.round(F.sum("p_retailprice"), 4).alias("total_price"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_Q71_ORACLE = """
+SELECT p_brand, count(*) AS n_parts,
+       count(CASE WHEN p_partkey % 2 = 1 THEN p_size END) AS n_with_size,
+       round(sum(p_retailprice), 4) AS total_price
+FROM part GROUP BY 1 ORDER BY p_brand
+"""
+
+
+def q72_batch_topk(spark: SparkSession, sf_dir: str, k: int = 5, n_queries: int = 5) -> DataFrame:
+    """Batched exact similarity search: a SET of query vectors scored
+    against the corpus in one plan — broadcast the (tiny) query set,
+    one scan of the embeddings, per-query top-k window. The realistic
+    retrieval-evaluation shape (one query at a time wastes a corpus
+    scan per query; batching amortizes it)."""
+    from ssb_coefficient_maker_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = (
+        emb.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        emb.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("qid", "rank", "vec_id", "cos_sim")
+        .orderBy("qid", "rank")
+    )
+
+
+_Q72_ORACLE = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         round(
+           list_sum(list_transform(list_zip(e.embedding, q.qv),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+            * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))),
+         4) AS cos_sim
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.qid
+)
+SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, cos_sim FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5 ORDER BY qid, rank
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 STOP_SQL = "['" + "','".join(text.STOPWORDS) + "']"
@@ -694,6 +809,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "q59_partition_pruning": QuerySpec(q59_partition_pruning, _Q59_ORACLE, "source"),
     "q64_bucketed_join": QuerySpec(q64_bucketed_join, _Q64_ORACLE, "source"),
     "q65_partition_backfill": QuerySpec(q65_partition_backfill, _Q65_ORACLE, "source"),
+    "q70_salted_join": QuerySpec(q70_salted_join, _Q70_ORACLE, "join"),
+    "q71_schema_evolution": QuerySpec(q71_schema_evolution, _Q71_ORACLE, "source"),
+    "q72_batch_topk": QuerySpec(q72_batch_topk, _Q72_ORACLE, "similarity"),
     "q66_tfidf_top_terms": QuerySpec(
         text.q66_tfidf_top_terms,
         """

@@ -105,6 +105,29 @@ def read_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(partitioned_events_path(spark, sf_dir))
 
 
+def evolved_part_path(spark: SparkSession, sf_dir: str) -> str:
+    """part written as two batches with EVOLVED schemas: batch=1
+    (even p_partkey) lacks ``p_size``; batch=2 (odd p_partkey) carries
+    it — the additive schema evolution every long-lived dataset
+    undergoes. Read back with ``mergeSchema=true``."""
+    path = _derived_root(sf_dir, "part_evolved")
+    if not _is_done(os.path.join(path, "batch=2")):
+        part = load_table(spark, sf_dir, "part")
+        (
+            part.filter(F.col("p_partkey") % 2 == 0)
+            .select("p_partkey", "p_brand", "p_retailprice")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "batch=1"))
+        )
+        (
+            part.filter(F.col("p_partkey") % 2 == 1)
+            .select("p_partkey", "p_brand", "p_retailprice", "p_size")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "batch=2"))
+        )
+    return path
+
+
 N_BUCKETS = 8
 BACKFILL_DAY = "2024-01-07"
 BACKFILL_FACTOR = 2.0
