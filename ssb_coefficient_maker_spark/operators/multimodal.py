@@ -110,3 +110,105 @@ def q37_media_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.width").alias("width"),
         F.col("meta.height").alias("height"),
     ).orderBy("media_id")
+
+
+VIDEO_META = T.StructType(
+    [
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("fps", T.IntegerType(), True),
+    ]
+)
+
+
+def synth_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a video table from documents (payload = text bytes,
+    deterministic duration/fps metadata) — schema-faithful stand-in
+    for an encoded-video column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            F.lit("video/fake").alias("mime"),
+            (1000 + F.pmod(F.col("doc_id"), 120) * 500).cast("long").alias("duration_ms"),
+            (24 + F.pmod(F.col("doc_id"), 2) * 6).cast("int").alias("fps"),
+        ).alias("meta"),
+    )
+
+
+def frame_schedule(video: DataFrame, every_seconds: int = 1) -> DataFrame:
+    """One sampled frame per ``every_seconds`` of each video — the
+    schedule is PURE integer expressions over the metadata
+    (``sequence`` + ``posexplode``; no Python, no payload touched, so
+    Catalyst prunes the blob column out of the scan entirely). The
+    frame positions feed the decode stage; at 100 TB you compute the
+    schedule first and decode only scheduled frames."""
+    dur_s = (F.col("meta.duration_ms") - 1) / F.lit(1000 * every_seconds)
+    return video.select(
+        "media_id",
+        F.col("meta.fps").alias("fps"),
+        F.posexplode(F.sequence(F.lit(0), F.floor(dur_s).cast("int"))).alias(
+            "sample_idx", "t_sec"
+        ),
+    ).select(
+        "media_id",
+        "sample_idx",
+        (F.col("t_sec") * every_seconds).alias("t_sec"),
+        (F.col("t_sec") * every_seconds * F.col("fps")).cast("long").alias("frame_idx"),
+    )
+
+
+def frame_decode_stub(video: DataFrame, schedule: DataFrame) -> DataFrame:
+    """STUB decode of scheduled frames: joins the schedule back to the
+    payloads and emits a deterministic fake per-frame checksum inside
+    ``mapInPandas`` — the exact seam where ffmpeg/PyAV frame seeks
+    would slot in (payload pruned from the output immediately)."""
+    joined = schedule.join(video.select("media_id", "payload"), "media_id")
+
+    def run(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            csums = [
+                (int(sum(p[:16])) + int(f)) if p is not None else 0
+                for p, f in zip(pdf["payload"], pdf["frame_idx"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "frame_idx": pdf["frame_idx"].values,
+                    "frame_checksum": csums,
+                }
+            )
+
+    return joined.mapInPandas(
+        run, schema="media_id long, frame_idx long, frame_checksum long"
+    )
+
+
+def resize_dims(width, height, target: int = 224):
+    """Aspect-preserving fit into target×target — pure integer/double
+    expressions (the arithmetic every image-resize stage runs; the
+    pixel work itself belongs in the decode stub)."""
+    w = width.cast("double")
+    h = height.cast("double")
+    scale = F.least(F.lit(float(target)) / w, F.lit(float(target)) / h)
+    return (
+        F.floor(w * scale).cast("int").alias("out_w"),
+        F.floor(h * scale).cast("int").alias("out_h"),
+    )
+
+
+def q74_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-video frame-sampling summary: the 1-fps schedule computed
+    from metadata only (blob column never read — schedule is pure
+    expressions), aggregated per video."""
+    vid = synth_video(spark, sf_dir)
+    sched = frame_schedule(vid, every_seconds=1)
+    return (
+        sched.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.max("frame_idx").alias("last_frame"),
+        )
+        .orderBy("media_id")
+    )

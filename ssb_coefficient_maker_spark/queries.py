@@ -525,6 +525,55 @@ SELECT qid, CAST(rank AS INTEGER) AS rank, vec_id, cos_sim FROM (
 """
 
 
+def q73_adp_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's headline ADP (arbitrary-decimal-precision) mode
+    as a checked row: ``(a + b) - a`` at 40 digits where ``a`` is a
+    26-digit integer (orderkey × 10^20) and ``b`` a 5-digit one —
+    float64 (≈16 significant digits) rounds ``b`` into multiples of
+    ulp(1e26)≈2^37, the ADP path recovers it EXACTLY (mpf arithmetic
+    inside one Arrow-batched ``mapInPandas``; reference
+    coeff_maker.py:647-671, whose own division is broken — ours
+    works). Inputs are driver-ingested pandas, mirroring the
+    reference's data_dict semantics; oracle = DuckDB HUGEINT (int128)
+    arithmetic, integer-exact."""
+    import pandas as pd
+
+    from ssb_coefficient_maker_spark.api import FormulaEvaluator
+    from ssb_coefficient_maker_spark.session import ROW_ID
+
+    rows = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 300)
+        .select("o_orderkey", "o_custkey")
+        .toPandas()
+        .sort_values("o_orderkey")
+    )
+    a = pd.DataFrame(
+        {"v": [int(k) * 10**20 for k in rows["o_orderkey"]]},
+        index=rows["o_orderkey"].tolist(),
+    )
+    b = pd.DataFrame(
+        {"v": [int(c) for c in rows["o_custkey"]]}, index=rows["o_orderkey"].tolist()
+    )
+    fe = FormulaEvaluator(
+        {"a": a, "b": b}, adp_enabled=True, decimal_precision=40, spark=spark
+    )
+    res = fe.evaluate_formula("(a + b) - a")
+    return res.select(
+        F.col(ROW_ID).cast("long").alias("o_orderkey"),
+        F.col("v").cast("double").alias("recovered_b"),
+    ).orderBy("o_orderkey")
+
+
+_Q73_ORACLE = """
+SELECT o_orderkey,
+       CAST((CAST(o_orderkey AS HUGEINT) * 100000000000000000000 + o_custkey)
+            - CAST(o_orderkey AS HUGEINT) * 100000000000000000000 AS DOUBLE)
+         AS recovered_b
+FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 STOP_SQL = "['" + "','".join(text.STOPWORDS) + "']"
@@ -805,6 +854,7 @@ REGISTRY: dict[str, QuerySpec] = {
         "scalar_fn",
     ),
     "q24_formula_coeffmap": QuerySpec(q24_formula_coeffmap, _Q24_ORACLE, "formula"),
+    "q73_adp_precision": QuerySpec(q73_adp_precision, _Q73_ORACLE, "formula"),
     "q58_fused_coeffmap": QuerySpec(q58_fused_coeffmap, _Q58_ORACLE, "formula"),
     "q59_partition_pruning": QuerySpec(q59_partition_pruning, _Q59_ORACLE, "source"),
     "q64_bucketed_join": QuerySpec(q64_bucketed_join, _Q64_ORACLE, "source"),
@@ -1081,6 +1131,26 @@ REGISTRY: dict[str, QuerySpec] = {
         ORDER BY vec_a, vec_b
         """,
         "dedup",
+    ),
+    "q74_frame_sampling": QuerySpec(
+        multimodal.q74_frame_sampling,
+        """
+        WITH vid AS (
+          SELECT doc_id AS media_id,
+                 1000 + (doc_id % 120) * 500 AS duration_ms,
+                 24 + (doc_id % 2) * 6 AS fps
+          FROM documents
+        ),
+        sched AS (
+          SELECT media_id, fps,
+                 unnest(range(0, 1 + CAST(floor((duration_ms - 1) / 1000.0) AS BIGINT))) AS t_sec
+          FROM vid
+        )
+        SELECT media_id, count(*) AS n_frames,
+               CAST(max(t_sec * fps) AS BIGINT) AS last_frame
+        FROM sched GROUP BY 1 ORDER BY media_id
+        """,
+        "multimodal",
     ),
     "q37_media_bytes": QuerySpec(
         multimodal.q37_media_bytes,

@@ -218,3 +218,39 @@ def test_minhash_shingle_cache_bounded(spark, sf_dir):
     assert jsc.getPersistentRDDs().size() <= before + 1
     dedup.release_shingle_cache()
     assert jsc.getPersistentRDDs().size() <= before
+
+
+def test_frame_schedule_prunes_payload_and_decodes(spark, sf_dir):
+    """The frame schedule must plan WITHOUT reading the blob column
+    (metadata-only scan); the stubbed decode then joins payloads back
+    for scheduled frames only."""
+    from ssb_coefficient_maker_spark.operators.multimodal import (
+        frame_decode_stub,
+        frame_schedule,
+        synth_video,
+    )
+
+    vid = synth_video(spark, sf_dir)
+    sched = frame_schedule(vid, every_seconds=1)
+    plan = sched._jdf.queryExecution().executedPlan().toString()
+    schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "text" not in schema  # payload source column pruned from the scan
+    n_videos = vid.count()
+    pdf = sched.groupBy("media_id").count().toPandas()
+    assert len(pdf) == n_videos
+    decoded = frame_decode_stub(vid, sched.limit(50))
+    rows = decoded.collect()
+    assert len(rows) == 50
+    assert all(r["frame_checksum"] >= r["frame_idx"] for r in rows)
+
+
+def test_resize_dims_aspect_preserving(spark):
+    from ssb_coefficient_maker_spark.operators.multimodal import resize_dims
+
+    df = spark.createDataFrame(
+        [(1, 640, 480), (2, 100, 400), (3, 224, 224)], "id int, w int, h int"
+    )
+    out = {r["id"]: (r["out_w"], r["out_h"]) for r in df.select("id", *resize_dims(F.col("w"), F.col("h"))).collect()}
+    assert out[1] == (224, 168)      # landscape: width clamps
+    assert out[2] == (56, 224)       # portrait: height clamps
+    assert out[3] == (224, 224)      # exact fit
