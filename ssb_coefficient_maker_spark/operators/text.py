@@ -236,3 +236,42 @@ def q68_sequence_packing(
         )
         .orderBy("bin_id")
     )
+
+
+def q75_udtf_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 user-defined TABLE function) as the
+    imperative row-expansion seam: run-length encoding of each
+    document's word stream — one input row fans out to one row per
+    run of consecutive equal words. The sequential run-tracking loop
+    is what the UDTF extension point is FOR (expression to express it
+    natively: a lag window + islands sum — exactly the SQL the oracle
+    runs, so the UDTF's semantics are fully checked). Bounded to
+    doc_id < 100 to keep the oracle output small."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id long, seg_idx int, word string, run_len int")
+    class RLE:
+        def eval(self, doc_id: int, text: str):
+            words = text.strip().split()
+            seg = -1
+            prev = None
+            run = 0
+            for w in words:
+                if w != prev:
+                    if prev is not None:
+                        yield doc_id, seg, prev, run
+                    seg += 1
+                    prev = w
+                    run = 1
+                else:
+                    run += 1
+            if prev is not None:
+                yield doc_id, seg, prev, run
+
+    spark.udtf.register("rle_words", RLE)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs.createOrReplaceTempView("docs_for_rle")
+    return spark.sql(
+        "SELECT r.* FROM docs_for_rle, LATERAL rle_words(doc_id, text) r "
+        "ORDER BY doc_id, seg_idx"
+    )

@@ -862,6 +862,34 @@ REGISTRY: dict[str, QuerySpec] = {
     "q70_salted_join": QuerySpec(q70_salted_join, _Q70_ORACLE, "join"),
     "q71_schema_evolution": QuerySpec(q71_schema_evolution, _Q71_ORACLE, "source"),
     "q72_batch_topk": QuerySpec(q72_batch_topk, _Q72_ORACLE, "similarity"),
+    "q75_udtf_rle": QuerySpec(
+        text.q75_udtf_rle,
+        """
+        WITH docs AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+          FROM documents WHERE doc_id < 100
+        ),
+        words AS (
+          SELECT doc_id, ws[i] AS w, i
+          FROM docs, unnest(range(1, len(ws) + 1)) AS t(i)
+        ),
+        flagged AS (
+          SELECT doc_id, w, i,
+                 CASE WHEN lag(w) OVER (PARTITION BY doc_id ORDER BY i) IS DISTINCT FROM w
+                      THEN 1 ELSE 0 END AS is_new
+          FROM words
+        ),
+        runs AS (
+          SELECT doc_id, w, i,
+                 sum(is_new) OVER (PARTITION BY doc_id ORDER BY i) - 1 AS seg_idx
+          FROM flagged
+        )
+        SELECT doc_id, CAST(seg_idx AS INTEGER) AS seg_idx,
+               min(w) AS word, CAST(count(*) AS INTEGER) AS run_len
+        FROM runs GROUP BY doc_id, seg_idx ORDER BY doc_id, seg_idx
+        """,
+        "text",
+    ),
     "q66_tfidf_top_terms": QuerySpec(
         text.q66_tfidf_top_terms,
         """
