@@ -319,6 +319,32 @@ FROM lineitem GROUP BY 1 ORDER BY l_returnflag
 """
 
 _q63_counter = [0]
+_q76_counter = [0]
+
+
+def q76_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming stateful dedup through the driver-checked surface:
+    ``dropDuplicatesWithinWatermark`` on (user_id, event_type) over
+    the full replay — the surviving ROW per key is arrival-order-
+    dependent, but the KEY SET is deterministic and equals the batch
+    distinct (the oracle). State is bounded by the watermark horizon
+    at scale."""
+    from ssb_coefficient_maker_spark.streaming.windows import (
+        run_to_memory,
+        stateful_dedup,
+        stream_events,
+    )
+
+    _q76_counter[0] += 1
+    name = f"q76_sink_{_q76_counter[0]}"
+    ev = stream_events(spark, sf_dir)
+    sink = run_to_memory(spark, stateful_dedup(ev), name, "append")
+    return sink.select("user_id", "event_type").orderBy("user_id", "event_type")
+
+
+_Q76_ORACLE = """
+SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
+"""
 
 
 def q63_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -963,6 +989,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "q60_csv_scan": QuerySpec(q60_csv_scan, _Q60_ORACLE, "source"),
     "q61_json_scan": QuerySpec(q61_json_scan, _Q61_ORACLE, "source"),
     "q62_approx_percentile": QuerySpec(q62_approx_percentile, _Q62_ORACLE, "agg"),
+    "q76_streaming_dedup": QuerySpec(q76_streaming_dedup, _Q76_ORACLE, "streaming"),
     "q63_streaming_tumbling": QuerySpec(
         q63_streaming_tumbling,
         # identical to q20's oracle: full streaming replay in complete

@@ -182,8 +182,23 @@ def test_queries_run_on_vanilla_session(spark, sf_dir):
     vanilla.conf.unset("spark.sql.session.timeZone")
     from ssb_coefficient_maker_spark.queries import REGISTRY
 
-    assert REGISTRY["q20_window_tumbling"].fn(vanilla, sf_dir).count() > 0
-    assert REGISTRY["q38_asof_join"].fn(vanilla, sf_dir).count() > 0
+    # every query group that touches session confs, the catalog, the
+    # state store, UDTF registration, or Arrow must self-provision —
+    # the driver's correctness run uses ITS OWN session
+    for q in (
+        "q20_window_tumbling",
+        "q38_asof_join",
+        "q59_partition_pruning",
+        "q63_streaming_tumbling",
+        "q64_bucketed_join",
+        "q65_partition_backfill",
+        "q71_schema_evolution",
+        "q73_adp_precision",
+        "q74_frame_sampling",
+        "q75_udtf_rle",
+        "q76_streaming_dedup",
+    ):
+        assert REGISTRY[q].fn(vanilla, sf_dir).count() > 0, q
 
 
 def test_kmeans_ivf_deterministic_and_complete(spark, sf_dir):
