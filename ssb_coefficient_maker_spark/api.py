@@ -480,6 +480,45 @@ class CoefficientCalculator:
             groups.append(FusedGroup(df=df, result_cols=result_cols))
         return groups, extras
 
+    def compute_coefficients_fused_to_parquet(self, base_path: str) -> dict[str, Any]:
+        """Batch production path: fused evaluation + parquet sink, ONE
+        write action per operand-sharing GROUP (not per formula).
+
+        The reference's batch loop writes/collects each formula's
+        result separately, re-evaluating shared operands every time
+        (coeff_maker.py:989-1016); here a group of N formulas over the
+        same operands costs one scan of each input and one write.
+        Returns a manifest: result name → {"path", "columns"} (plus
+        driver-evaluated vector/scalar results under "extras").
+        Invalid-count metrics ride each write via ``observe`` — no
+        post-hoc audit scan.
+        """
+        import pyspark.sql.functions as F
+        from pyspark.sql import Observation
+
+        from ssb_coefficient_maker_spark.validation import invalid_cond as _invalid_cond
+
+        groups, extras = self.compute_coefficients_fused()
+        manifest: dict[str, Any] = {"extras": extras}
+        for gi, g in enumerate(groups):
+            path = f"{base_path}/group={gi}"
+            obs = Observation()
+            all_cols = [c for cols in g.result_cols.values() for c in cols]
+            metrics = [F.count(F.lit(1)).alias("rows")] + [
+                F.sum(_invalid_cond(F.col(c)).cast("long")).alias(f"inv_{c}")
+                for c in all_cols
+            ]
+            g.df.observe(obs, *metrics).write.mode("overwrite").parquet(path)
+            got = obs.get
+            for rname, cols in g.result_cols.items():
+                manifest[rname] = {
+                    "path": path,
+                    "columns": cols,
+                    "rows": got["rows"],
+                    "invalid": sum(got[f"inv_{c}"] or 0 for c in cols),
+                }
+        return manifest
+
     def compute_coefficients_to_pandas(self) -> dict[str, Any]:
         out = {}
         for name, value in self.compute_coefficients().items():

@@ -246,3 +246,33 @@ def test_fused_single_scan_plan(spark, sf_dir):
     df = q58_fused_coeffmap(spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert plan.lower().count("parquet") == 2, plan
+
+
+def test_fused_to_parquet_one_write_per_group(spark, tmp_path):
+    import numpy as np
+
+    a = pd.DataFrame({"x": [1.0, 2.0], "y": [3.0, 0.0]})
+    b = pd.DataFrame({"x": [2.0, 0.0], "y": [1.0, 2.0]})
+    cmap = pd.DataFrame(
+        {
+            "name": ["share", "prod", "konst"],
+            "formula": ["a / (a + b)", "a * b", "7"],
+        }
+    )
+    cc = CoefficientCalculator(
+        {"a": a, "b": b}, cmap, "name", "formula",
+        fill_invalid=True, validation="defer", spark=spark,
+    )
+    manifest = cc.compute_coefficients_fused_to_parquet(str(tmp_path / "out"))
+    assert manifest["extras"]["konst"] == 7
+    assert manifest["share"]["path"] == manifest["prod"]["path"]  # one group
+    assert manifest["share"]["rows"] == 2
+    back = spark.read.parquet(manifest["share"]["path"]).toPandas().sort_values("__row_id__")
+    got = back[manifest["share"]["columns"]].to_numpy()
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        exp = (a / (a + b)).fillna(0.0).to_numpy()
+    assert np.allclose(got, exp)
+    assert np.allclose(back[manifest["prod"]["columns"]].to_numpy(), (a * b).to_numpy())
