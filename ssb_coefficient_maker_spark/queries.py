@@ -374,6 +374,37 @@ def q63_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("window_start", "event_type")
 
 
+def q04_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders having at least one line shipped >90
+    days after the order date, counted per priority — an EXISTS
+    correlated subquery executed as a left-semi join whose condition
+    spans both sides (the semi join stops probing an order at its
+    first matching line)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("o_orderkey") == F.col("l_orderkey")) & (
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q04_ORACLE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+)
+GROUP BY 1 ORDER BY o_orderpriority
+"""
+
+
 def q64_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fact-to-fact join on BUCKETED storage: orders and lineitem
     saved bucketed by orderkey into the same bucket count
@@ -838,6 +869,7 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         "window",
     ),
+    "q04_priority_exists": QuerySpec(q04_priority_exists, _Q04_ORACLE, "join"),
     "q69_interval_join": QuerySpec(
         relational.q69_interval_join,
         """
