@@ -45,14 +45,13 @@ def shingles_col(col: Column, k: int = 5) -> Column:
     """k-word shingle HASHES as a distinct array<long>.
 
     Each word is hashed once (xxhash64), then every shingle is a
-    rolling polynomial combine of k consecutive word hashes — pure
-    integer arithmetic, `pmod`-reduced into the Mersenne field at
-    every step (no 64-bit overflow, so the expression is ANSI-safe).
-    Building shingle STRINGS instead (concat_ws over slice, the
-    obvious form) re-materializes ~k words of text per shingle and
-    measured ~4× slower on the 250k-shingle sf0.1 corpus; identical
-    MinHash/Jaccard semantics (a shingle's identity is its hash —
-    64-bit collisions are negligible at any corpus size).
+    rolling xxhash64 combine of k consecutive word hashes — pure
+    integer ops, no overflow (so ANSI-safe). Building shingle STRINGS
+    instead (concat_ws over slice, the obvious form) re-materializes
+    ~k words of text per shingle and measured ~2× slower on the
+    250k-shingle sf0.1 corpus; identical MinHash/Jaccard semantics (a
+    shingle's identity is its hash — 64-bit collisions are negligible
+    at any corpus size).
     """
     words = F.split(normalized_text(col), " ")
     n = F.size(words)
@@ -283,3 +282,85 @@ def q33_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-bit hash function; driver records a rows-only check)."""
     docs = load_table(spark, sf_dir, "documents")
     return simhash_table(docs).orderBy("doc_id")
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Min-label propagation over an undirected edge set: every node
+    ends up labeled with the smallest node id reachable from it — the
+    CLUSTER-RESOLUTION step of a dedup pipeline (pairs say "these two
+    match"; what you keep is one canonical doc per transitive group).
+
+    nodes: (node,) — every participant incl. singletons.
+    edges: (src, dst) — one direction suffices; both are added here.
+
+    Iterative-algorithm hygiene (same contract as k-means): labels are
+    persisted per round, the previous round unpersisted, ONE action
+    per round reads the converged-change count — plan depth constant
+    in rounds, no lineage growth. Convergence in O(cluster diameter)
+    rounds; near-dup clusters are small and dense, so 2-3 rounds in
+    practice (``max_iters`` is the divergence guard).
+    """
+    # materialize the symmetric edge list ONCE — every round reads it;
+    # at 100 TB this is the intermediate you'd write to storage
+    both = (
+        edges.select(F.col("src"), F.col("dst"))
+        .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .persist()
+    )
+    both.count()
+    labels = nodes.select("node", F.col("node").alias("label")).persist()
+    labels.count()
+    try:
+        for _ in range(max_iters):
+            new_labels = (
+                both.join(labels, both.src == labels.node)
+                .select(F.col("dst").alias("node"), "label")
+                .unionAll(labels.select("node", "label"))
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .persist()
+            )
+            # the changed-count action below materializes the persisted
+            # new_labels on first evaluation; the diff joins two tiny
+            # label maps — the edge pipeline never re-evaluates
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+                .filter(F.col("n.label") != F.col("o.label"))
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels
+    finally:
+        both.unpersist()
+        # the returned labels frame stays persisted; caller owns the
+        # final unpersist (it is the cluster map they keep joining)
+
+
+def q77_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs → clusters: the q32 exact-Jaccard near-dup pairs resolved
+    into transitive groups by min-label propagation; each doc maps to
+    its cluster representative (smallest reachable doc_id). Oracle =
+    DuckDB recursive CTE reachability."""
+    pairs = q32_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    nodes = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 500)
+        .select(F.col("doc_id").alias("node"))
+    )
+    labels = connected_components(nodes, pairs)
+    out = labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_rep")
+    ).orderBy("doc_id")
+    # materialize before releasing the label cache the components
+    # loop left behind
+    res = out.localCheckpoint(eager=True)
+    labels.unpersist()
+    return res

@@ -1144,6 +1144,56 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         "dedup",
     ),
+    "q77_dedup_clusters": QuerySpec(
+        dedup.q77_dedup_clusters,
+        """
+        WITH RECURSIVE edges AS (
+          -- the q32 near-dup pairs (exact word-set Jaccard >= 0.5 on
+          -- the 500-doc slice), both directions
+          SELECT doc_a AS src, doc_b AS dst FROM (
+            WITH ws AS (
+              SELECT doc_id, array_distinct(regexp_split_to_array(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+              FROM documents WHERE doc_id < 500
+            ),
+            ex AS (SELECT doc_id, len(w) AS n, unnest(w) AS word FROM ws),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+                     count(*) AS common
+              FROM ex a JOIN ex b ON a.word = b.word AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT doc_a, doc_b FROM pairs
+            WHERE common * 1.0 / (na + nb - common) >= 0.5
+          )
+          UNION ALL
+          SELECT dst, src FROM (
+            WITH ws AS (
+              SELECT doc_id, array_distinct(regexp_split_to_array(
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+              FROM documents WHERE doc_id < 500
+            ),
+            ex AS (SELECT doc_id, len(w) AS n, unnest(w) AS word FROM ws),
+            pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+                     count(*) AS common
+              FROM ex a JOIN ex b ON a.word = b.word AND a.doc_id < b.doc_id
+              GROUP BY 1, 2, 3, 4
+            )
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            WHERE common * 1.0 / (na + nb - common) >= 0.5
+          )
+        ),
+        reach(node, lab) AS (
+          SELECT doc_id, doc_id FROM documents WHERE doc_id < 500
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+        )
+        SELECT node AS doc_id, min(lab) AS cluster_rep
+        FROM reach GROUP BY node ORDER BY doc_id
+        """,
+        "dedup",
+    ),
     "q33_simhash": QuerySpec(dedup.q33_simhash, None, "dedup"),
     "q34_cosine_topk": QuerySpec(
         similarity.q34_cosine_topk,
