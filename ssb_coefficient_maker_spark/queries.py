@@ -631,6 +631,121 @@ FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey
 """
 
 
+def q78_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split — the assignment
+    must be a pure function of the stable document id (reshuffling
+    between runs/engines leaks eval data into training), so the bucket
+    is a Knuth multiplicative hash of doc_id, portable integer
+    arithmetic any engine reproduces bit-for-bit (engine-specific
+    hashes like xxhash64 would be irreproducible outside Spark).
+    Summary: per (lang, split) doc and token counts."""
+    from ssb_coefficient_maker_spark.operators.text import words_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)), F.lit(100)
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        docs.select(
+            "lang",
+            split.alias("split"),
+            F.size(words_col(F.col("text"))).cast("long").alias("n_tok"),
+        )
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .orderBy("lang", "split")
+    )
+
+
+_Q78_ORACLE = """
+WITH d AS (
+  SELECT lang,
+         CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+              WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+              ELSE 'test' END AS split,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT lang, split, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM d GROUP BY 1, 2 ORDER BY lang, split
+"""
+
+
+def q79_lang_centroid_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal pipeline composite: documents joined to their
+    embeddings, a per-language centroid computed in ONE aggregation
+    (dim `avg(element_at)` columns — no posexplode shuffle), broadcast
+    back, and each doc scored by cosine to its language's centroid.
+    The outlier-mining shape of embedding-based quality filtering."""
+    from ssb_coefficient_maker_spark.functions.vectors import cosine
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    joined = docs.join(emb, "doc_id")
+    dim = 64
+    cent = joined.groupBy("lang").agg(
+        *[
+            F.avg(F.element_at("embedding", i + 1)).alias(f"c{i}")
+            for i in range(dim)
+        ]
+    )
+    cent_arr = cent.select(
+        "lang", F.array(*[F.col(f"c{i}") for i in range(dim)]).alias("centroid")
+    )
+    return (
+        joined.join(F.broadcast(cent_arr), "lang")
+        .select(
+            "lang",
+            F.round(cosine(F.col("embedding"), F.col("centroid")), 4).alias("cos_c"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("cos_c"), 4).alias("avg_cos_to_centroid"),
+            F.round(F.min("cos_c"), 4).alias("min_cos_to_centroid"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q79_ORACLE = """
+WITH joined AS (
+  SELECT d.lang, d.doc_id, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS emb
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+),
+byp AS (
+  SELECT lang, doc_id, t.pos, emb[t.pos] AS v
+  FROM joined, unnest(range(1, len(emb) + 1)) AS t(pos)
+),
+cent AS (
+  SELECT lang, pos, avg(v) AS m FROM byp GROUP BY 1, 2
+),
+cent_arr AS (
+  SELECT lang, list(m ORDER BY pos) AS centroid FROM cent GROUP BY 1
+),
+scored AS (
+  SELECT j.lang,
+         round(
+           list_sum(list_transform(list_zip(j.emb, c.centroid),
+                    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(j.emb, x -> x*x)))
+            * sqrt(list_sum(list_transform(c.centroid, x -> x*x)))),
+         4) AS cos_c
+  FROM joined j JOIN cent_arr c USING (lang)
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(cos_c), 4) AS avg_cos_to_centroid,
+       round(min(cos_c), 4) AS min_cos_to_centroid
+FROM scored GROUP BY 1 ORDER BY lang
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 STOP_SQL = "['" + "','".join(text.STOPWORDS) + "']"
@@ -920,6 +1035,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "q70_salted_join": QuerySpec(q70_salted_join, _Q70_ORACLE, "join"),
     "q71_schema_evolution": QuerySpec(q71_schema_evolution, _Q71_ORACLE, "source"),
     "q72_batch_topk": QuerySpec(q72_batch_topk, _Q72_ORACLE, "similarity"),
+    "q78_train_test_split": QuerySpec(q78_train_test_split, _Q78_ORACLE, "text"),
+    "q79_lang_centroid_distance": QuerySpec(
+        q79_lang_centroid_distance, _Q79_ORACLE, "similarity"
+    ),
     "q75_udtf_rle": QuerySpec(
         text.q75_udtf_rle,
         """
