@@ -215,13 +215,13 @@ def q31_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, threshold=0.4)
 
 
-def q32_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q32_ngram_jaccard(spark: SparkSession, sf_dir: str, max_doc_id: int = 500) -> DataFrame:
     """Exact word-set Jaccard pairs ≥ 0.5 via inverted-index join,
     capped to a deterministic 500-doc slice so the oracle stays
     runnable — exact all-pairs Jaccard is inherently quadratic and at
     scale runs ONLY on LSH candidates (q31); this query demonstrates
     and oracle-checks the exact verification tier itself."""
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < max_doc_id)
     wordsets = docs.select(
         "doc_id", F.array_distinct(F.split(normalized_text(F.col("text")), " ")).alias("ws")
     )
@@ -347,12 +347,12 @@ def q77_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     into transitive groups by min-label propagation; each doc maps to
     its cluster representative (smallest reachable doc_id). Oracle =
     DuckDB recursive CTE reachability."""
-    pairs = q32_ngram_jaccard(spark, sf_dir).select(
+    pairs = q32_ngram_jaccard(spark, sf_dir, max_doc_id=250).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     nodes = (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 500)
+        .filter(F.col("doc_id") < 250)
         .select(F.col("doc_id").alias("node"))
     )
     labels = connected_components(nodes, pairs)

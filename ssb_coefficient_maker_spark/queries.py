@@ -1268,12 +1268,12 @@ REGISTRY: dict[str, QuerySpec] = {
         """
         WITH RECURSIVE edges AS (
           -- the q32 near-dup pairs (exact word-set Jaccard >= 0.5 on
-          -- the 500-doc slice), both directions
+          -- the 250-doc slice), both directions
           SELECT doc_a AS src, doc_b AS dst FROM (
             WITH ws AS (
               SELECT doc_id, array_distinct(regexp_split_to_array(
                        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
-              FROM documents WHERE doc_id < 500
+              FROM documents WHERE doc_id < 250
             ),
             ex AS (SELECT doc_id, len(w) AS n, unnest(w) AS word FROM ws),
             pairs AS (
@@ -1290,7 +1290,7 @@ REGISTRY: dict[str, QuerySpec] = {
             WITH ws AS (
               SELECT doc_id, array_distinct(regexp_split_to_array(
                        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
-              FROM documents WHERE doc_id < 500
+              FROM documents WHERE doc_id < 250
             ),
             ex AS (SELECT doc_id, len(w) AS n, unnest(w) AS word FROM ws),
             pairs AS (
@@ -1304,7 +1304,7 @@ REGISTRY: dict[str, QuerySpec] = {
           )
         ),
         reach(node, lab) AS (
-          SELECT doc_id, doc_id FROM documents WHERE doc_id < 500
+          SELECT doc_id, doc_id FROM documents WHERE doc_id < 250
           UNION
           SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
         )
