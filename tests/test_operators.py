@@ -269,3 +269,48 @@ def test_resize_dims_aspect_preserving(spark):
     assert out[1] == (224, 168)      # landscape: width clamps
     assert out[2] == (56, 224)       # portrait: height clamps
     assert out[3] == (224, 224)      # exact fit
+
+
+def test_binned_interval_join_matches_naive(spark):
+    """Property check on random data: the binned equi-join must equal
+    the naive non-equi join exactly, including interval boundaries
+    (start inclusive, end exclusive) and intervals not aligned to the
+    bin grid."""
+    import numpy as np
+
+    from ssb_coefficient_maker_spark.operators.relational import binned_interval_join
+
+    rng = np.random.default_rng(11)
+    base = 1_700_000_000_000_000  # µs epoch
+    events = [
+        (int(i), int(base + int(rng.integers(0, 3_600_000_000))))
+        for i in range(300)
+    ]
+    # windows with ragged, non-grid-aligned edges incl. zero-length
+    wins = []
+    for j in range(40):
+        s = base + int(rng.integers(0, 3_500_000_000))
+        e = s + int(rng.integers(0, 400_000_000))
+        wins.append((int(j), s, e))
+    ev = spark.createDataFrame(events, "eid long, ts_us long").select(
+        "eid", F.timestamp_micros(F.col("ts_us")).alias("ts")
+    )
+    wd = spark.createDataFrame(wins, "wid long, s_us long, e_us long").select(
+        "wid",
+        F.timestamp_micros(F.col("s_us")).alias("w_start"),
+        F.timestamp_micros(F.col("e_us")).alias("w_end"),
+    )
+    got = {
+        (r["eid"], r["wid"])
+        for r in binned_interval_join(ev, "ts", wd, "w_start", "w_end", bin_seconds=60)
+        .select("eid", "wid")
+        .collect()
+    }
+    naive = {
+        (r["eid"], r["wid"])
+        for r in ev.crossJoin(wd)
+        .filter((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .select("eid", "wid")
+        .collect()
+    }
+    assert got == naive and len(naive) > 0
