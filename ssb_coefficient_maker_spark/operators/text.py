@@ -120,9 +120,12 @@ def q66_tfidf_top_terms(spark: SparkSession, sf_dir: str, top_k: int = 3) -> Dat
 
     Shape at scale: one explode of the token stream, ONE (doc, term)
     count aggregation, a term-level document-frequency aggregation of
-    that (already tiny), broadcast back, then a per-doc top-k window.
-    All JVM expressions; the only wide shuffles are the two
-    aggregations, both on high-cardinality keys (no skew).
+    that, joined back on the term, then a per-doc top-k window. All
+    JVM expressions; the only wide shuffles are the two aggregations,
+    both on high-cardinality keys (no skew). The doc-frequency side is
+    NOT hint-broadcast: it is vocabulary-sized, which grows with the
+    corpus — AQE picks broadcast from runtime stats while it fits and
+    falls back to a shuffle join when it doesn't.
     """
     from pyspark.sql import Window
 
@@ -134,7 +137,7 @@ def q66_tfidf_top_terms(spark: SparkSession, sf_dir: str, top_k: int = 3) -> Dat
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("dfreq"))
     scored = (
         tf.join(doclen, "doc_id")
-        .join(F.broadcast(dfreq), "w")
+        .join(dfreq, "w")
         .withColumn(
             "tfidf",
             F.round(
