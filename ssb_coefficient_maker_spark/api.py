@@ -426,17 +426,28 @@ class CoefficientCalculator:
 
         Returns ``(groups, extras)``: each ``FusedGroup`` carries the
         fused DataFrame (``__row_id__`` + ``{result}_{col}`` columns)
-        and the result→columns mapping; ``extras`` holds vector/scalar
-        results (driver-cheap, evaluated directly). Skip rules (empty
-        formula, unknown variable, unparseable) match
-        ``compute_coefficients``.
+        and the result→columns mapping; ``extras`` holds results
+        evaluated through the standard single-formula path instead:
+        vector/scalar-only formulas (driver-cheap) and formulas with
+        non-fusable operands (TripletMatrix wide-form). Raises
+        NotImplementedError under ADP (fusing would silently demote
+        decimal strings to doubles). Skip rules (empty formula,
+        unknown variable, unparseable) match ``compute_coefficients``.
         """
         from ssb_coefficient_maker_spark.plans.alignment import (
             compile_formulas_fused,
         )
         from ssb_coefficient_maker_spark.validation import fill_invalid as _fill
 
-        parsed: dict[str, Any] = {}
+        if self.evaluator.adp_enabled:
+            # ADP matrices carry decimal STRINGS; the fused compiler
+            # emits double arithmetic and would silently destroy the
+            # precision the mode exists for
+            raise NotImplementedError(
+                "compute_coefficients_fused supports standard mode only; "
+                "ADP batches go through compute_coefficients"
+            )
+
         extras: dict[str, Any] = {}
         by_frames: dict[frozenset, dict[str, Any]] = {}
         for _, row in self.coefficient_map.iterrows():
@@ -463,12 +474,17 @@ class CoefficientCalculator:
                 for v in variables
                 if isinstance(self.evaluator.datasets[v], Matrix)
             )
-            if not frame_names:
-                # vector/scalar-only: driver-resident operands, no scan
-                # to share — evaluate directly
+            fusable = frame_names and all(
+                isinstance(self.evaluator.datasets[v], (Matrix, Vector, int, float))
+                for v in variables
+            )
+            if not fusable:
+                # vector/scalar-only formulas (no scan to share) and
+                # formulas touching non-fusable operands (TripletMatrix
+                # wide-form) evaluate through the standard single-
+                # formula path and land in extras
                 extras[name] = self.evaluator.evaluate_formula(str(formula))
                 continue
-            parsed[name] = expr
             by_frames.setdefault(frame_names, {})[name] = expr
 
         groups: list[FusedGroup] = []

@@ -314,6 +314,7 @@ def connected_components(
     labels.count()
     try:
         for _ in range(max_iters):
+            new_labels = None
             new_labels = (
                 both.join(labels, both.src == labels.node)
                 .select(F.col("dst").alias("node"), "label")
@@ -333,13 +334,21 @@ def connected_components(
             )
             labels.unpersist()
             labels = new_labels
+            new_labels = None
             if changed == 0:
                 break
         return labels
+    except BaseException:
+        # don't leak pinned label maps if a mid-round action fails
+        labels.unpersist()
+        if new_labels is not None:
+            new_labels.unpersist()
+        raise
     finally:
         both.unpersist()
-        # the returned labels frame stays persisted; caller owns the
-        # final unpersist (it is the cluster map they keep joining)
+        # on success the returned labels frame stays persisted; caller
+        # owns the final unpersist (it is the cluster map they keep
+        # joining)
 
 
 def q77_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

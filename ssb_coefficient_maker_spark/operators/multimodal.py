@@ -112,15 +112,6 @@ def q37_media_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
-VIDEO_META = T.StructType(
-    [
-        T.StructField("mime", T.StringType(), True),
-        T.StructField("duration_ms", T.LongType(), True),
-        T.StructField("fps", T.IntegerType(), True),
-    ]
-)
-
-
 def synth_video(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive a video table from documents (payload = text bytes,
     deterministic duration/fps metadata) — schema-faithful stand-in

@@ -688,15 +688,18 @@ def binned_interval_join(
     """
     bin_us = F.lit(int(bin_seconds) * 1_000_000)
     lb = left.withColumn("__bin", F.floor(F.unix_micros(F.col(ts_col)) / bin_us))
-    rb = right.withColumn(
-        "__bin",
-        F.explode(
-            F.sequence(
-                F.floor(F.unix_micros(F.col(start_col)) / bin_us),
-                F.floor((F.unix_micros(F.col(end_col)) - 1) / bin_us),
-            )
+    # guard degenerate intervals (end <= start): F.sequence(a, b) with
+    # a > b steps DOWNWARD, so one corrupt inverted row would explode
+    # into an unbounded descending bin list (filtered later, but the
+    # work is real); empty/inverted intervals cost zero bins instead
+    bins = F.when(
+        F.col(end_col) > F.col(start_col),
+        F.sequence(
+            F.floor(F.unix_micros(F.col(start_col)) / bin_us),
+            F.floor((F.unix_micros(F.col(end_col)) - 1) / bin_us),
         ),
-    )
+    ).otherwise(F.array().cast("array<bigint>"))
+    rb = right.withColumn("__bin", F.explode(bins))
     return (
         lb.join(rb, "__bin")
         .filter((F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col)))

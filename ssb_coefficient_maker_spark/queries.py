@@ -1283,7 +1283,7 @@ REGISTRY: dict[str, QuerySpec] = {
               GROUP BY 1, 2, 3, 4
             )
             SELECT doc_a, doc_b FROM pairs
-            WHERE common * 1.0 / (na + nb - common) >= 0.5
+            WHERE round(common * 1.0 / (na + nb - common), 4) >= 0.5
           )
           UNION ALL
           SELECT dst, src FROM (
@@ -1300,7 +1300,7 @@ REGISTRY: dict[str, QuerySpec] = {
               GROUP BY 1, 2, 3, 4
             )
             SELECT doc_a AS src, doc_b AS dst FROM pairs
-            WHERE common * 1.0 / (na + nb - common) >= 0.5
+            WHERE round(common * 1.0 / (na + nb - common), 4) >= 0.5
           )
         ),
         reach(node, lab) AS (

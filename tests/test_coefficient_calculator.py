@@ -276,3 +276,45 @@ def test_fused_to_parquet_one_write_per_group(spark, tmp_path):
         exp = (a / (a + b)).fillna(0.0).to_numpy()
     assert np.allclose(got, exp)
     assert np.allclose(back[manifest["prod"]["columns"]].to_numpy(), (a * b).to_numpy())
+
+
+def test_fused_rejects_adp_mode(spark):
+    a = pd.DataFrame({"x": [1.0, 2.0]})
+    cmap = pd.DataFrame({"name": ["r"], "formula": ["a * 2"]})
+    cc = CoefficientCalculator(
+        {"a": a}, cmap, "name", "formula", adp_enabled=True, spark=spark
+    )
+    import pytest
+
+    with pytest.raises(NotImplementedError, match="ADP"):
+        cc.compute_coefficients_fused()
+
+
+def test_fused_falls_back_for_triplet_operands(spark):
+    """A formula touching a wide (TripletMatrix) operand must not be
+    fused (the fused compiler has no triplet path) — it evaluates via
+    the standard path and lands in extras, matching unfused values."""
+    import numpy as np
+
+    from ssb_coefficient_maker_spark.catalog import WIDE_MATRIX_THRESHOLD
+
+    n_cols = WIDE_MATRIX_THRESHOLD + 1
+    wide_pdf = pd.DataFrame({f"c{i}": [float(i), float(i * 2)] for i in range(n_cols)})
+    wide_pdf.insert(0, "__row_id__", ["0", "1"])
+    wide = spark.createDataFrame(wide_pdf)  # wide SPARK frame → TripletMatrix
+    a = pd.DataFrame({"x": [1.0, 2.0], "y": [3.0, 4.0]})
+    cmap = pd.DataFrame(
+        {"name": ["wide_r", "plain"], "formula": ["t * 2", "a + 1"]}
+    )
+    cc = CoefficientCalculator(
+        {"t": wide, "a": a}, cmap, "name", "formula", validation="defer", spark=spark
+    )
+    groups, extras = cc.compute_coefficients_fused()
+    assert "wide_r" in extras  # not fused, standard path
+    (g,) = groups  # 'plain' fused on its own
+    assert list(g.result_cols) == ["plain"]
+    got = extras["wide_r"]
+    unfused = cc.compute_coefficients()["wide_r"]
+    gp = got.toPandas().sort_values("__row_id__").reset_index(drop=True)
+    up = unfused.toPandas().sort_values("__row_id__").reset_index(drop=True)
+    pd.testing.assert_frame_equal(gp, up)
