@@ -347,6 +347,53 @@ SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type
 """
 
 
+def q80_streaming_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming → storage: the tumbling aggregation written through
+    the idempotent foreachBatch parquet sink (each micro-batch
+    overwrites its own epoch directory — a replayed batch lands
+    idempotently), then read back. The checkpoint persists per sf_dir,
+    so re-runs process zero new data and the sink stays stable; the
+    read-back equals the batch aggregation (q20's oracle)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ssb_coefficient_maker_spark.sources.loaders import _ensure_session_confs
+    from ssb_coefficient_maker_spark.streaming.windows import (
+        stream_events,
+        stream_to_parquet_foreachBatch,
+        tumbling_window_agg,
+    )
+
+    _ensure_session_confs(spark)
+    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_derived", f"q80-{key}")
+    out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
+    q = stream_to_parquet_foreachBatch(
+        spark,
+        tumbling_window_agg(stream_events(spark, sf_dir)),
+        out,
+        ckpt,
+        # complete: every epoch dir holds the FULL aggregate (append
+        # would withhold windows the watermark hasn't closed)
+        output_mode="complete",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    last_epoch = max(
+        int(d.split("=")[1]) for d in os.listdir(out) if d.startswith("epoch=")
+    )
+    back = spark.read.parquet(f"{out}/epoch={last_epoch}")
+    return back.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n",
+        "total_value",
+    ).orderBy("window_start", "event_type")
+
+
 def q63_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming through the driver-checked surface: the
     events table replayed as a file stream, aggregated by the SAME
@@ -1141,6 +1188,17 @@ REGISTRY: dict[str, QuerySpec] = {
     "q61_json_scan": QuerySpec(q61_json_scan, _Q61_ORACLE, "source"),
     "q62_approx_percentile": QuerySpec(q62_approx_percentile, _Q62_ORACLE, "agg"),
     "q76_streaming_dedup": QuerySpec(q76_streaming_dedup, _Q76_ORACLE, "streaming"),
+    "q80_streaming_sink": QuerySpec(
+        q80_streaming_sink,
+        # full replay through the parquet sink equals the batch
+        # tumbling aggregation — q20's oracle
+        """
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type, count(*) AS n, round(sum(value), 4) AS total_value
+        FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+        """,
+        "streaming",
+    ),
     "q63_streaming_tumbling": QuerySpec(
         q63_streaming_tumbling,
         # identical to q20's oracle: full streaming replay in complete

@@ -112,18 +112,28 @@ def run_to_memory(spark: SparkSession, stream_df: DataFrame, name: str, output_m
 
 
 def stream_to_parquet_foreachBatch(
-    spark: SparkSession, stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+    spark: SparkSession,
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
 ):
     """Exactly-once-style parquet sink via foreachBatch: each
     micro-batch overwrites its own epoch subdirectory, so a replayed
     batch (failure/restart) lands idempotently instead of duplicating.
-    Returns the started StreamingQuery (caller stops it)."""
+    Returns the started StreamingQuery (caller stops it).
+
+    ``output_mode``: append (default) emits watermark-closed rows per
+    epoch — read ``epoch=*``; complete emits the full aggregate each
+    epoch — read only the LAST epoch directory.
+    """
 
     def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
 
     return (
-        stream_df.writeStream.foreachBatch(write_batch)
+        stream_df.writeStream.outputMode(output_mode)
+        .foreachBatch(write_batch)
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
