@@ -1390,6 +1390,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "q35_ivf_topk": QuerySpec(similarity.q35_ivf_topk, None, "similarity"),
     "q56_kmeans_ivf": QuerySpec(similarity.q56_kmeans_ivf, None, "similarity"),
+    "q81_pq_topk": QuerySpec(similarity.q81_pq_topk, None, "similarity"),
     "q36_embedding_stats": QuerySpec(
         similarity.q36_embedding_stats,
         """

@@ -314,3 +314,23 @@ def test_binned_interval_join_matches_naive(spark):
         .collect()
     }
     assert got == naive and len(naive) > 0
+
+
+def test_pq_topk_recall_vs_exact(spark, sf_dir):
+    """PQ-ADC + exact re-rank must hit >=0.8 recall@10 vs brute force
+    on real corpus queries, and its scores are exact cosines (the
+    re-rank computes them on the real vectors)."""
+    from ssb_coefficient_maker_spark.operators.similarity import (
+        q34_cosine_topk,
+        q81_pq_topk,
+    )
+
+    recalls = []
+    for qid in (0, 3, 7):
+        pq = q81_pq_topk(spark, sf_dir, query_id=qid).collect()
+        exact = {r["vec_id"]: r["cos_sim"] for r in q34_cosine_topk(spark, sf_dir, query_id=qid).collect()}
+        hit = [r for r in pq if r["vec_id"] in exact]
+        recalls.append(len(hit) / 10)
+        for r in hit:  # scores of true hits are the exact cosines
+            assert abs(r["cos_sim"] - exact[r["vec_id"]]) < 1e-9
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
