@@ -793,6 +793,63 @@ FROM scored GROUP BY 1 ORDER BY lang
 """
 
 
+def q82_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data profiling: null count, distinct count, min/max
+    per column, ALL columns in a single aggregation over one scan
+    (then a constant-size explode into one row per column). The
+    data-quality health check every ingestion pipeline runs; profiling
+    column-by-column would scan the table once per column."""
+    cols = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"null_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            # min/max in NATIVE order, cast to string after — casting
+            # first would compare numerics lexicographically
+            F.min(c).cast("string").alias(f"min_{c}"),
+            F.max(c).cast("string").alias(f"max_{c}"),
+        ]
+    one = orders.agg(*aggs)
+    stacked = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(f"null_{c}").alias("n_null"),
+                        F.col(f"nd_{c}").alias("n_distinct"),
+                        F.col(f"min_{c}").alias("min_val"),
+                        F.col(f"max_{c}").alias("max_val"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    )
+    return stacked.select("p.*").orderBy("column")
+
+
+_Q82_ORACLE = """
+SELECT 'o_orderstatus' AS "column", count(*) FILTER (o_orderstatus IS NULL) AS n_null,
+       count(DISTINCT o_orderstatus) AS n_distinct,
+       CAST(min(o_orderstatus) AS VARCHAR) AS min_val, CAST(max(o_orderstatus) AS VARCHAR) AS max_val
+FROM orders
+UNION ALL
+SELECT 'o_orderpriority', count(*) FILTER (o_orderpriority IS NULL),
+       count(DISTINCT o_orderpriority),
+       CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_custkey', count(*) FILTER (o_custkey IS NULL),
+       count(DISTINCT o_custkey),
+       CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+FROM orders
+ORDER BY "column"
+"""
+
+
 # ------------------------------------------------------------------ registry
 
 STOP_SQL = "['" + "','".join(text.STOPWORDS) + "']"
@@ -1083,6 +1140,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "q71_schema_evolution": QuerySpec(q71_schema_evolution, _Q71_ORACLE, "source"),
     "q72_batch_topk": QuerySpec(q72_batch_topk, _Q72_ORACLE, "similarity"),
     "q78_train_test_split": QuerySpec(q78_train_test_split, _Q78_ORACLE, "text"),
+    "q82_profile": QuerySpec(q82_profile, _Q82_ORACLE, "agg"),
     "q79_lang_centroid_distance": QuerySpec(
         q79_lang_centroid_distance, _Q79_ORACLE, "similarity"
     ),
