@@ -39,3 +39,19 @@ __all__ = [
 ]
 
 __version__ = "0.1.0"
+
+
+def release_caches() -> None:
+    """Unpersist every session-scoped cache the engine maintains
+    (MinHash shingle table, IVF index, PQ index). Safe any time; the
+    next use rebuilds. Long-lived sessions embedding the engine call
+    this between workloads."""
+    from ssb_coefficient_maker_spark.operators.dedup import release_shingle_cache
+    from ssb_coefficient_maker_spark.operators.similarity import (
+        release_ivf_index,
+        release_pq_index,
+    )
+
+    release_shingle_cache()
+    release_ivf_index()
+    release_pq_index()
