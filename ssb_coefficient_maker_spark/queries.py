@@ -793,6 +793,81 @@ FROM scored GROUP BY 1 ORDER BY lang
 """
 
 
+def q83_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full LLM-preprocessing pipeline as ONE lazy plan: quality
+    filter (≥20 words) → exact dedup (normalized-hash keep-first) →
+    overlapping token chunking (50/stride 40) → per-language corpus
+    stats. No intermediate materialization — Catalyst fuses the filter
+    into the scan, the dedup is one hash shuffle, the chunking is a
+    shuffle-free explode, and the final stats are one aggregation.
+    This is the composite a real data team runs nightly; every stage
+    is also covered standalone (q26/q30/q67/q25)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), "\\s+")
+    quality = docs.filter(F.size(words) >= 20).select(
+        "doc_id",
+        "lang",
+        "text",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")).alias("h"),
+    )
+    from pyspark.sql import Window
+
+    keep = (
+        quality.withColumn(
+            "rk", F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk", "h")
+    )
+    ws = F.split(F.trim(F.col("text")), "\\s+")
+    n = F.size(ws)
+    last_idx = F.ceil(F.greatest(n - 50, F.lit(0)).cast("double") / 40).cast("int")
+    chunked = keep.select(
+        "lang",
+        ws.alias("ws"),
+        F.posexplode(F.sequence(F.lit(0), last_idx)).alias("chunk_idx", "start0"),
+    ).select("lang", F.size(F.slice("ws", F.col("start0") * 40 + 1, 50)).alias("clen"))
+    return (
+        chunked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("clen").cast("long").alias("n_chunk_tokens"),
+            F.round(F.avg("clen"), 4).alias("avg_chunk_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q83_ORACLE = """
+WITH quality AS (
+  SELECT doc_id, lang, text,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 20
+),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rk
+    FROM quality
+  ) WHERE rk = 1
+),
+docs AS (
+  SELECT lang, regexp_split_to_array(trim(text), '\\s+') AS ws FROM deduped
+),
+idx AS (
+  SELECT lang, ws,
+         unnest(range(0, 1 + CAST(ceil(greatest(len(ws) - 50, 0) / 40.0) AS BIGINT))) AS i
+  FROM docs
+),
+chunks AS (
+  SELECT lang, len(ws[i * 40 + 1 : i * 40 + 50]) AS clen FROM idx
+)
+SELECT lang, count(*) AS n_chunks, CAST(sum(clen) AS BIGINT) AS n_chunk_tokens,
+       round(avg(clen), 4) AS avg_chunk_len
+FROM chunks GROUP BY 1 ORDER BY lang
+"""
+
+
 def q82_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass data profiling: null count, distinct count, min/max
     per column, ALL columns in a single aggregation over one scan
@@ -1141,6 +1216,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "q72_batch_topk": QuerySpec(q72_batch_topk, _Q72_ORACLE, "similarity"),
     "q78_train_test_split": QuerySpec(q78_train_test_split, _Q78_ORACLE, "text"),
     "q82_profile": QuerySpec(q82_profile, _Q82_ORACLE, "agg"),
+    "q83_llm_pipeline": QuerySpec(q83_llm_pipeline, _Q83_ORACLE, "text"),
     "q79_lang_centroid_distance": QuerySpec(
         q79_lang_centroid_distance, _Q79_ORACLE, "similarity"
     ),
