@@ -793,6 +793,43 @@ FROM scored GROUP BY 1 ORDER BY lang
 """
 
 
+def q84_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: each event's trailing-1-hour activity
+    for the same user — a RANGE frame over event-time microseconds
+    (ROWS frames count rows; RANGE frames bound by VALUE distance,
+    the correct semantics for irregular event streams). One shuffle on
+    user_id, one sort per partition."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-hour_us, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(win).alias("n_last_hour"),
+            F.round(F.sum("value").over(win), 4).alias("value_last_hour"),
+        )
+        .orderBy("event_id")
+    )
+
+
+_Q84_ORACLE = """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_last_hour,
+       round(sum(value) OVER w, 4) AS value_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
 def q83_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full LLM-preprocessing pipeline as ONE lazy plan: quality
     filter (≥20 words) → exact dedup (normalized-hash keep-first) →
@@ -1217,6 +1254,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "q78_train_test_split": QuerySpec(q78_train_test_split, _Q78_ORACLE, "text"),
     "q82_profile": QuerySpec(q82_profile, _Q82_ORACLE, "agg"),
     "q83_llm_pipeline": QuerySpec(q83_llm_pipeline, _Q83_ORACLE, "text"),
+    "q84_rolling_range_window": QuerySpec(
+        q84_rolling_range_window, _Q84_ORACLE, "window"
+    ),
     "q79_lang_centroid_distance": QuerySpec(
         q79_lang_centroid_distance, _Q79_ORACLE, "similarity"
     ),
