@@ -95,15 +95,28 @@ def stateful_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
-def run_to_memory(spark: SparkSession, stream_df: DataFrame, name: str, output_mode: str) -> DataFrame:
-    """Drive a streaming query to completion on a finite source
-    (memory sink + processAllAvailable) and return the sink table."""
-    q = (
-        stream_df.writeStream.outputMode(output_mode)
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+def run_to_memory(
+    spark: SparkSession,
+    stream_df: DataFrame,
+    name: str,
+    output_mode: str,
+    available_now: bool = False,
+) -> DataFrame:
+    """Drive a streaming query to completion on a finite source and
+    return the sink table.
+
+    ``available_now=True`` uses the modern ``Trigger.AvailableNow``:
+    the query processes everything available at start in (possibly
+    rate-limited) batches and then TERMINATES on its own — the shape a
+    scheduled incremental job uses (start, drain, exit; checkpoints
+    carry progress between runs). The default drives an always-on
+    query with ``processAllAvailable`` and stops it explicitly."""
+    writer = stream_df.writeStream.outputMode(output_mode).format("memory").queryName(name)
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return spark.sql(f"SELECT * FROM {name}")
+    q = writer.start()
     try:
         q.processAllAvailable()
     finally:

@@ -228,3 +228,23 @@ def test_tws_gate_without_protobuf(spark, events_stream):
 
     with pytest.raises(ImportError, match="protobuf"):
         running_user_totals_tws(events_stream)
+
+
+def test_available_now_trigger_equals_batch(spark, sf_dir, events_stream):
+    """Trigger.AvailableNow: the query drains the source and
+    terminates on its own; complete-mode result equals the batch
+    aggregation."""
+    got = (
+        run_to_memory(
+            spark, tumbling_window_agg(events_stream), "t_avnow", "complete",
+            available_now=True,
+        )
+        .select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+        .orderBy("window_start", "event_type")
+        .collect()
+    )
+    exp = q20_window_tumbling(spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]
