@@ -793,6 +793,46 @@ FROM scored GROUP BY 1 ORDER BY lang
 """
 
 
+def q85_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per-user event-type→value maps built with
+    ``map_from_entries`` (pre-aggregated, sorted entries — duplicate
+    keys never reach the map), then interrogated with map ops
+    (``map_keys``, ``element_at``, ``map_contains_key``). The oracle
+    computes the same answers relationally, validating the map
+    semantics end-to-end."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.round(F.sum("value"), 4).alias("total")
+    )
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "total")))
+        ).alias("m")
+    )
+    return (
+        mapped.select(
+            "user_id",
+            F.size(F.map_keys("m")).alias("n_types"),
+            F.round(F.coalesce(F.element_at("m", "purchase"), F.lit(0.0)), 4).alias(
+                "purchase_total"
+            ),
+            F.map_contains_key("m", "signup").cast("int").alias("has_signup"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_Q85_ORACLE = """
+SELECT user_id,
+       count(DISTINCT event_type) AS n_types,
+       round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0), 4)
+         AS purchase_total,
+       CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS INTEGER)
+         AS has_signup
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q84_rolling_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-RANGE window frame: each event's trailing-1-hour activity
     for the same user — a RANGE frame over event-time microseconds
@@ -1257,6 +1297,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "q84_rolling_range_window": QuerySpec(
         q84_rolling_range_window, _Q84_ORACLE, "window"
     ),
+    "q85_map_functions": QuerySpec(q85_map_functions, _Q85_ORACLE, "scalar_fn"),
     "q79_lang_centroid_distance": QuerySpec(
         q79_lang_centroid_distance, _Q79_ORACLE, "similarity"
     ),
