@@ -793,6 +793,53 @@ FROM scored GROUP BY 1 ORDER BY lang
 """
 
 
+def q86_batch_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization in BATCH mode with the same ``session_window``
+    primitive the streaming path uses (q-streaming sessions share the
+    expression): activity bursts per user separated by >30 min, one
+    aggregation. Oracle = the classic gaps-and-islands SQL (lag gap
+    flag → running session id → group), proving the session-window
+    semantics against first principles."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+_Q86_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       count(*) AS n_events,
+       round(sum(value), 4) AS session_value
+FROM sessions GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
 def q85_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MapType surface: per-user event-type→value maps built with
     ``map_from_entries`` (pre-aggregated, sorted entries — duplicate
@@ -1298,6 +1345,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q84_rolling_range_window, _Q84_ORACLE, "window"
     ),
     "q85_map_functions": QuerySpec(q85_map_functions, _Q85_ORACLE, "scalar_fn"),
+    "q86_batch_sessions": QuerySpec(q86_batch_sessions, _Q86_ORACLE, "window"),
     "q79_lang_centroid_distance": QuerySpec(
         q79_lang_centroid_distance, _Q79_ORACLE, "similarity"
     ),
