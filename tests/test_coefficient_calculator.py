@@ -318,3 +318,55 @@ def test_fused_falls_back_for_triplet_operands(spark):
     gp = got.toPandas().sort_values("__row_id__").reset_index(drop=True)
     up = unfused.toPandas().sort_values("__row_id__").reset_index(drop=True)
     pd.testing.assert_frame_equal(gp, up)
+
+
+def test_fused_equals_unfused_property(spark):
+    """Property fuzz: random formula batches over one operand set —
+    the fused plan's values must equal each formula's standalone
+    evaluation, including NaN/Inf cells (division by zero) and the
+    fill path."""
+    import itertools
+    import warnings
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    ops = ["+", "-", "*", "/"]
+    names = ["a", "b", "c"]
+    frames = {
+        n: pd.DataFrame(
+            {
+                "x": rng.choice([0.0, 1.0, -2.5, 3.25], size=4),
+                "y": rng.choice([0.0, 0.5, 4.0], size=4),
+            }
+        )
+        for n in names
+    }
+    combos = list(itertools.product(ops, repeat=2))[:12]
+    cmap = pd.DataFrame(
+        {
+            "name": [f"f{i}" for i in range(len(combos))],
+            "formula": [f"(a {o1} b) {o2} c" for o1, o2 in combos],
+        }
+    )
+    for fill in (False, True):
+        cc = CoefficientCalculator(
+            dict(frames), cmap, "name", "formula",
+            fill_invalid=fill, validation="defer", spark=spark,
+        )
+        groups, extras = cc.compute_coefficients_fused()
+        assert not extras
+        (g,) = groups  # one shared frame set -> one group
+        fused = g.df.toPandas().sort_values("__row_id__").reset_index(drop=True)
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            for rname, cols in g.result_cols.items():
+                o1, o2 = combos[int(rname[1:])]
+                a, b, c = frames["a"], frames["b"], frames["c"]
+                exp = eval(f"(a {o1} b) {o2} c")
+                if fill:
+                    exp = exp.replace([np.inf, -np.inf], np.nan).fillna(0.0)
+                got = fused[cols].to_numpy()
+                np.testing.assert_allclose(
+                    got, exp.to_numpy(), rtol=1e-12, atol=1e-12, equal_nan=True
+                )
