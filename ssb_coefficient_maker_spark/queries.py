@@ -793,6 +793,33 @@ FROM scored GROUP BY 1 ORDER BY lang
 """
 
 
+def q87_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array predicates (`exists`/`forall`/`filter`) over
+    the embedding vectors — JVM lambda expressions, one scan, no
+    explode: count of strongly-positive dims, whether any dim exceeds
+    2, whether the whole vector is bounded."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.col("embedding")
+    return (
+        emb.select(
+            "vec_id",
+            F.size(F.filter(e, lambda x: x > 1.0)).alias("n_dims_gt1"),
+            F.exists(e, lambda x: x > 2.0).cast("int").alias("any_gt2"),
+            F.forall(e, lambda x: F.abs(x) < 10.0).cast("int").alias("all_bounded"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+_Q87_ORACLE = """
+SELECT vec_id,
+       CAST(len(list_filter(embedding, x -> x > 1.0)) AS INTEGER) AS n_dims_gt1,
+       CAST(len(list_filter(embedding, x -> x > 2.0)) > 0 AS INTEGER) AS any_gt2,
+       CAST(len(list_filter(embedding, x -> abs(x) >= 10.0)) = 0 AS INTEGER) AS all_bounded
+FROM embeddings ORDER BY vec_id
+"""
+
+
 def q86_batch_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization in BATCH mode with the same ``session_window``
     primitive the streaming path uses (q-streaming sessions share the
@@ -1346,6 +1373,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "q85_map_functions": QuerySpec(q85_map_functions, _Q85_ORACLE, "scalar_fn"),
     "q86_batch_sessions": QuerySpec(q86_batch_sessions, _Q86_ORACLE, "window"),
+    "q87_array_predicates": QuerySpec(q87_array_predicates, _Q87_ORACLE, "scalar_fn"),
     "q79_lang_centroid_distance": QuerySpec(
         q79_lang_centroid_distance, _Q79_ORACLE, "similarity"
     ),
