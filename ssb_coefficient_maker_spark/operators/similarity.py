@@ -450,21 +450,6 @@ def q57_lsh_neardup(spark: SparkSession, sf_dir: str, threshold: float = 0.9) ->
 # ------------------------------------------------------- product quantization
 
 
-def assign_buckets_l2(emb: DataFrame, cents: Sequence[Sequence[float]], col: str = "embedding") -> DataFrame:
-    """L2 nearest-centroid assignment (PQ's metric), same shuffle-free
-    GEMM shape as the cosine ``assign_buckets``: argmin ||x-c||² =
-    argmax (x·c − |c|²/2), one dense product per Arrow batch."""
-    cmat = np.array([[float(x) for x in c] for c in cents], dtype=np.float64)
-    half_sq = (cmat * cmat).sum(axis=1) / 2.0
-
-    @F.pandas_udf("int")
-    def _bucket(e: pd.Series) -> pd.Series:
-        x = np.array(e.tolist(), dtype=np.float64)
-        return pd.Series(np.argmax(x @ cmat.T - half_sq, axis=1).astype(np.int32))
-
-    return emb.withColumn("bucket", _bucket(col))
-
-
 def pq_train(
     emb: DataFrame, n_sub: int = 16, k: int = 32, iters: int = 3
 ) -> list[list[list[float]]]:
@@ -543,9 +528,17 @@ def pq_encode(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
 _PQ_INDEX: dict[tuple, tuple[list, DataFrame]] = {}
 
 
-def _l2_normalized(col: Column) -> Column:
-    nrm = l2_norm(col)
-    return F.transform(col, lambda x: x.cast("double") / nrm)
+def _with_l2_normalized(df: DataFrame, src: str, dst: str) -> DataFrame:
+    """Adds ``dst`` = L2-normalized ``src``. The norm lands in its own
+    column first: inlining the aggregate into the transform lambda
+    would re-evaluate the full-array norm once PER ELEMENT (O(d²) per
+    row — Catalyst evaluates the lambda body per element with no
+    cross-reference CSE)."""
+    return (
+        df.withColumn("__nrm", l2_norm(F.col(src)))
+        .withColumn(dst, F.transform(F.col(src), lambda x: x.cast("double") / F.col("__nrm")))
+        .drop("__nrm")
+    )
 
 
 def pq_index(spark: SparkSession, sf_dir: str, n_sub: int = 16, k: int = 32):
@@ -562,16 +555,19 @@ def pq_index(spark: SparkSession, sf_dir: str, n_sub: int = 16, k: int = 32):
     key = (sf_dir, n_sub, k)
     if key not in _PQ_INDEX:
         emb = load_table(spark, sf_dir, "embeddings")
-        norm = emb.select(
-            "vec_id", "label", "embedding", _l2_normalized(F.col("embedding")).alias("emb_n")
-        )
+        norm = _with_l2_normalized(emb, "embedding", "emb_n")
         train_in = norm.select("vec_id", F.col("emb_n").alias("embedding"))
         books = pq_train(train_in, n_sub=n_sub, k=k)
+        # encode on the normalized copy, keep the ORIGINAL embedding
+        # for the exact re-rank — a column rename, not a re-join of
+        # the source table
+        enc_in = norm.select(
+            "vec_id", "label", F.col("embedding").alias("emb_orig"),
+            F.col("emb_n").alias("embedding"),
+        )
         codes = (
-            pq_encode(norm.withColumn("embedding", F.col("emb_n")), books)
-            .select("vec_id", "label", "codes")
-            .join(emb.select("vec_id", "embedding"), "vec_id")
-            .select("vec_id", "label", "embedding", "codes")
+            pq_encode(enc_in, books)
+            .select("vec_id", "label", F.col("emb_orig").alias("embedding"), "codes")
             .persist()
         )
         _PQ_INDEX[key] = (books, codes)

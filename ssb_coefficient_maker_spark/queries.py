@@ -369,23 +369,35 @@ def q80_streaming_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     root = os.path.join(tempfile.gettempdir(), "spark_graft_derived", f"q80-{key}")
     out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
-    q = stream_to_parquet_foreachBatch(
-        spark,
-        tumbling_window_agg(stream_events(spark, sf_dir)),
-        out,
-        ckpt,
-        # complete: every epoch dir holds the FULL aggregate (append
-        # would withhold windows the watermark hasn't closed)
-        output_mode="complete",
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    last_epoch = max(
-        int(d.split("=")[1]) for d in os.listdir(out) if d.startswith("epoch=")
-    )
-    back = spark.read.parquet(f"{out}/epoch={last_epoch}")
+    def run_stream() -> None:
+        q = stream_to_parquet_foreachBatch(
+            spark,
+            tumbling_window_agg(stream_events(spark, sf_dir)),
+            out,
+            ckpt,
+            # complete: every epoch dir holds the FULL aggregate (append
+            # would withhold windows the watermark hasn't closed)
+            output_mode="complete",
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    def epochs() -> list[int]:
+        if not os.path.isdir(out):
+            return []
+        return [int(d.split("=")[1]) for d in os.listdir(out) if d.startswith("epoch=")]
+
+    run_stream()
+    if not epochs():
+        # checkpoint survived but the output didn't (tmp cleanup /
+        # partial crash): drop the checkpoint and replay from scratch
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+        run_stream()
+    back = spark.read.parquet(f"{out}/epoch={max(epochs())}")
     return back.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
@@ -953,13 +965,15 @@ def q83_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle-free explode, and the final stats are one aggregation.
     This is the composite a real data team runs nightly; every stage
     is also covered standalone (q26/q30/q67/q25)."""
+    from ssb_coefficient_maker_spark.operators.dedup import normalized_text
+    from ssb_coefficient_maker_spark.operators.text import words_col
+
     docs = load_table(spark, sf_dir, "documents")
-    words = F.split(F.trim(F.col("text")), "\\s+")
-    quality = docs.filter(F.size(words) >= 20).select(
+    quality = docs.filter(F.size(words_col(F.col("text"))) >= 20).select(
         "doc_id",
         "lang",
         "text",
-        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), "\\s+", " ")).alias("h"),
+        F.md5(normalized_text(F.col("text"))).alias("h"),
     )
     from pyspark.sql import Window
 
@@ -970,7 +984,7 @@ def q83_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .drop("rk", "h")
     )
-    ws = F.split(F.trim(F.col("text")), "\\s+")
+    ws = words_col(F.col("text"))
     n = F.size(ws)
     last_idx = F.ceil(F.greatest(n - 50, F.lit(0)).cast("double") / 40).cast("int")
     chunked = keep.select(

@@ -342,7 +342,7 @@ def test_fused_equals_unfused_property(spark):
         )
         for n in names
     }
-    combos = list(itertools.product(ops, repeat=2))[:12]
+    combos = list(itertools.product(ops, repeat=2))  # all 16, incl. inner '/'
     cmap = pd.DataFrame(
         {
             "name": [f"f{i}" for i in range(len(combos))],
