@@ -249,6 +249,57 @@ class FormulaEvaluator:
         self.last_invalid_count = count
         return df
 
+    def _adp_evaluate_to_parquet(self, expr: Any, formula: str, path: str) -> dict:
+        """ADP variant of the single-pass production sink: the
+        string-carried mpf result writes while the invalid metrics
+        (``'nan'/'±inf'`` strings, adp.py:291) ride the same action
+        via ``observe`` — one mapInPandas evaluation, one write, no
+        separate audit scan (the reference's ADP fill loops per cell,
+        coeff_maker.py:274-279)."""
+        import pyspark.sql.functions as F
+        from pyspark.sql import Observation
+
+        from ssb_coefficient_maker_spark.adp import _INVALID_STRS
+
+        df, cols = adp_mod.compile_adp_formula(
+            expr, self.datasets, self.decimal_precision
+        )
+
+        def bad(c: str):
+            return F.isnull(F.col(c)) | F.lower(F.col(c)).isin(_INVALID_STRS)
+
+        obs = Observation()
+        metrics = [F.count(F.lit(1)).alias("rows")] + [
+            F.sum(bad(c).cast("long")).alias(f"inv_{c}") for c in cols
+        ]
+        out = df.observe(obs, *metrics)
+        if self.fill_invalid:
+            from ssb_coefficient_maker_spark.session import ROW_ID
+
+            out = out.select(
+                F.col(ROW_ID),
+                *[F.when(bad(c), F.lit("0.0")).otherwise(F.col(c)).alias(c) for c in cols],
+            )
+        out.write.mode("overwrite").parquet(path)
+        got = obs.get
+        n_invalid = sum(got[f"inv_{c}"] or 0 for c in cols)
+        n_cells = got["rows"] * len(cols)
+        if n_cells and n_invalid == n_cells:
+            raise ValueError(
+                f"All values in the result of formula '{formula}' are invalid "
+                f"(written to {path} before post-hoc validation)."
+            )
+        if n_invalid and not self.fill_invalid:
+            import warnings
+
+            warnings.warn(
+                f"Result of formula '{formula}' contains {n_invalid} invalid "
+                f"value(s) ({100.0 * n_invalid / n_cells:.1f}% of {n_cells} cells).",
+                UserWarning,
+                stacklevel=3,
+            )
+        return {"rows": got["rows"], "cells": n_cells, "invalid": n_invalid}
+
     def evaluate_to_parquet(self, formula: str, path: str) -> dict:
         """Production path: evaluate + validate + write in ONE pass.
 
@@ -268,7 +319,7 @@ class FormulaEvaluator:
 
         expr = self.parse_formula(formula)
         if self.adp_enabled:
-            raise NotImplementedError("evaluate_to_parquet supports standard mode only")
+            return self._adp_evaluate_to_parquet(expr, formula, path)
         compiled = compile_formula(expr, self.datasets)
         if compiled.df is None:
             raise ValueError("evaluate_to_parquet needs at least one matrix operand")

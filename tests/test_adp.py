@@ -188,3 +188,44 @@ def test_adp_floordiv_mod_zero_division_guarded(adp_eval):
     for op in ("//", "%"):
         with pytest.raises(Exception, match="ADP division by zero"):
             fe.evaluate_to_pandas(f"a {op} z")
+
+
+def test_adp_evaluate_to_parquet_single_pass(spark, tmp_path):
+    """ADP production sink: exact strings written, invalid metrics on
+    the same action, fill path replaces invalid strings."""
+    import mpmath
+
+    # NaN input propagates as the invalid cell (ADP division by zero
+    # raises the guarded ADP_ZERO_DIV_MSG by design - reference A4)
+    a = pd.DataFrame({"x": [1.0, float("nan")], "y": [1e30, 4.0]})
+    b = pd.DataFrame({"x": [3.0, 5.0], "y": [1e-30, 2.0]})
+    fe = FormulaEvaluator(
+        {"a": a, "b": b}, adp_enabled=True, decimal_precision=40, spark=spark
+    )
+    metrics = fe.evaluate_to_parquet("a / b", str(tmp_path / "adp_out"))
+    assert metrics["rows"] == 2 and metrics["cells"] == 4
+    assert metrics["invalid"] == 1  # nan / 5.0
+    back = (
+        spark.read.parquet(str(tmp_path / "adp_out"))
+        .toPandas()
+        .sort_values("__row_id__")
+        .reset_index(drop=True)
+    )
+    # exact 60-digit-scale division the float64 path cannot represent
+    with mpmath.workdps(40):
+        expected = mpmath.mpf("1e30") / mpmath.mpf("1e-30")
+        assert abs(mpmath.mpf(back["y"][0]) - expected) / expected < mpmath.mpf("1e-35")
+    # unfilled: the NaN cell survives as an invalid string
+    assert back["x"][1].lower() == "nan"
+
+    fe_fill = FormulaEvaluator(
+        {"a": a, "b": b}, adp_enabled=True, decimal_precision=40,
+        fill_invalid=True, spark=spark,
+    )
+    m2 = fe_fill.evaluate_to_parquet("a / b", str(tmp_path / "adp_fill"))
+    assert m2["invalid"] == 1
+    filled = (
+        spark.read.parquet(str(tmp_path / "adp_fill"))
+        .toPandas().sort_values("__row_id__").reset_index(drop=True)
+    )
+    assert filled["x"][1] == "0.0"
