@@ -805,6 +805,76 @@ FROM scored GROUP BY 1 ORDER BY lang
 """
 
 
+def q88_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics per group: Pearson correlation and sample
+    covariance between quantity and price — single partial+final
+    aggregation (corr/covar are algebraic: sums of products merge)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "covar_qty_price"
+            ),
+            F.round(F.covar_pop("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_Q88_ORACLE = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       round(covar_pop(l_quantity, l_discount), 6) AS covar_qty_disc
+FROM lineitem GROUP BY 1 ORDER BY l_returnflag
+"""
+
+
+def q89_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>``): rows whose nullable derived
+    key is NULL must still pair up (plain ``=`` drops them). Each
+    order's price band — NULL for mid-range — joins a band dimension
+    that includes the NULL band."""
+    orders = load_table(spark, sf_dir, "orders")
+    band = (
+        F.when(F.col("o_totalprice") < 100000, "low")
+        .when(F.col("o_totalprice") > 300000, "high")
+        .otherwise(F.lit(None))
+    )
+    dim = spark.createDataFrame(
+        [("low", 1.0), ("high", 3.0), (None, 2.0)], "band string, weight double"
+    )
+    banded = orders.select("o_orderkey", band.alias("band"), "o_totalprice")
+    return (
+        banded.join(dim, banded["band"].eqNullSafe(dim["band"]))
+        .groupBy(dim["band"].alias("price_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice") * F.col("weight")), 4).alias(
+                "weighted_total"
+            ),
+        )
+        .orderBy(F.asc_nulls_first("price_band"))
+    )
+
+
+_Q89_ORACLE = """
+WITH banded AS (
+  SELECT o_orderkey, o_totalprice,
+         CASE WHEN o_totalprice < 100000 THEN 'low'
+              WHEN o_totalprice > 300000 THEN 'high' END AS band
+  FROM orders
+),
+dim AS (SELECT * FROM (VALUES ('low', 1.0), ('high', 3.0), (NULL, 2.0)) AS t(band, weight))
+SELECT d.band AS price_band, count(*) AS n_orders,
+       round(sum(b.o_totalprice * d.weight), 4) AS weighted_total
+FROM banded b JOIN dim d ON b.band IS NOT DISTINCT FROM d.band
+GROUP BY 1 ORDER BY price_band NULLS FIRST
+"""
+
+
 def q87_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array predicates (`exists`/`forall`/`filter`) over
     the embedding vectors — JVM lambda expressions, one scan, no
@@ -1388,6 +1458,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "q85_map_functions": QuerySpec(q85_map_functions, _Q85_ORACLE, "scalar_fn"),
     "q86_batch_sessions": QuerySpec(q86_batch_sessions, _Q86_ORACLE, "window"),
     "q87_array_predicates": QuerySpec(q87_array_predicates, _Q87_ORACLE, "scalar_fn"),
+    "q88_correlation": QuerySpec(q88_correlation, _Q88_ORACLE, "agg"),
+    "q89_nullsafe_join": QuerySpec(q89_nullsafe_join, _Q89_ORACLE, "join"),
     "q79_lang_centroid_distance": QuerySpec(
         q79_lang_centroid_distance, _Q79_ORACLE, "similarity"
     ),
