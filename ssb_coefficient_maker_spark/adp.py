@@ -291,6 +291,26 @@ from pyspark.sql import functions as F  # noqa: E402
 _INVALID_STRS = ["nan", "+inf", "-inf", "inf"]
 
 
+def adp_invalid_cond(c: str):
+    """Invalid predicate for one string-carried ADP column — the ONE
+    definition both the eager validator and the parquet sink use."""
+    return F.isnull(F.col(c)) | F.lower(F.col(c)).isin(_INVALID_STRS)
+
+
+def adp_fill_select(df: DataFrame, value_cols: list[str]) -> DataFrame:
+    """Replace invalid ADP strings with the '0.0' sentinel (shared by
+    the eager fill path and the parquet sink's write projection)."""
+    from ssb_coefficient_maker_spark.session import ROW_ID
+
+    return df.select(
+        F.col(ROW_ID),
+        *[
+            F.when(adp_invalid_cond(c), F.lit("0.0")).otherwise(F.col(c)).alias(c)
+            for c in value_cols
+        ],
+    )
+
+
 def validate_adp(
     df: DataFrame,
     value_cols: list[str],
@@ -302,11 +322,8 @@ def validate_adp(
     """Audit an ADP (string-carried) result; fill, warn, or raise."""
     import warnings
 
-    def bad(c: str):
-        return F.isnull(F.col(c)) | F.lower(F.col(c)).isin(_INVALID_STRS)
-
     aggs = [F.count(F.lit(1)).alias("__rows__")] + [
-        F.sum(bad(c).cast("long")).alias(f"__inv__{c}") for c in value_cols
+        F.sum(adp_invalid_cond(c).cast("long")).alias(f"__inv__{c}") for c in value_cols
     ]
     row = df.agg(*aggs).collect()[0].asDict()
     n_cells = row["__rows__"] * len(value_cols)
@@ -323,12 +340,7 @@ def validate_adp(
                 f"Filled {n_invalid} invalid value(s) with 0 in result of "
                 f"formula '{formula_str}'"
             )
-        from ssb_coefficient_maker_spark.session import ROW_ID
-
-        sel = [F.col(ROW_ID)] + [
-            F.when(bad(c), F.lit("0.0")).otherwise(F.col(c)).alias(c) for c in value_cols
-        ]
-        return df.select(sel), n_invalid
+        return adp_fill_select(df, value_cols), n_invalid
     if n_invalid == n_cells:
         raise ValueError(
             f"All values in the result of formula '{formula_str}' are invalid."

@@ -259,27 +259,18 @@ class FormulaEvaluator:
         import pyspark.sql.functions as F
         from pyspark.sql import Observation
 
-        from ssb_coefficient_maker_spark.adp import _INVALID_STRS
+        from ssb_coefficient_maker_spark.adp import adp_fill_select, adp_invalid_cond
 
         df, cols = adp_mod.compile_adp_formula(
             expr, self.datasets, self.decimal_precision
         )
-
-        def bad(c: str):
-            return F.isnull(F.col(c)) | F.lower(F.col(c)).isin(_INVALID_STRS)
-
         obs = Observation()
         metrics = [F.count(F.lit(1)).alias("rows")] + [
-            F.sum(bad(c).cast("long")).alias(f"inv_{c}") for c in cols
+            F.sum(adp_invalid_cond(c).cast("long")).alias(f"inv_{c}") for c in cols
         ]
         out = df.observe(obs, *metrics)
         if self.fill_invalid:
-            from ssb_coefficient_maker_spark.session import ROW_ID
-
-            out = out.select(
-                F.col(ROW_ID),
-                *[F.when(bad(c), F.lit("0.0")).otherwise(F.col(c)).alias(c) for c in cols],
-            )
+            out = adp_fill_select(out, cols)
         out.write.mode("overwrite").parquet(path)
         got = obs.get
         n_invalid = sum(got[f"inv_{c}"] or 0 for c in cols)
@@ -298,7 +289,7 @@ class FormulaEvaluator:
                 UserWarning,
                 stacklevel=3,
             )
-        return {"rows": got["rows"], "cells": n_cells, "invalid": n_invalid}
+        return {"rows": got["rows"], "cells": n_cells, "invalid": n_invalid, "path": path}
 
     def evaluate_to_parquet(self, formula: str, path: str) -> dict:
         """Production path: evaluate + validate + write in ONE pass.
