@@ -334,3 +334,23 @@ def test_pq_topk_recall_vs_exact(spark, sf_dir):
         for r in hit:  # scores of true hits are the exact cosines
             assert abs(r["cos_sim"] - exact[r["vec_id"]]) < 1e-9
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_registry_contract(spark, sf_dir):
+    """Registry hygiene the driver depends on: unique q-numbers,
+    every oracle non-empty, every callable takes (spark, sf_dir), and
+    entry-module exports stay consistent with the registry."""
+    import inspect
+
+    import __spark_entry__ as m
+    from ssb_coefficient_maker_spark.queries import REGISTRY
+
+    nums = [name.split("_")[0] for name in REGISTRY]
+    assert len(nums) == len(set(nums)), "duplicate q-number"
+    for name, spec in REGISTRY.items():
+        params = list(inspect.signature(spec.fn).parameters)
+        assert params[:2] == ["spark", "sf_dir"], name
+        if spec.oracle is not None:
+            assert spec.oracle.strip(), name
+    assert set(m.queries()) == set(REGISTRY)
+    assert set(m.oracle_sql()) == {n for n, s in REGISTRY.items() if s.oracle}
