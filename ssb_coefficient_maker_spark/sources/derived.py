@@ -59,8 +59,28 @@ PART_JSON_SCHEMA = T.StructType(
 )
 
 
+def source_fingerprint(sf_dir: str) -> str:
+    """Identity of the source data, not just its path: abspath plus
+    (name, size, mtime) of every parquet in the dir. A regenerated
+    testdata drop (new round, new writer, new types) changes the
+    fingerprint and invalidates every cached derivative — without
+    this, stale round-N layouts would silently serve old data."""
+    h = hashlib.sha1(os.path.abspath(sf_dir).encode())
+    try:
+        entries = sorted(
+            (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+            for e in os.scandir(sf_dir)
+            if e.name.endswith(".parquet")
+        )
+    except FileNotFoundError:
+        entries = []
+    for name, size, mtime in entries:
+        h.update(f"|{name}:{size}:{mtime}".encode())
+    return h.hexdigest()
+
+
 def _derived_root(sf_dir: str, layout: str) -> str:
-    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    key = source_fingerprint(sf_dir)[:12]
     return os.path.join(
         tempfile.gettempdir(), "spark_graft_derived", f"{os.path.basename(sf_dir)}-{key}", layout
     )
@@ -174,7 +194,7 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     unbucketed plan. Registered once per (session, sf_dir) in the
     session catalog as external tables under the derived temp root.
     """
-    key = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    key = source_fingerprint(sf_dir)[:8]
     t_orders, t_lineitem = f"orders_bkt_{key}", f"lineitem_bkt_{key}"
     for tname, src, cols in (
         (t_orders, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"]),

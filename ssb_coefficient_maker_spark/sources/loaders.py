@@ -50,15 +50,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # ts is TIMESTAMP(NANOS) in the file; Spark has no nanosecond
-        # timestamp type, so the session reads it as long
-        # (spark.sql.legacy.parquet.nanosAsLong) and we convert to a
-        # microsecond timestamp here (source data is µs-resolution).
+        # ts arrives in whichever physical form the generator used:
+        # TIMESTAMP(NANOS) reads as long (spark.sql.legacy.parquet.
+        # nanosAsLong), and a tz-less TIMESTAMP(MICROS) reads as
+        # TIMESTAMP_NTZ. Normalize both to a session-UTC TimestampType
+        # so epoch math (unix_micros), windows and streaming watermarks
+        # see one type everywhere.
         from pyspark.sql import functions as F
         from pyspark.sql import types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # session tz is pinned to UTC, so NTZ→LTZ keeps wall-clock
+            # values identical to what the oracle (DuckDB) sees
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

@@ -22,32 +22,34 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # TIMESTAMP(NANOS) read as long
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
+def _events_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """File streams need an explicit schema; the physical ts type varies
+    by generator (TIMESTAMP(NANOS) → long under nanosAsLong, tz-less
+    TIMESTAMP(MICROS) → TIMESTAMP_NTZ), so probe the footer via a batch
+    read (metadata only, no data scan) and mirror what it reports."""
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (file source; stands in for
-    Kafka). Converts the nanos-long ts like the batch loader."""
+    Kafka). Normalizes ts to a session-UTC timestamp like the batch
+    loader, whatever the file's physical type."""
     from ssb_coefficient_maker_spark.sources.loaders import _ensure_session_confs
 
     _ensure_session_confs(spark)
     # the file stream source wants a directory: scan sf_dir, keep only
     # the events file
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(spark, sf_dir))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        return raw.withColumn("ts", F.col("ts").cast(T.TimestampType()))
+    return raw
 
 
 def tumbling_window_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

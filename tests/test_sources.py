@@ -169,3 +169,22 @@ def test_q65_backfill_touches_only_target_partition(spark, sf_dir):
     t_new = max(os.path.getmtime(os.path.join(target, f)) for f in os.listdir(target))
     t_old = max(os.path.getmtime(os.path.join(other, f)) for f in os.listdir(other))
     assert t_new >= t_old
+
+
+def test_loaded_ts_is_plain_timestamp(spark, sf_dir):
+    """Schema-drift canary: the testdata generator has shipped events.ts
+    as TIMESTAMP(NANOS)-read-as-long in one round and tz-less
+    TIMESTAMP(MICROS) (= TIMESTAMP_NTZ) in another. load_table must
+    normalize every variant to a session-UTC TimestampType — epoch
+    math (unix_micros), window frames and streaming watermarks all
+    assume it. If this fails, the generator changed again: extend the
+    normalization in sources/loaders.py, not the downstream queries."""
+    ev = load_table(spark, sf_dir, "events")
+    assert isinstance(ev.schema["ts"].dataType, T.TimestampType), ev.schema["ts"].dataType
+    # streaming source must agree with the batch loader
+    from ssb_coefficient_maker_spark.streaming.windows import stream_events
+
+    sev = stream_events(spark, sf_dir)
+    assert isinstance(sev.schema["ts"].dataType, T.TimestampType), sev.schema["ts"].dataType
+    # and epoch math must resolve (this is what broke under NTZ)
+    ev.select(F.unix_micros("ts")).limit(1).collect()
