@@ -41,42 +41,62 @@ def normalized_text(col: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(col)), "\\s+", " ")
 
 
-def shingles_col(col: Column, k: int = 5) -> Column:
+def shingles_col(col: Column, k: int = 5, family: str = "xxhash64") -> Column:
     """k-word shingle HASHES as a distinct array<long>.
 
-    Each word is hashed once (xxhash64), then every shingle is a
-    rolling xxhash64 combine of k consecutive word hashes — pure
-    integer ops, no overflow (so ANSI-safe). Building shingle STRINGS
-    instead (concat_ws over slice, the obvious form) re-materializes
-    ~k words of text per shingle and measured ~2× slower on the
-    250k-shingle sf0.1 corpus; identical MinHash/Jaccard semantics (a
-    shingle's identity is its hash — 64-bit collisions are negligible
-    at any corpus size).
+    ``family="xxhash64"`` (production default): each word is hashed
+    once (xxhash64), then every shingle is a rolling xxhash64 combine
+    of k consecutive word hashes — pure integer ops, no overflow (so
+    ANSI-safe). Building shingle STRINGS instead (concat_ws over
+    slice, the obvious form) re-materializes ~k words of text per
+    shingle and measured ~2× slower on the 250k-shingle sf0.1 corpus;
+    identical MinHash/Jaccard semantics (a shingle's identity is its
+    hash — 64-bit collisions are negligible at any corpus size).
+
+    ``family="md5"`` (portable/verification): shingle identity is
+    ``md5_hash60`` of the shingle STRING — DuckDB computes the exact
+    same integers, so the full MinHash pipeline downstream becomes
+    value-checkable by the oracle. Pays the string-materialization
+    cost the xxhash64 path avoids; same output shape.
     """
     words = F.split(normalized_text(col), " ")
     n = F.size(words)
-    hs = F.transform(words, lambda w: F.xxhash64(w))
-
-    # Rolling combine as chained zip_with over SHIFTED SLICES, never
-    # per-element indexing: element_at(hs, i+j) inside a transform
-    # lambda gets hs re-inlined per ELEMENT (no cross-lambda CSE) —
-    # O(n²·k) per row, measured 3× slower than even the string form.
-    # Each slice here evaluates hs once per ROW: O(n·k). The combine
-    # is xxhash64 of (acc, next) — full 64-bit shingle identity, so
-    # birthday collisions stay negligible at any corpus size (a 31-bit
-    # field measurably merged distinct shingles at 250k).
     m = n - (k - 1)
 
-    def rolled() -> Column:
-        acc = F.slice(hs, 1, m)
-        for j in range(1, k):
-            acc = F.zip_with(
-                acc, F.slice(hs, 1 + j, m), lambda a, b: F.xxhash64(a, b)
-            )
-        return acc
+    # Rolling combine as chained zip_with over SHIFTED SLICES, never
+    # per-element indexing: element_at(xs, i+j) inside a transform
+    # lambda gets xs re-inlined per ELEMENT (no cross-lambda CSE) —
+    # O(n²·k) per row, measured 3× slower than even the string form.
+    # Each slice here evaluates its input once per ROW: O(n·k).
+    if family == "md5":
+        def rolled() -> Column:
+            acc = F.slice(words, 1, m)
+            for j in range(1, k):
+                acc = F.zip_with(
+                    acc, F.slice(words, 1 + j, m), lambda a, b: F.concat_ws(" ", a, b)
+                )
+            return F.transform(acc, md5_hash60)
 
-    fold_all = F.aggregate(hs, F.lit(0).cast("long"), lambda acc, h: F.xxhash64(acc, h))
-    return F.array_distinct(F.when(n >= k, rolled()).otherwise(F.array(fold_all)))
+        fallback = F.array(md5_hash60(normalized_text(col)))
+    else:
+        # the combine is xxhash64 of (acc, next) — full 64-bit shingle
+        # identity, so birthday collisions stay negligible at any
+        # corpus size (a 31-bit field measurably merged distinct
+        # shingles at 250k)
+        hs = F.transform(words, lambda w: F.xxhash64(w))
+
+        def rolled() -> Column:
+            acc = F.slice(hs, 1, m)
+            for j in range(1, k):
+                acc = F.zip_with(
+                    acc, F.slice(hs, 1 + j, m), lambda a, b: F.xxhash64(a, b)
+                )
+            return acc
+
+        fallback = F.array(
+            F.aggregate(hs, F.lit(0).cast("long"), lambda acc, h: F.xxhash64(acc, h))
+        )
+    return F.array_distinct(F.when(n >= k, rolled()).otherwise(fallback))
 
 
 def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -95,7 +115,7 @@ def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SHINGLE_CACHE: tuple[int, DataFrame] | None = None
+_SHINGLE_CACHE: tuple[tuple[int, str], DataFrame] | None = None
 
 
 def release_shingle_cache() -> None:
@@ -107,25 +127,29 @@ def release_shingle_cache() -> None:
         _SHINGLE_CACHE = None
 
 
-def _shingle_table(docs: DataFrame) -> DataFrame:
+def _shingle_table(docs: DataFrame, family: str = "xxhash64") -> DataFrame:
     """Persisted (doc_id, shingles) table, reused across calls on the
-    SAME input (keyed by the canonicalized plan): the shingle table is
-    the materialized intermediate a 100 TB pipeline writes once and
-    reads from every downstream dedup stage — re-shingling per call
-    would be the expensive mistake. A DIFFERENT input releases the
-    previous cache first, so a long-lived session holds at most one
-    copy."""
+    SAME input (keyed by the canonicalized plan + hash family): the
+    shingle table is the materialized intermediate a 100 TB pipeline
+    writes once and reads from every downstream dedup stage —
+    re-shingling per call would be the expensive mistake. A DIFFERENT
+    input releases the previous cache first, so a long-lived session
+    holds at most one copy."""
     global _SHINGLE_CACHE
-    key = docs._jdf.queryExecution().analyzed().semanticHash()
+    key = (docs._jdf.queryExecution().analyzed().semanticHash(), family)
     if _SHINGLE_CACHE is not None and _SHINGLE_CACHE[0] == key:
         return _SHINGLE_CACHE[1]
     release_shingle_cache()
-    sh_tbl = docs.select("doc_id", shingles_col(F.col("text")).alias("sh")).persist()
+    sh_tbl = docs.select(
+        "doc_id", shingles_col(F.col("text"), family=family).alias("sh")
+    ).persist()
     _SHINGLE_CACHE = (key, sh_tbl)
     return sh_tbl
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame, threshold: float = 0.4, family: str = "xxhash64"
+) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
 
     Execution shape (the part that must survive 100 TB):
@@ -152,9 +176,9 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4) -> DataFrame:
     # frees the last copy (caller owns the final unpersist — the
     # returned frame is lazy, so unpersisting before the caller's
     # action would just force a 3x recompute).
-    sh_tbl = _shingle_table(docs)
+    sh_tbl = _shingle_table(docs, family=family)
 
-    # shingles are 64-bit hashes (shingles_col); reduce into the
+    # shingles are integer hashes (shingles_col); reduce into the
     # Mersenne field for the universal-hash family
     ex = sh_tbl.select("doc_id", F.explode("sh").alias("s")).withColumn(
         "h", F.pmod(F.col("s"), F.lit(MERSENNE))
@@ -211,8 +235,13 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.4) -> DataFrame:
 
 
 def q31_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs. Registered on the portable
+    md5 hash family: shingle identities, all 32 minhash minima, the
+    banding, and the exact-Jaccard verification are replicated by the
+    DuckDB oracle value-for-value (same banded plan shape as the
+    xxhash64 production default, which tests cover)."""
     docs = load_table(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(docs, threshold=0.4)
+    return minhash_lsh_pairs(docs, threshold=0.4, family="md5")
 
 
 def q32_ngram_jaccard(spark: SparkSession, sf_dir: str, max_doc_id: int = 500) -> DataFrame:
@@ -246,31 +275,50 @@ def q32_ngram_jaccard(spark: SparkSession, sf_dir: str, max_doc_id: int = 500) -
     )
 
 
-def simhash_table(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash per document via explode + ONE hash-aggregate.
+def md5_hash60(col: Column) -> Column:
+    """Portable 60-bit integer hash: the first 15 hex digits of md5,
+    parsed as an unsigned integer. Both engines compute the identical
+    value (Spark: ``conv(substr(md5(x),1,15),16,10)``; DuckDB:
+    ``('0x'||substr(md5(x),1,15))::BIGINT``), which makes any operator
+    built on it bit-for-bit oracle-checkable. ~3x the cost of
+    xxhash64 (md5 + hex decode) — the portable family is for
+    verification; production defaults stay on xxhash64."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
-    Shape matters at scale: each word is hashed once (xxhash64 on the
-    exploded rows), then 64 conditional sums ride a single
+
+def simhash_table(docs: DataFrame, family: str = "xxhash64") -> DataFrame:
+    """SimHash per document via explode + ONE hash-aggregate.
+
+    Shape matters at scale: each word is hashed once on the exploded
+    rows, then all per-bit conditional sums ride a single
     partial+final hash aggregation — one pass over the words, one
-    shuffle on doc_id. (The per-row alternative — 64 ``F.aggregate``
-    lambdas over the word array — re-traverses every array 64 times
-    and was ~20x slower.)
+    shuffle on doc_id. (The per-row alternative — one ``F.aggregate``
+    lambda per bit over the word array — re-traverses every array
+    per bit and was ~20x slower.)
+
+    ``family`` picks the word-hash: ``xxhash64`` (64-bit fingerprint,
+    production default — cheapest per word) or ``md5`` (60-bit
+    fingerprint from ``md5_hash60``, identical in DuckDB, so the
+    whole operator becomes value-checkable by the oracle). The
+    aggregation shape is the same for both.
     """
+    nbits = 64 if family == "xxhash64" else 60
+    hash_col = F.xxhash64("w") if family == "xxhash64" else md5_hash60(F.col("w"))
     words = docs.select(
         "doc_id",
         F.explode(F.array_distinct(F.split(normalized_text(F.col("text")), " "))).alias("w"),
-    ).withColumn("h", F.xxhash64("w"))
+    ).withColumn("h", hash_col)
     one = F.lit(1).cast("long")
     votes = words.groupBy("doc_id").agg(
         *[
             F.sum(
                 F.when(F.shiftright(F.col("h"), k).bitwiseAND(one) == 1, 1).otherwise(-1)
             ).alias(f"v{k}")
-            for k in range(64)
+            for k in range(nbits)
         ]
     )
     fp = F.lit(0).cast("long")
-    for k in range(64):
+    for k in range(nbits):
         fp = fp.bitwiseOR(
             F.when(F.col(f"v{k}") > 0, F.shiftleft(one, k)).otherwise(F.lit(0).cast("long"))
         )
@@ -278,10 +326,12 @@ def simhash_table(docs: DataFrame) -> DataFrame:
 
 
 def q33_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash fingerprint per document (no oracle: engine-specific
-    64-bit hash function; driver records a rows-only check)."""
+    """SimHash fingerprint per document. Registered on the portable
+    md5 hash family so the DuckDB oracle checks every fingerprint
+    value (same aggregation shape as the xxhash64 production default,
+    which tests cover)."""
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_table(docs).orderBy("doc_id")
+    return simhash_table(docs, family="md5").orderBy("doc_id")
 
 
 def connected_components(

@@ -1165,6 +1165,68 @@ ORDER BY "column"
 STOP_SQL = "['" + "','".join(text.STOPWORDS) + "']"
 EN_MARKERS_SQL = "['the','a','is','and']"
 
+
+def _minhash_oracle_sql(k: int = 5, threshold: float = 0.4) -> str:
+    """DuckDB replica of ``minhash_lsh_pairs(family="md5")`` — the
+    SAME hash integers end to end: md5_hash60 shingles, Mersenne
+    universal-hash minima, banding, exact-Jaccard verify. Constants
+    come from operators.dedup so Spark and oracle can't drift."""
+    p = dedup.MERSENNE
+    minima = ",\n            ".join(
+        f"min((h * {2 * i + 1} + {104729 * (i + 1)}) % {p}) AS m{i}"
+        for i in range(dedup.N_HASHES)
+    )
+    bands = "\n          UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, concat_ws(',', {cols}) AS bh FROM sig".format(
+            b=b,
+            cols=", ".join(
+                f"m{b * dedup.ROWS_PER_BAND + r}" for r in range(dedup.ROWS_PER_BAND)
+            ),
+        )
+        for b in range(dedup.N_BANDS)
+    )
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(ws) >= {k} THEN
+                   list_distinct([('0x' || substr(md5(array_to_string(ws[i:i+{k - 1}], ' ')), 1, 15))::BIGINT
+                                  for i in generate_series(1, len(ws) - {k - 1})])
+                 ELSE [('0x' || substr(md5(array_to_string(ws, ' ')), 1, 15))::BIGINT]
+                 END AS shs
+          FROM d
+        ), ex AS (
+          SELECT doc_id, unnest(shs) % {p} AS h, unnest(shs) AS s FROM sh
+        ), sig AS (
+          SELECT doc_id,
+            {minima}
+          FROM ex GROUP BY doc_id
+        ), bands AS (
+          {bands}
+        ), cand AS (
+          SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+          FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+        ), sizes AS (
+          SELECT doc_id, len(shs) AS n FROM sh
+        ), common AS (
+          SELECT c.doc_a, c.doc_b, count(*) AS nc
+          FROM cand c
+          JOIN ex a ON a.doc_id = c.doc_a
+          JOIN ex b ON b.doc_id = c.doc_b AND b.s = a.s
+          GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT c.doc_a, c.doc_b,
+               round(CAST(c.nc AS DOUBLE) / (sa.n + sb.n - c.nc), 4) AS jaccard
+        FROM common c
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+        WHERE round(CAST(c.nc AS DOUBLE) / (sa.n + sb.n - c.nc), 4) >= {threshold}
+        ORDER BY doc_a, doc_b
+        """
+
 REGISTRY: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(
         relational.q01_pricing_summary,
@@ -1678,7 +1740,16 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         "dedup",
     ),
-    "q31_minhash_neardup": QuerySpec(dedup.q31_minhash_neardup, None, "dedup"),
+    "q31_minhash_neardup": QuerySpec(
+        dedup.q31_minhash_neardup,
+        # full MinHash-LSH replica on the portable md5 hash family:
+        # shingle hashes, the 32 universal-hash minima, banding and
+        # exact-Jaccard verify all produce the same values as the
+        # Spark plan (constants imported from operators.dedup so the
+        # two can't drift)
+        _minhash_oracle_sql(),
+        "dedup",
+    ),
     "q32_ngram_jaccard": QuerySpec(
         dedup.q32_ngram_jaccard,
         """
@@ -1748,7 +1819,29 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         "dedup",
     ),
-    "q33_simhash": QuerySpec(dedup.q33_simhash, None, "dedup"),
+    "q33_simhash": QuerySpec(
+        dedup.q33_simhash,
+        # portable md5 hash family: ('0x'||substr(md5(w),1,15))::BIGINT
+        # equals Spark's conv(substr(md5(w),1,15),16,10) — the whole
+        # fingerprint is value-checked, not just row counts
+        """
+        WITH w AS (
+          SELECT doc_id,
+                 unnest(list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '))) AS word
+          FROM documents
+        ), h AS (
+          SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS hv FROM w
+        ), votes AS (
+          SELECT doc_id, b.b AS b,
+                 SUM(CASE WHEN (hv >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM h CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) b
+          GROUP BY doc_id, b.b
+        )
+        SELECT doc_id, CAST(SUM(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+        FROM votes GROUP BY doc_id ORDER BY doc_id
+        """,
+        "dedup",
+    ),
     "q34_cosine_topk": QuerySpec(
         similarity.q34_cosine_topk,
         """

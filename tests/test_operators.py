@@ -73,6 +73,46 @@ def test_minhash_finds_planted_duplicates(spark):
     assert not ((pairs.doc_b == 3) | (pairs.doc_a == 3)).any()
 
 
+def test_hash_families_agree_on_verified_pairs(spark):
+    """The md5 (portable/oracle-checkable) and xxhash64 (production)
+    hash families are different LSH randomizations of the SAME
+    algorithm: an exact duplicate (J=1, identical signature under any
+    family) must be found by both with the same verified Jaccard, and
+    the shingle-SET semantics must agree (verification is on shingle
+    identity, which both families define as k-word windows of the
+    normalized text)."""
+    from ssb_coefficient_maker_spark.operators import dedup
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    )
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, base + " ", "unrelated words only here"]})
+    docs = spark.createDataFrame(pdf)
+    outs = {}
+    for fam in ("xxhash64", "md5"):
+        dedup.release_shingle_cache()
+        outs[fam] = (
+            minhash_lsh_pairs(docs, threshold=0.9, family=fam)
+            .toPandas()
+            .sort_values(["doc_a", "doc_b"])
+            .reset_index(drop=True)
+        )
+    dedup.release_shingle_cache()
+    pd.testing.assert_frame_equal(outs["xxhash64"], outs["md5"])
+    assert len(outs["md5"]) == 1  # exactly the planted (1,2) pair
+
+    # simhash: identical docs get identical fingerprints under both
+    # families
+    for fam in ("xxhash64", "md5"):
+        fp = dedup.simhash_table(docs, family=fam).toPandas().set_index("doc_id").simhash
+        assert fp[1] == fp[2]
+        assert fp[1] != fp[3]
+    # the md5 family is 60-bit by construction (fits non-negative in a
+    # long — the 64-bit xxhash64 family may legitimately go negative)
+    assert 0 <= fp[3] < (1 << 60)
+
+
 def test_cosine_expression(spark):
     df = spark.createDataFrame(
         [(1, [1.0, 0.0], [0.0, 1.0]), (2, [1.0, 1.0], [1.0, 1.0])],
