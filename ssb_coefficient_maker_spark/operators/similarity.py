@@ -195,21 +195,26 @@ def q35_ivf_topk(
     k: int = 10,
     query_id: int = 0,
     n_centroids: int = 20,
+    nprobe: int = 3,
 ) -> DataFrame:
-    """Bucketed ANN probe against a trained IVF index (built once per
+    """Multi-probe ANN against a trained IVF index (built once per
     corpus by ``ivf_index``, k-means coarse quantizer — not a
-    placeholder). The query's bucket is computed driver-side against
-    the tiny centroid matrix (no cluster action), then the probe scans
-    ONLY that bucket of the persisted assignment — ~n_centroids× less
-    data than exact q34 (rows-only check — recall vs exact is
-    data-dependent by construction)."""
+    placeholder). The ``nprobe`` nearest coarse cells are chosen
+    driver-side against the tiny centroid matrix (no cluster action),
+    then the probe scans ONLY those buckets of the persisted
+    assignment — ~n_centroids/nprobe× less data than exact q34.
+    ``nprobe`` is the standard IVF recall knob: recall rises with the
+    probed fraction (single-probe misses neighbors that fall just
+    across a cell boundary; see the recall test vs exact top-k).
+    Rows-only check — float-iteration-order-dependent by
+    construction."""
     cents, bucketed = ivf_index(spark, sf_dir, n_centroids=n_centroids)
     q, qvals = _query_vector(spark, sf_dir, query_id)
     cmat = np.array(cents, dtype=np.float64)
     sims = (cmat @ qvals) / (np.linalg.norm(cmat, axis=1) * np.linalg.norm(qvals))
-    qbucket = int(np.argmax(sims))
+    probes = [int(b) for b in np.argsort(-sims)[:nprobe]]
     return (
-        bucketed.filter((F.col("bucket") == qbucket) & (F.col("vec_id") != query_id))
+        bucketed.filter(F.col("bucket").isin(probes) & (F.col("vec_id") != query_id))
         .select("vec_id", "label", F.round(cosine(F.col("embedding"), q), 4).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)

@@ -258,6 +258,43 @@ def test_kmeans_ivf_deterministic_and_complete(spark, sf_dir):
     assert a1.bucket.nunique() >= 2
 
 
+def test_ivf_multiprobe_recall(spark, sf_dir):
+    """Multi-probe IVF is the recall knob that makes bucketed ANN
+    usable: single-probe misses neighbors just across a cell boundary.
+    Assert (a) probing more cells never hurts aggregate recall@10 vs
+    the exact scan, and (b) the default nprobe=3 clears a floor that
+    single-probe measurably does not on this corpus (measured 0.62 vs
+    0.32 at sf0.001; threshold leaves slack for float jitter)."""
+    from ssb_coefficient_maker_spark.operators.similarity import (
+        q34_cosine_topk,
+        q35_ivf_topk,
+        release_ivf_index,
+    )
+
+    qids = (0, 7, 23, 55, 101)
+    exact = {
+        qid: {r.vec_id for r in q34_cosine_topk(spark, sf_dir, query_id=qid).collect()}
+        for qid in qids
+    }
+
+    def avg_recall(nprobe: int) -> float:
+        rec = []
+        for qid in qids:
+            approx = {
+                r.vec_id
+                for r in q35_ivf_topk(spark, sf_dir, query_id=qid, nprobe=nprobe).collect()
+            }
+            rec.append(len(exact[qid] & approx) / len(exact[qid]))
+        return sum(rec) / len(rec)
+
+    try:
+        r1, r3 = avg_recall(1), avg_recall(3)
+    finally:
+        release_ivf_index()
+    assert r3 >= r1, (r1, r3)
+    assert r3 >= 0.5, (r1, r3)
+
+
 def test_minhash_shingle_cache_bounded(spark, sf_dir):
     """Repeated minhash calls must not accumulate cached shingle
     tables; release_shingle_cache drops the last one."""
