@@ -423,3 +423,39 @@ def q77_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = out.localCheckpoint(eager=True)
     labels.unpersist()
     return res
+
+
+def q91_decontamination(
+    spark: SparkSession, sf_dir: str, bench_max_id: int = 50, k: int = 8
+) -> DataFrame:
+    """Benchmark decontamination: find training docs sharing any
+    k-word-gram with a held-out benchmark set (docs with
+    doc_id < ``bench_max_id`` stand in for the benchmark). The
+    standard pre-training hygiene step — eval contamination is
+    invisible post-hoc, so it must be a first-class corpus operator.
+
+    Shape at scale: both sides reduce to (gram_hash, doc_id) streams
+    — the ONLY shuffle is the equi-join on the 60-bit gram hash, and
+    the benchmark side is tiny (broadcastable by AQE from runtime
+    stats; no forced hint). Grams ride the portable md5 family
+    (``shingles_col(family="md5")``) so the DuckDB oracle replicates
+    every hash; a production run would flip the family to xxhash64 —
+    one argument, same plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = lambda df: df.select(  # noqa: E731
+        "doc_id", F.explode(shingles_col(F.col("text"), k=k, family="md5")).alias("g")
+    )
+    bench = grams(docs.filter(F.col("doc_id") < bench_max_id)).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    corpus = grams(docs.filter(F.col("doc_id") >= bench_max_id))
+    return (
+        corpus.join(bench, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("g").alias("n_shared_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+        .orderBy("doc_id")
+    )

@@ -278,3 +278,57 @@ def q75_udtf_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT r.* FROM docs_for_rle, LATERAL rle_words(doc_id, text) r "
         "ORDER BY doc_id, seg_idx"
     )
+
+
+def ngram_strings_col(col: Column, k: int) -> Column:
+    """k-word-gram STRINGS of the normalized text as an array<string>
+    (empty array below k words). Rolling zip_with over shifted slices
+    — O(n·k) per row, same shape note as shingles_col; strings (not
+    hashes) because the consumers below need identities an external
+    engine can reproduce exactly."""
+    from ssb_coefficient_maker_spark.operators.dedup import normalized_text
+
+    words = F.split(normalized_text(col), " ")
+    n = F.size(words)
+    m = n - (k - 1)
+
+    def rolled() -> Column:
+        acc = F.slice(words, 1, m)
+        for j in range(1, k):
+            acc = F.zip_with(
+                acc, F.slice(words, 1 + j, m), lambda a, b: F.concat_ws(" ", a, b)
+            )
+        return acc
+
+    empty = F.array().cast("array<string>")
+    return F.when(n >= k, rolled()).otherwise(empty)
+
+
+def q90_repetition_filter(
+    spark: SparkSession, sf_dir: str, k: int = 3, threshold: float = 0.1
+) -> DataFrame:
+    """Repetition-based quality signal (the Gopher/MassiveText-style
+    rule family): fraction of k-word-grams that are duplicates of an
+    earlier gram in the SAME document. Machine-generated and boiler-
+    plate text repeats itself; high rep_frac docs get filtered before
+    training. Pure per-row expressions (gram array, two sizes) + no
+    shuffle at all — at 100 TB this is a map-only pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    grams = ngram_strings_col(F.col("text"), k)
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    rep = F.when(
+        n_grams > 0,
+        F.round(1.0 - n_distinct.cast("double") / n_grams.cast("double"), 4),
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.select(
+            "doc_id",
+            n_grams.cast("long").alias("n_grams"),
+            n_distinct.cast("long").alias("n_distinct"),
+            rep.alias("rep_frac"),
+        )
+        .withColumn("flagged", (F.col("rep_frac") > threshold).cast("boolean"))
+        .orderBy("doc_id")
+    )

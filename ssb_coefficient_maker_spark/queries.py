@@ -1166,6 +1166,35 @@ STOP_SQL = "['" + "','".join(text.STOPWORDS) + "']"
 EN_MARKERS_SQL = "['the','a','is','and']"
 
 
+def _decontamination_oracle_sql(k: int = 8, bench_max_id: int = 50) -> str:
+    """DuckDB replica of ``q91_decontamination`` — same portable
+    md5-family gram hashes (``shingles_col(family="md5")``), same
+    join/aggregate semantics."""
+    return f"""
+        WITH d AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+          FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(ws) >= {k} THEN
+                   list_distinct([('0x' || substr(md5(array_to_string(ws[i:i+{k - 1}], ' ')), 1, 15))::BIGINT
+                                  for i in generate_series(1, len(ws) - {k - 1})])
+                 ELSE [('0x' || substr(md5(array_to_string(ws, ' ')), 1, 15))::BIGINT]
+                 END AS shs
+          FROM d
+        ), ex AS (
+          SELECT doc_id, unnest(shs) AS g FROM sh
+        )
+        SELECT c.doc_id,
+               count(DISTINCT c.g) AS n_shared_grams,
+               count(DISTINCT b.doc_id) AS n_bench_docs
+        FROM ex c JOIN ex b ON c.g = b.g
+        WHERE c.doc_id >= {bench_max_id} AND b.doc_id < {bench_max_id}
+        GROUP BY c.doc_id ORDER BY c.doc_id
+        """
+
+
 def _minhash_oracle_sql(k: int = 5, threshold: float = 0.4) -> str:
     """DuckDB replica of ``minhash_lsh_pairs(family="md5")`` — the
     SAME hash integers end to end: md5_hash60 shingles, Mersenne
@@ -1730,6 +1759,36 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM n ORDER BY doc_id
         """,
         "text",
+    ),
+    "q90_repetition_filter": QuerySpec(
+        text.q90_repetition_filter,
+        """
+        WITH d AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 CASE WHEN len(ws) >= 3 THEN
+                   [array_to_string(ws[i:i+2], ' ') for i in generate_series(1, len(ws) - 2)]
+                 ELSE [] END AS gs
+          FROM d
+        ), m AS (
+          SELECT doc_id, len(gs) AS n_grams, len(list_distinct(gs)) AS n_distinct,
+                 CASE WHEN len(gs) > 0
+                      THEN round(1.0 - CAST(len(list_distinct(gs)) AS DOUBLE) / len(gs), 4)
+                      ELSE 0.0 END AS rep_frac
+          FROM g
+        )
+        SELECT doc_id, n_grams, n_distinct, rep_frac, rep_frac > 0.1 AS flagged
+        FROM m ORDER BY doc_id
+        """,
+        "text",
+    ),
+    "q91_decontamination": QuerySpec(
+        dedup.q91_decontamination,
+        _decontamination_oracle_sql(),
+        "dedup",
     ),
     "q30_exact_dedup": QuerySpec(
         dedup.q30_exact_dedup,

@@ -46,3 +46,45 @@ def test_sequence_packing_conserves_tokens(spark, sf_dir):
     assert bins["bin_id"].tolist() == sorted(bins["bin_id"].tolist())
     # doc ranges are contiguous across bins (order-preserving packing)
     assert (bins["first_doc"].iloc[1:].to_numpy() > bins["last_doc"].iloc[:-1].to_numpy()).all()
+
+
+def test_repetition_filter_flags_planted_repeats(spark, tmp_path):
+    """A doc that is one phrase looped must score near-max rep_frac;
+    natural-ish text must not be flagged at the 0.1 default."""
+    import pandas as pd
+
+    from ssb_coefficient_maker_spark.operators.text import q90_repetition_filter
+    from ssb_coefficient_maker_spark.sources.loaders import load_table  # noqa: F401
+
+    looped = " ".join(["buy cheap pills now"] * 12)
+    normal = "the quick brown fox jumps over the lazy dog near the old river bank"
+    short = "hi"
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2], "text": [looped, normal, short]})
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(sf + "/documents.parquet")
+    out = q90_repetition_filter(spark, sf).toPandas().set_index("doc_id")
+    assert out.loc[0, "rep_frac"] > 0.8 and bool(out.loc[0, "flagged"])
+    assert not bool(out.loc[1, "flagged"])
+    # sub-k-word doc: zero grams, rep 0, not flagged
+    assert out.loc[2, "n_grams"] == 0 and out.loc[2, "rep_frac"] == 0.0
+
+
+def test_decontamination_finds_planted_overlap(spark, tmp_path):
+    """A corpus doc embedding a benchmark doc's 8-gram must surface
+    with the right benchmark-hit count; clean docs must not."""
+    import pandas as pd
+
+    from ssb_coefficient_maker_spark.operators.dedup import q91_decontamination
+
+    bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    contaminated = "prefix words here " + bench + " suffix words there"
+    clean = "completely unrelated sentence about distributed query engines and storage"
+    pdf = pd.DataFrame(
+        {"doc_id": [0, 100, 101], "text": [bench, contaminated, clean]}
+    )
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(sf + "/documents.parquet")
+    out = q91_decontamination(spark, sf, bench_max_id=50).toPandas()
+    assert out.doc_id.tolist() == [100]
+    assert out.iloc[0].n_bench_docs == 1
+    assert out.iloc[0].n_shared_grams >= 5  # 12-word overlap -> 5 shared 8-grams
