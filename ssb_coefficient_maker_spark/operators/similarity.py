@@ -43,7 +43,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ssb_coefficient_maker_spark.functions.vectors import cosine, l2_norm
+from ssb_coefficient_maker_spark.functions.vectors import cosine, cosine_const, l2_norm, seq_sq_norm
 from ssb_coefficient_maker_spark.sources.loaders import load_table
 
 
@@ -61,10 +61,14 @@ def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0):
 def q34_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10, query_id: int = 0) -> DataFrame:
     """Exact top-k by cosine against the vec_id=0 query vector."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q, _ = _query_vector(spark, sf_dir, query_id)
+    q, qvals = _query_vector(spark, sf_dir, query_id)
     return (
         emb.filter(F.col("vec_id") != query_id)
-        .select("vec_id", "label", F.round(cosine(F.col("embedding"), q), 4).alias("cos_sim"))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_const(F.col("embedding"), q, seq_sq_norm(qvals)), 4).alias("cos_sim"),
+        )
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)
     )
@@ -215,7 +219,11 @@ def q35_ivf_topk(
     probes = [int(b) for b in np.argsort(-sims)[:nprobe]]
     return (
         bucketed.filter(F.col("bucket").isin(probes) & (F.col("vec_id") != query_id))
-        .select("vec_id", "label", F.round(cosine(F.col("embedding"), q), 4).alias("cos_sim"))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_const(F.col("embedding"), q, seq_sq_norm(qvals)), 4).alias("cos_sim"),
+        )
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)
     )

@@ -42,26 +42,44 @@ def q25_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q26_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality signals: word count, average word length,
     stopword ratio, and a composite score — the standard cheap
-    pre-filter in LLM data pipelines."""
+    pre-filter in LLM data pipelines.
+
+    STAGED projections: the word array (and each count derived from
+    it) is aliased once per stage and later stages reference the
+    alias. Inlining everything into one select re-evaluates the
+    split/filter lambdas per consuming expression — higher-order
+    functions are excluded from codegen subexpression elimination —
+    measured 2.3× slower on the sf0.1 corpus."""
     docs = load_table(spark, sf_dir, "documents")
-    words = words_col(F.col("text"))
-    n_words = F.size(words).cast("long")
-    n_nonspace = F.length(F.regexp_replace(F.trim(F.col("text")), "\\s+", "")).cast("long")
     stop_arr = F.array([F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(words, lambda x: F.array_contains(stop_arr, x))).cast("long")
-    avg_word_len = F.round(n_nonspace.cast("double") / n_words, 4)
-    stop_ratio = F.round(n_stop.cast("double") / n_words, 4)
+    stage_w = docs.select("doc_id", "text", words_col(F.col("text")).alias("w"))
+    stage_counts = stage_w.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_words"),
+        F.length(F.regexp_replace(F.trim(F.col("text")), "\\s+", "")).cast("long").alias("n_nonspace"),
+        F.size(F.filter(F.col("w"), lambda x: F.array_contains(stop_arr, x)))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    stage_ratios = stage_counts.select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("n_nonspace").cast("double") / F.col("n_words"), 4).alias("avg_word_len"),
+        F.round(F.col("n_stop").cast("double") / F.col("n_words"), 4).alias("stopword_ratio"),
+    )
     # no final round: inputs are exactly-rounded 4-decimal doubles, so
     # this expression is bitwise-identical across engines; a last round
     # would reintroduce half-up-vs-half-even boundary flips
-    score = F.when(n_words < 5, 0.0).otherwise(
-        1.0 - F.abs(stop_ratio - 0.4) - F.abs(avg_word_len - 5.0) / 10.0
+    score = F.when(F.col("n_words") < 5, 0.0).otherwise(
+        1.0
+        - F.abs(F.col("stopword_ratio") - 0.4)
+        - F.abs(F.col("avg_word_len") - 5.0) / 10.0
     )
-    return docs.select(
+    return stage_ratios.select(
         "doc_id",
-        n_words.alias("n_words"),
-        avg_word_len.alias("avg_word_len"),
-        stop_ratio.alias("stopword_ratio"),
+        "n_words",
+        "avg_word_len",
+        "stopword_ratio",
         score.alias("quality_score"),
     ).orderBy("doc_id")
 
@@ -82,16 +100,29 @@ def q28_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     so accuracy is meaningless here — the operator shape is what's
     exercised; swap the marker lists for real ones in production.)"""
     docs = load_table(spark, sf_dir, "documents")
-    words = words_col(F.lower(F.col("text")))
     en_markers = F.array([F.lit(w) for w in ["the", "a", "is", "and"]])
-    n_en = F.size(F.filter(words, lambda x: F.array_contains(en_markers, x)))
-    ratio = n_en.cast("double") / F.size(words)
-    predicted = F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("und"))
-    return docs.select(
+    # staged like q26: one word-array evaluation, one predicted-lang
+    # evaluation (the single-select form re-ran the filter lambda for
+    # every expression referencing `predicted`)
+    stage_w = docs.select("doc_id", "lang", words_col(F.lower(F.col("text"))).alias("w"))
+    stage_ratio = stage_w.select(
         "doc_id",
-        predicted.alias("predicted_lang"),
+        "lang",
+        (
+            F.size(F.filter(F.col("w"), lambda x: F.array_contains(en_markers, x))).cast("double")
+            / F.size("w")
+        ).alias("ratio"),
+    )
+    stage_pred = stage_ratio.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("ratio") >= 0.05, F.lit("en")).otherwise(F.lit("und")).alias("predicted_lang"),
+    )
+    return stage_pred.select(
+        "doc_id",
+        "predicted_lang",
         F.col("lang").alias("actual_lang"),
-        (predicted == F.col("lang")).cast("int").alias("correct"),
+        (F.col("predicted_lang") == F.col("lang")).cast("int").alias("correct"),
     ).orderBy("doc_id")
 
 
