@@ -370,3 +370,44 @@ def test_fused_equals_unfused_property(spark):
                 np.testing.assert_allclose(
                     got, exp.to_numpy(), rtol=1e-12, atol=1e-12, equal_nan=True
                 )
+
+
+def test_verbose_tracing_surfaces(spark, capsys):
+    """A18 parity: verbose=True must trace parse and batch-skip
+    decisions to stdout (the reference prints under verbose,
+    coeff_maker.py:640-696, 993-1006); non-verbose must stay silent."""
+    import pandas as pd
+
+    from ssb_coefficient_maker_spark.api import CoefficientCalculator, FormulaEvaluator
+
+    a = pd.DataFrame({"x": [1.0, 2.0]})
+    b = pd.DataFrame({"x": [3.0, 4.0]})
+    cmap = pd.DataFrame(
+        {
+            "result": ["ok", "bad_parse", "missing_var"],
+            "formula": ["a + b", "a +* b", "a + nosuch"],
+        }
+    )
+    calc = CoefficientCalculator(
+        coefficient_map=cmap,
+        data_dict={"a": a, "b": b},
+        result_name_col="result",
+        formula_name_col="formula",
+        verbose=True,
+    )
+    results = calc.compute_coefficients()
+    out = capsys.readouterr().out
+    assert set(results) == {"ok"}
+    assert "[parse]" in out and "'a + b'" in out
+    assert "[skip] bad_parse" in out and "unparseable" in out
+    assert "[skip] missing_var" in out and "nosuch" in out
+
+    # silent when verbose=False
+    calc_quiet = CoefficientCalculator(
+        coefficient_map=cmap,
+        data_dict={"a": a, "b": b},
+        result_name_col="result",
+        formula_name_col="formula",
+    )
+    calc_quiet.compute_coefficients()
+    assert "[parse]" not in capsys.readouterr().out
