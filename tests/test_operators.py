@@ -431,3 +431,39 @@ def test_registry_contract(spark, sf_dir):
             assert spec.oracle.strip(), name
     assert set(m.queries()) == set(REGISTRY)
     assert set(m.oracle_sql()) == {n for n, s in REGISTRY.items() if s.oracle}
+
+
+def test_md5_hash60_matches_duckdb_on_unicode(spark):
+    """The portable hash family underpins every value-checked dedup
+    oracle (q31/q33/q91): Spark's conv(substr(md5(x),1,15),16,10) and
+    DuckDB's ('0x'||substr(md5(x),1,15))::BIGINT must agree on
+    arbitrary unicode (both hash the UTF-8 bytes). One batch of
+    adversarial strings through both engines."""
+    import duckdb
+
+    from ssb_coefficient_maker_spark.operators.dedup import md5_hash60
+
+    samples = [
+        "", " ", "  double  spaces  ", "hello", "HELLO", "héllo wörld",
+        "日本語のテキスト", "emoji 🙂 in text", "tab\tand\nnewline",
+        "null\x00byte", "ß sharp s", "combining é vs é", "ascii punct !@#$%^&*()",
+        "very " * 100 + "long", "ожидание", "مرحبا بالعالم", "𝕞𝕒𝕥𝕙 bold",
+    ]
+    pdf = pd.DataFrame({"i": range(len(samples)), "s": samples})
+    got = (
+        spark.createDataFrame(pdf)
+        .select("i", md5_hash60(F.col("s")).alias("h"))
+        .toPandas()
+        .sort_values("i")
+        .h.tolist()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = (
+        con.execute(
+            "SELECT ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM t ORDER BY i"
+        )
+        .df()
+        .h.tolist()
+    )
+    assert got == want
