@@ -1026,6 +1026,67 @@ ORDER BY event_id
 """
 
 
+def q92_gap_fill(spark: SparkSession, sf_dir: str, max_user: int = 50) -> DataFrame:
+    """Time-series gap fill + LOCF (last-observation-carried-forward):
+    per user, a DENSE hourly grid spanning that user's activity, with
+    missing hours carried forward from the last observed hour — the
+    standard densify step before joining irregular event streams to
+    regular time series (sensor rollups, billing periods).
+
+    Shape at scale: the grid generates per-key (sequence + explode —
+    shuffle-free row expansion bounded by the key's own span), the
+    observed rollup is one groupBy, grid⋈observed is an equi-join on
+    (key, hour), and the fill is one ``last(..., ignoreNulls)`` window
+    per key — one shuffle each, all on the same (user) key, so AQE
+    coalesces them onto one exchange where stats allow."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < max_user)
+    hourly = (
+        ev.groupBy("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.round(F.sum("value"), 4).alias("value_sum"))
+    )
+    span = hourly.groupBy("user_id").agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    grid = span.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+    )
+    from pyspark.sql import Window
+
+    win = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    joined = grid.join(hourly, ["user_id", "h"], "left")
+    return (
+        joined.select(
+            "user_id",
+            F.col("h").alias("hour_ts"),
+            F.last("value_sum", ignorenulls=True).over(win).alias("value_filled"),
+            F.col("value_sum").isNull().alias("was_gap"),
+        )
+        .orderBy("user_id", "hour_ts")
+    )
+
+
+_Q92_ORACLE = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, round(sum(value), 4) AS value_sum
+  FROM events WHERE user_id < 50 GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY 1
+), grid AS (
+  SELECT user_id, unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM span
+)
+SELECT g.user_id, g.h AS hour_ts,
+       last_value(hourly.value_sum IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+       hourly.value_sum IS NULL AS was_gap
+FROM grid g LEFT JOIN hourly ON hourly.user_id = g.user_id AND hourly.h = g.h
+ORDER BY g.user_id, hour_ts
+"""
+
+
 def q83_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full LLM-preprocessing pipeline as ONE lazy plan: quality
     filter (≥20 words) → exact dedup (normalized-hash keep-first) →
@@ -1546,6 +1607,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "q84_rolling_range_window": QuerySpec(
         q84_rolling_range_window, _Q84_ORACLE, "window"
     ),
+    "q92_gap_fill": QuerySpec(q92_gap_fill, _Q92_ORACLE, "window"),
     "q85_map_functions": QuerySpec(q85_map_functions, _Q85_ORACLE, "scalar_fn"),
     "q86_batch_sessions": QuerySpec(q86_batch_sessions, _Q86_ORACLE, "window"),
     "q87_array_predicates": QuerySpec(q87_array_predicates, _Q87_ORACLE, "scalar_fn"),

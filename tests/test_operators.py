@@ -467,3 +467,31 @@ def test_md5_hash60_matches_duckdb_on_unicode(spark):
         .h.tolist()
     )
     assert got == want
+
+
+def test_gap_fill_locf_semantics(spark, tmp_path):
+    """Planted gap: hours 10:00 and 13:00 observed, 11:00/12:00 missing
+    — the grid must densify to 4 hours, carry 10:00's value forward,
+    and flag exactly the generated rows as gaps."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from ssb_coefficient_maker_spark.queries import q92_gap_fill
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, t0, 5.0),
+        (1, t0 + dt.timedelta(minutes=30), 2.0),   # same 10:00 bucket
+        (1, t0 + dt.timedelta(hours=3), 9.0),      # 13:00
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "value"])
+    pdf["event_id"] = range(len(pdf))
+    pdf["event_type"] = "x"
+    pdf["props"] = "{}"
+    sf = str(tmp_path)
+    spark.createDataFrame(pdf).write.parquet(sf + "/events.parquet")
+    out = q92_gap_fill(spark, sf).toPandas()
+    assert len(out) == 4  # 10,11,12,13
+    assert out.value_filled.tolist() == [7.0, 7.0, 7.0, 9.0]
+    assert out.was_gap.tolist() == [False, True, True, False]
