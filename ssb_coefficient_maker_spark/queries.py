@@ -1087,6 +1087,48 @@ ORDER BY g.user_id, hour_ts
 """
 
 
+def q93_argmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin WITHOUT a window sort: per customer segment, the
+    orderkey holding the max total price and the date of the earliest
+    order, as max/min over (metric, key) structs (``max_by`` with a
+    deterministic tie-break). Same answer as the rank-window form
+    (q09's shape) but ONE partial+final hash aggregation — no
+    per-partition sort, no rank evaluation; at scale this is the
+    cheaper plan whenever only the extreme row (not a top-k) is
+    needed. Struct comparison is lexicographic in both engines, so
+    ties on the metric resolve to the same row everywhere."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey)
+    # deterministic tie-break: max/min of a (metric, key) struct is
+    # lexicographic in BOTH engines, so the extreme row is unique
+    price_key = F.struct(
+        F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k")
+    )
+    date_key = F.struct(F.col("o_orderdate").alias("d"), F.col("o_orderkey").alias("k"))
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(
+            F.max(price_key).getField("k").alias("top_orderkey"),
+            F.round(F.max("o_totalprice"), 4).alias("top_price"),
+            F.min(date_key).getField("k").alias("first_orderkey"),
+            F.min("o_orderdate").alias("first_orderdate"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_Q93_ORACLE = """
+SELECT c_mktsegment,
+       (max(struct_pack(p := o_totalprice, k := o_orderkey))).k AS top_orderkey,
+       round(max(o_totalprice), 4) AS top_price,
+       (min(struct_pack(d := o_orderdate, k := o_orderkey))).k AS first_orderkey,
+       min(o_orderdate) AS first_orderdate
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 def q83_llm_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full LLM-preprocessing pipeline as ONE lazy plan: quality
     filter (≥20 words) → exact dedup (normalized-hash keep-first) →
@@ -1608,6 +1650,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q84_rolling_range_window, _Q84_ORACLE, "window"
     ),
     "q92_gap_fill": QuerySpec(q92_gap_fill, _Q92_ORACLE, "window"),
+    "q93_argmax_agg": QuerySpec(q93_argmax_agg, _Q93_ORACLE, "aggregation"),
     "q85_map_functions": QuerySpec(q85_map_functions, _Q85_ORACLE, "scalar_fn"),
     "q86_batch_sessions": QuerySpec(q86_batch_sessions, _Q86_ORACLE, "window"),
     "q87_array_predicates": QuerySpec(q87_array_predicates, _Q87_ORACLE, "scalar_fn"),
