@@ -1087,6 +1087,87 @@ ORDER BY g.user_id, hour_ts
 """
 
 
+def q94_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered multi-step funnel (view → click → purchase): per user,
+    the earliest qualifying timestamp of each step given the PREVIOUS
+    step happened before it — the standard product-analytics
+    conversion query. Step k's time is a conditional min against step
+    k-1's time; each step costs one hash aggregation over ONLY its
+    event-type slice (filter pushed to the scan) joined to the tiny
+    per-user step table. Output: users reaching each stage (funnel
+    counts are then one count aggregation away).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    # pass 1: earliest ts per (user, step) — one shuffle over events
+    per_step = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+            *[
+                F.min(F.when(F.col("event_type") == t, F.col("ts"))).alias(f"all_{t}")
+                for t in ("click", "purchase")
+            ],
+        )
+    )
+    # the chained funnel needs "earliest click AFTER the first view";
+    # min-per-type is not enough when a user clicks before viewing, so
+    # each step re-aggregates a conditional min against the previous
+    # step's time. Each pass scans ONLY its step's event-type slice
+    # (the filter reaches the parquet scan) joined to the tiny
+    # per-user step table — an n-step funnel costs n pushed-down
+    # slice scans, not n full scans.
+    ev2 = ev.filter(F.col("event_type") == "click").join(
+        per_step.select("user_id", "t_view"), "user_id"
+    )
+    chained = ev2.groupBy("user_id").agg(
+        F.min(F.when(F.col("ts") > F.col("t_view"), F.col("ts"))).alias("t_click")
+    )
+    ev3 = ev.filter(F.col("event_type") == "purchase").join(
+        chained.select("user_id", "t_click"), "user_id"
+    )
+    purch = ev3.groupBy("user_id").agg(
+        F.min(F.when(F.col("ts") > F.col("t_click"), F.col("ts"))).alias("t_purchase")
+    )
+    out = (
+        per_step.select("user_id", "t_view")
+        .join(chained, "user_id", "left")
+        .join(purch, "user_id", "left")
+    )
+    return (
+        out.select(
+            "user_id",
+            F.col("t_view").isNotNull().alias("reached_view"),
+            F.col("t_click").isNotNull().alias("reached_click"),
+            F.col("t_purchase").isNotNull().alias("reached_purchase"),
+        )
+        .filter(F.col("reached_view"))
+        .orderBy("user_id")
+    )
+
+
+_Q94_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events WHERE event_type IN ('view','click','purchase') GROUP BY user_id
+), c AS (
+  SELECT e.user_id, min(CASE WHEN e.event_type = 'click' AND e.ts > v.t_view THEN e.ts END) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, min(CASE WHEN e.event_type = 'purchase' AND e.ts > c.t_click THEN e.ts END) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id GROUP BY e.user_id
+)
+SELECT v.user_id,
+       v.t_view IS NOT NULL AS reached_view,
+       c.t_click IS NOT NULL AS reached_click,
+       p.t_purchase IS NOT NULL AS reached_purchase
+FROM v LEFT JOIN c ON c.user_id = v.user_id
+       LEFT JOIN p ON p.user_id = v.user_id
+WHERE v.t_view IS NOT NULL
+ORDER BY v.user_id
+"""
+
+
 def q93_argmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Argmax/argmin WITHOUT a window sort: per customer segment, the
     orderkey holding the max total price and the date of the earliest
@@ -1651,6 +1732,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "q92_gap_fill": QuerySpec(q92_gap_fill, _Q92_ORACLE, "window"),
     "q93_argmax_agg": QuerySpec(q93_argmax_agg, _Q93_ORACLE, "aggregation"),
+    "q94_funnel": QuerySpec(q94_funnel, _Q94_ORACLE, "window"),
     "q85_map_functions": QuerySpec(q85_map_functions, _Q85_ORACLE, "scalar_fn"),
     "q86_batch_sessions": QuerySpec(q86_batch_sessions, _Q86_ORACLE, "window"),
     "q87_array_predicates": QuerySpec(q87_array_predicates, _Q87_ORACLE, "scalar_fn"),
