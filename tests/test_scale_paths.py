@@ -177,3 +177,15 @@ def test_plan_battery_codegen(spark, sf_dir):
     import re
 
     assert re.search(r"\*\(\d+\) HashAggregate", plan)
+
+
+def test_plan_battery_funnel_slice_scans(spark, sf_dir):
+    """q94's chained steps must each scan only their event-type slice:
+    every events scan in the plan carries a pushed event_type filter
+    or the IsNotNull pre-filter of the first full-step aggregation —
+    no unfiltered full scan per step."""
+    from ssb_coefficient_maker_spark.queries import REGISTRY
+
+    plan = _executed_plan(REGISTRY["q94_funnel"].fn(spark, sf_dir))
+    # the two chained steps push EqualTo(event_type, ...) to the scan
+    assert plan.count("EqualTo(event_type,") >= 2, plan[:2000]
