@@ -1087,6 +1087,45 @@ ORDER BY g.user_id, hour_ts
 """
 
 
+def q95_histogram(spark: SparkSession, sf_dir: str, n_bins: int = 20) -> DataFrame:
+    """Equi-width histogram of order totals: the canonical profiling /
+    EDA operator. Two-pass shape that survives any scale: pass 1 is a
+    1-row min/max aggregation, broadcast back (AQE picks broadcast
+    from the 1-row stats); pass 2 bins every row with pure arithmetic
+    and hash-aggregates the counts — bins are map-side combinable, so
+    the shuffle carries at most n_bins rows per task. The last bin is
+    closed (v = max lands in bin n_bins-1 via least())."""
+    orders = load_table(spark, sf_dir, "orders")
+    stats = orders.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    binned = orders.crossJoin(stats).select(
+        F.least(
+            F.floor(
+                (F.col("o_totalprice") - F.col("mn"))
+                / ((F.col("mx") - F.col("mn")) / n_bins)
+            ),
+            F.lit(n_bins - 1),
+        )
+        .cast("long")
+        .alias("bin"),
+        "mn",
+        "mx",
+    )
+    return binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n")).orderBy("bin")
+
+
+_Q95_ORACLE = f"""
+WITH stats AS (
+  SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
+)
+SELECT CAST(least(floor((o_totalprice - mn) / ((mx - mn) / 20)), 19) AS BIGINT) AS bin,
+       count(*) AS n
+FROM orders, stats
+GROUP BY 1 ORDER BY bin
+"""
+
+
 def q94_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered multi-step funnel (view → click → purchase): per user,
     the earliest qualifying timestamp of each step given the PREVIOUS
@@ -1733,6 +1772,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "q92_gap_fill": QuerySpec(q92_gap_fill, _Q92_ORACLE, "window"),
     "q93_argmax_agg": QuerySpec(q93_argmax_agg, _Q93_ORACLE, "aggregation"),
     "q94_funnel": QuerySpec(q94_funnel, _Q94_ORACLE, "window"),
+    "q95_histogram": QuerySpec(q95_histogram, _Q95_ORACLE, "aggregation"),
     "q85_map_functions": QuerySpec(q85_map_functions, _Q85_ORACLE, "scalar_fn"),
     "q86_batch_sessions": QuerySpec(q86_batch_sessions, _Q86_ORACLE, "window"),
     "q87_array_predicates": QuerySpec(q87_array_predicates, _Q87_ORACLE, "scalar_fn"),
