@@ -495,3 +495,27 @@ def test_gap_fill_locf_semantics(spark, tmp_path):
     assert len(out) == 4  # 10,11,12,13
     assert out.value_filled.tolist() == [7.0, 7.0, 7.0, 9.0]
     assert out.was_gap.tolist() == [False, True, True, False]
+
+
+def test_approx_distinct_error_bound(spark, sf_dir):
+    """q44 is rows-only (HLL estimators differ by engine), so pin its
+    QUALITY here instead: every approximate distinct count must sit
+    within 5% of the exact count (HLL++ default rsd is 5%)."""
+    from ssb_coefficient_maker_spark.operators.relational import q44_approx_distinct
+    from ssb_coefficient_maker_spark.sources.loaders import load_table
+
+    approx = q44_approx_distinct(spark, sf_dir).toPandas().set_index("l_returnflag")
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.countDistinct("l_orderkey").alias("orders"),
+        )
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    for flag in exact.index:
+        for a_col, e_col in (("approx_parts", "parts"), ("approx_orders", "orders")):
+            a, e = approx.loc[flag, a_col], exact.loc[flag, e_col]
+            assert abs(a - e) / e <= 0.05, (flag, a_col, a, e)
