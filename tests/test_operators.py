@@ -499,8 +499,9 @@ def test_gap_fill_locf_semantics(spark, tmp_path):
 
 def test_approx_distinct_error_bound(spark, sf_dir):
     """q44 is rows-only (HLL estimators differ by engine), so pin its
-    QUALITY here instead: every approximate distinct count must sit
-    within 5% of the exact count (HLL++ default rsd is 5%)."""
+    QUALITY here instead: HLL++'s default rsd is 5% — a standard
+    deviation, not a bound (observed 5.5% on one small group) — so
+    assert every estimate within 3 sigma (15%) of exact."""
     from ssb_coefficient_maker_spark.operators.relational import q44_approx_distinct
     from ssb_coefficient_maker_spark.sources.loaders import load_table
 
@@ -518,4 +519,4 @@ def test_approx_distinct_error_bound(spark, sf_dir):
     for flag in exact.index:
         for a_col, e_col in (("approx_parts", "parts"), ("approx_orders", "orders")):
             a, e = approx.loc[flag, a_col], exact.loc[flag, e_col]
-            assert abs(a - e) / e <= 0.05, (flag, a_col, a, e)
+            assert abs(a - e) / e <= 0.15, (flag, a_col, a, e)
