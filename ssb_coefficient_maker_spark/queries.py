@@ -1090,11 +1090,14 @@ ORDER BY g.user_id, hour_ts
 def q95_histogram(spark: SparkSession, sf_dir: str, n_bins: int = 20) -> DataFrame:
     """Equi-width histogram of order totals: the canonical profiling /
     EDA operator. Two-pass shape that survives any scale: pass 1 is a
-    1-row min/max aggregation, broadcast back (AQE picks broadcast
-    from the 1-row stats); pass 2 bins every row with pure arithmetic
-    and hash-aggregates the counts — bins are map-side combinable, so
-    the shuffle carries at most n_bins rows per task. The last bin is
-    closed (v = max lands in bin n_bins-1 via least())."""
+    1-row min/max aggregation broadcast back via crossJoin — the plan
+    shows a BroadcastNestedLoopJoin, which is fine HERE and only here:
+    the broadcast side is exactly one row (the scalar-subquery
+    pattern), so the "nested loop" is a constant per row. Pass 2 bins
+    every row with pure arithmetic and hash-aggregates the counts —
+    bins are map-side combinable, so the shuffle carries at most
+    n_bins rows per task. The last bin is closed (v = max lands in
+    bin n_bins-1 via least())."""
     orders = load_table(spark, sf_dir, "orders")
     stats = orders.agg(
         F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
