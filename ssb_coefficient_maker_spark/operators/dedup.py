@@ -435,16 +435,18 @@ def q91_decontamination(
     invisible post-hoc, so it must be a first-class corpus operator.
 
     Shape at scale: both sides reduce to (gram_hash, doc_id) streams
-    — the ONLY shuffle is the equi-join on the 60-bit gram hash, and
-    the benchmark side is tiny (broadcastable by AQE from runtime
-    stats; no forced hint). Grams ride the portable md5 family
-    (``shingles_col(family="md5")``) so the DuckDB oracle replicates
-    every hash; a production run would flip the family to xxhash64 —
-    one argument, same plan.
+    — the ONLY shuffle is the equi-join on the gram hash, and the
+    benchmark side is tiny (broadcastable by AQE from runtime stats;
+    no forced hint). Unlike q31/q33, the OUTPUT here is only
+    set-intersection COUNTS, which are hash-independent as long as
+    identities are collision-free — so the fast xxhash64 family runs
+    in production AND under the oracle (whose DuckDB replica counts
+    the same intersections over md5 identities; both count the same
+    k-word-gram sets).
     """
     docs = load_table(spark, sf_dir, "documents")
     grams = lambda df: df.select(  # noqa: E731
-        "doc_id", F.explode(shingles_col(F.col("text"), k=k, family="md5")).alias("g")
+        "doc_id", F.explode(shingles_col(F.col("text"), k=k)).alias("g")
     )
     bench = grams(docs.filter(F.col("doc_id") < bench_max_id)).select(
         F.col("doc_id").alias("bench_id"), "g"
