@@ -520,3 +520,23 @@ def test_approx_distinct_error_bound(spark, sf_dir):
         for a_col, e_col in (("approx_parts", "parts"), ("approx_orders", "orders")):
             a, e = approx.loc[flag, a_col], exact.loc[flag, e_col]
             assert abs(a - e) / e <= 0.15, (flag, a_col, a, e)
+
+
+def test_connected_components_clusters_and_hygiene(spark):
+    """Planted graph: a 4-node chain (transitive closure — pairs never
+    directly linked must still share a label), an isolated pair, and a
+    singleton. Also: the iteration must not leak persisted RDDs
+    beyond the returned label map."""
+    from ssb_coefficient_maker_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 99]], "node long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    labels = connected_components(nodes, edges)
+    got = {r.node: r.label for r in labels.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
+    labels.unpersist(blocking=True)
+    assert jsc.getPersistentRDDs().size() <= before
