@@ -1,21 +1,28 @@
 """Deduplication operators (SURVEY.md §2 Part C EXT; the core
 LLM-data-pipeline surface).
 
-Four tiers, cheapest-first — the order a 100 TB pipeline runs them:
+Tiers, cheapest-first — the order a 100 TB pipeline runs them:
 
-1. exact_dedup        — hash groupBy; one shuffle on a 128-bit hash.
-2. minhash_lsh_pairs  — near-dup candidates via MinHash banding:
-                        per-row signature (no shuffle), explode bands
-                        (constant factor), self-join on band bucket
-                        (shuffle on bucket id, each bucket tiny),
-                        then exact-Jaccard verify on candidates only.
-3. simhash            — 64-bit SimHash per doc + banded blocking.
-4. ngram_jaccard      — exact verification join, for candidates or
-                        small corpora (quadratic if unblocked — at
-                        scale ALWAYS feed it LSH candidates).
+1. exact_dedup         — hash groupBy; one shuffle on a 128-bit hash.
+2. minhash_lsh_pairs   — near-dup candidates via MinHash banding:
+                         per-row signature (no shuffle), explode bands
+                         (constant factor), self-join on band bucket
+                         (shuffle on bucket id, each bucket tiny),
+                         then exact-Jaccard verify on candidates only.
+3. simhash_table       — SimHash fingerprint per doc + banded blocking.
+4. ngram_jaccard       — exact verification join, for candidates or
+                         small corpora (quadratic if unblocked — at
+                         scale ALWAYS feed it LSH candidates).
+5. connected_components — pairs → canonical doc per transitive group
+                         (cluster resolution, iterative min-label).
+6. q91_decontamination — shared-k-gram join against a held-out
+                         benchmark set (pre-training hygiene).
 
-Everything is built-in functions (xxhash64, explode, groupBy) — no
-Python UDFs anywhere.
+Everything is built-in functions (explode, groupBy, hash exprs) — no
+Python UDFs anywhere. Hash-dependent operators take a ``family``
+argument: ``xxhash64`` (production default, cheapest) or ``md5``
+(``md5_hash60`` — identical integers in DuckDB, so the oracle checks
+values, not just shapes).
 """
 
 from __future__ import annotations
