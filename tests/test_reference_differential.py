@@ -128,3 +128,60 @@ def test_label_alignment_matches_reference(spark, reference_evaluator_cls):
     pd.testing.assert_frame_equal(
         got.sort_index(), expected.sort_index(), check_dtype=False
     )
+
+
+def test_batch_calculator_matches_reference(spark, reference_evaluator_cls):
+    """CoefficientCalculator parity on a 4-row map (one valid, one
+    empty formula, one with a missing variable, one more valid):
+    the reference and this engine must compute the same result SET
+    (same skips) and the same numbers."""
+    if not os.path.isdir(REF_SRC):
+        pytest.skip("reference checkout not available")
+    sys.path.insert(0, REF_SRC)
+    try:
+        from ssb_coefficient_maker import CoefficientCalculator as RefCC
+    finally:
+        sys.path.remove(REF_SRC)
+
+    from ssb_coefficient_maker_spark.api import CoefficientCalculator
+
+    data = _data()
+    cmap = pd.DataFrame(
+        {
+            "result_name": ["sum_ab", "skipped_empty", "skipped_missing", "ratio"],
+            "formula": ["a + b", "", "a + nosuch", "a / (a + b)"],
+        }
+    )
+    # adp_enabled=False: the reference DEFAULTS to True, and in that
+    # default mode its own batch loop crashes ('"**" in formula_str'
+    # on a sympy Add — coeff_maker.py:744, SURVEY §2 warts); upstream's
+    # tests also only exercise the calculator with ADP off.
+    ref = RefCC(
+        coefficient_map=cmap.copy(),
+        data_dict={k: v.copy() for k, v in data.items()},
+        result_name_col="result_name",
+        formula_name_col="formula",
+        adp_enabled=False,
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        expected = ref.compute_coefficients()
+    ours = CoefficientCalculator(
+        coefficient_map=cmap,
+        data_dict=data,
+        result_name_col="result_name",
+        formula_name_col="formula",
+        spark=spark,
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        got = ours.compute_coefficients_to_pandas()
+    assert set(got) == set(expected) == {"sum_ab", "ratio"}
+    for name in got:
+        pd.testing.assert_frame_equal(
+            got[name].sort_index(),
+            expected[name].sort_index(),
+            check_dtype=False,
+            rtol=1e-12,
+            atol=1e-12,
+        )
