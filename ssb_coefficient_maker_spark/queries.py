@@ -1087,6 +1087,54 @@ ORDER BY g.user_id, hour_ts
 """
 
 
+def q96_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data mixing / per-stratum deterministic sampling: downsample the
+    over-represented language and keep the rest at a higher rate — the
+    corpus-reweighting step every LLM training mix needs. The keep
+    decision is a pure function of the stable doc id (q78's portable
+    Knuth bucket, mod 1000 for 0.1% rate granularity): reproducible
+    across runs AND engines, unlike seeded RNG sampling. Rates live in
+    a tiny dimension joined on lang — AQE broadcasts it from runtime
+    stats; at scale the rates table is the tuned mixture config.
+    Output: per-lang kept/total counts + the realized rate."""
+    docs = load_table(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        [("en", 200), ("de", 800), ("fr", 800), ("es", 800), ("zh", 800)],
+        "lang string, keep_milli int",
+    )
+    bucket = F.pmod(
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)), F.lit(1000)
+    )
+    return (
+        docs.join(rates, "lang")
+        .select("lang", (bucket < F.col("keep_milli")).alias("keep"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.round(
+                F.sum(F.col("keep").cast("long")) / F.count(F.lit(1)), 4
+            ).alias("realized_rate"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q96_ORACLE = """
+WITH rates(lang, keep_milli) AS (
+  VALUES ('en', 200), ('de', 800), ('fr', 800), ('es', 800), ('zh', 800)
+), flagged AS (
+  SELECT d.lang,
+         ((d.doc_id * 2654435761) % 4294967296) % 1000 < r.keep_milli AS keep
+  FROM documents d JOIN rates r ON d.lang = r.lang
+)
+SELECT lang, count(*) AS n_total,
+       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS realized_rate
+FROM flagged GROUP BY lang ORDER BY lang
+"""
+
+
 def q95_histogram(spark: SparkSession, sf_dir: str, n_bins: int = 20) -> DataFrame:
     """Equi-width histogram of order totals: the canonical profiling /
     EDA operator. Two-pass shape that survives any scale: pass 1 is a
@@ -1776,6 +1824,7 @@ REGISTRY: dict[str, QuerySpec] = {
     "q93_argmax_agg": QuerySpec(q93_argmax_agg, _Q93_ORACLE, "aggregation"),
     "q94_funnel": QuerySpec(q94_funnel, _Q94_ORACLE, "window"),
     "q95_histogram": QuerySpec(q95_histogram, _Q95_ORACLE, "aggregation"),
+    "q96_stratified_sample": QuerySpec(q96_stratified_sample, _Q96_ORACLE, "text"),
     "q85_map_functions": QuerySpec(q85_map_functions, _Q85_ORACLE, "scalar_fn"),
     "q86_batch_sessions": QuerySpec(q86_batch_sessions, _Q86_ORACLE, "window"),
     "q87_array_predicates": QuerySpec(q87_array_predicates, _Q87_ORACLE, "scalar_fn"),
