@@ -133,6 +133,18 @@ def _convert(node: ast.expr, formula: str) -> FormulaExpr:
         return BinOp(op, _convert(node.left, formula), _convert(node.comparators[0], formula))
     if isinstance(node, ast.Call):
         return _convert_call(node, formula)
+    if isinstance(node, ast.Attribute):
+        # The reference forwards raw formulas to pd.eval, where `m.T`
+        # (transpose) is reachable but never exercised by its tests
+        # (reference coeff_maker.py:766). Declared a v1 non-goal in
+        # SURVEY.md §7: matrices here are long-format DataFrames, so a
+        # transpose is a relabeling of the pivot, not an expression op.
+        raise FormulaError(
+            f"attribute access {node.attr!r} in {formula!r} is not supported: "
+            "pd.eval-style attributes like '.T' (transpose) are a documented "
+            "deviation from the reference (see SURVEY.md §7 non-goals); "
+            "pivot/relabel the input DataFrame instead"
+        )
     raise FormulaError(f"unsupported syntax in formula {formula!r}: {type(node).__name__}")
 
 

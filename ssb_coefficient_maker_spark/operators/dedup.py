@@ -143,7 +143,9 @@ def _shingle_table(docs: DataFrame, family: str = "xxhash64") -> DataFrame:
     input releases the previous cache first, so a long-lived session
     holds at most one copy."""
     global _SHINGLE_CACHE
-    key = (docs._jdf.queryExecution().analyzed().semanticHash(), family)
+    # DataFrame.semanticHash() is the public fingerprint of the analyzed
+    # plan (stable across Spark Connect, unlike _jdf internals).
+    key = (docs.semanticHash(), family)
     if _SHINGLE_CACHE is not None and _SHINGLE_CACHE[0] == key:
         return _SHINGLE_CACHE[1]
     release_shingle_cache()
@@ -432,8 +434,17 @@ def q77_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res
 
 
+# Shared with the DuckDB oracle (queries._decontamination_oracle_sql)
+# so engine and oracle can't drift (round-2 ADVICE).
+DECON_BENCH_MAX_ID = 50
+DECON_K = 8
+
+
 def q91_decontamination(
-    spark: SparkSession, sf_dir: str, bench_max_id: int = 50, k: int = 8
+    spark: SparkSession,
+    sf_dir: str,
+    bench_max_id: int = DECON_BENCH_MAX_ID,
+    k: int = DECON_K,
 ) -> DataFrame:
     """Benchmark decontamination: find training docs sharing any
     k-word-gram with a held-out benchmark set (docs with

@@ -161,7 +161,10 @@ def q66_tfidf_top_terms(spark: SparkSession, sf_dir: str, top_k: int = 3) -> Dat
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
-    n_docs = docs.count()
+    # Corpus size as a broadcast 1-row aggregate (the q95 scalar-subquery
+    # pattern) instead of a separate driver-side count() action: the whole
+    # TF-IDF computation is ONE Spark job.
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     ex = docs.select("doc_id", F.explode(words_col(F.col("text"))).alias("w"))
     tf = ex.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tfreq"))
     doclen = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dlen"))
@@ -169,11 +172,12 @@ def q66_tfidf_top_terms(spark: SparkSession, sf_dir: str, top_k: int = 3) -> Dat
     scored = (
         tf.join(doclen, "doc_id")
         .join(dfreq, "w")
+        .crossJoin(F.broadcast(nd))
         .withColumn(
             "tfidf",
             F.round(
                 (F.col("tfreq") / F.col("dlen"))
-                * F.log(F.lit(float(n_docs)) / F.col("dfreq")),
+                * F.log(F.col("n_docs") / F.col("dfreq")),
                 4,
             ),
         )

@@ -1026,7 +1026,15 @@ ORDER BY event_id
 """
 
 
-def q92_gap_fill(spark: SparkSession, sf_dir: str, max_user: int = 50) -> DataFrame:
+# Shared engine/oracle constants (round-2 ADVICE: source both sides
+# from one definition so a changed default can't silently break parity).
+Q92_MAX_USER = 50
+Q95_N_BINS = 20
+
+
+def q92_gap_fill(
+    spark: SparkSession, sf_dir: str, max_user: int = Q92_MAX_USER
+) -> DataFrame:
     """Time-series gap fill + LOCF (last-observation-carried-forward):
     per user, a DENSE hourly grid spanning that user's activity, with
     missing hours carried forward from the last observed hour — the
@@ -1068,10 +1076,10 @@ def q92_gap_fill(spark: SparkSession, sf_dir: str, max_user: int = 50) -> DataFr
     )
 
 
-_Q92_ORACLE = """
+_Q92_ORACLE = f"""
 WITH hourly AS (
   SELECT user_id, date_trunc('hour', ts) AS h, round(sum(value), 4) AS value_sum
-  FROM events WHERE user_id < 50 GROUP BY 1, 2
+  FROM events WHERE user_id < {Q92_MAX_USER} GROUP BY 1, 2
 ), span AS (
   SELECT user_id, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY 1
 ), grid AS (
@@ -1135,7 +1143,9 @@ FROM flagged GROUP BY lang ORDER BY lang
 """
 
 
-def q95_histogram(spark: SparkSession, sf_dir: str, n_bins: int = 20) -> DataFrame:
+def q95_histogram(
+    spark: SparkSession, sf_dir: str, n_bins: int = Q95_N_BINS
+) -> DataFrame:
     """Equi-width histogram of order totals: the canonical profiling /
     EDA operator. Two-pass shape that survives any scale: pass 1 is a
     1-row min/max aggregation broadcast back via crossJoin — the plan
@@ -1170,7 +1180,7 @@ _Q95_ORACLE = f"""
 WITH stats AS (
   SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx FROM orders
 )
-SELECT CAST(least(floor((o_totalprice - mn) / ((mx - mn) / 20)), 19) AS BIGINT) AS bin,
+SELECT CAST(least(floor((o_totalprice - mn) / ((mx - mn) / {Q95_N_BINS})), {Q95_N_BINS - 1}) AS BIGINT) AS bin,
        count(*) AS n
 FROM orders, stats
 GROUP BY 1 ORDER BY bin
@@ -1190,15 +1200,9 @@ def q94_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # pass 1: earliest ts per (user, step) — one shuffle over events
     per_step = (
-        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+        ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
-        .agg(
-            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
-            *[
-                F.min(F.when(F.col("event_type") == t, F.col("ts"))).alias(f"all_{t}")
-                for t in ("click", "purchase")
-            ],
-        )
+        .agg(F.min("ts").alias("t_view"))
     )
     # the chained funnel needs "earliest click AFTER the first view";
     # min-per-type is not enough when a user clicks before viewing, so
@@ -1440,7 +1444,9 @@ STOP_SQL = "['" + "','".join(text.STOPWORDS) + "']"
 EN_MARKERS_SQL = "['the','a','is','and']"
 
 
-def _decontamination_oracle_sql(k: int = 8, bench_max_id: int = 50) -> str:
+def _decontamination_oracle_sql(
+    k: int = dedup.DECON_K, bench_max_id: int = dedup.DECON_BENCH_MAX_ID
+) -> str:
     """DuckDB replica of ``q91_decontamination`` — same portable
     md5-family gram hashes (``shingles_col(family="md5")``), same
     join/aggregate semantics."""

@@ -81,9 +81,26 @@ def source_fingerprint(sf_dir: str) -> str:
 
 def _derived_root(sf_dir: str, layout: str) -> str:
     key = source_fingerprint(sf_dir)[:12]
-    return os.path.join(
-        tempfile.gettempdir(), "spark_graft_derived", f"{os.path.basename(sf_dir)}-{key}", layout
-    )
+    base = os.path.basename(sf_dir)
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_derived")
+    _evict_stale_siblings(root, base, key)
+    return os.path.join(root, f"{base}-{key}", layout)
+
+
+def _evict_stale_siblings(root: str, base: str, live_key: str) -> None:
+    """Delete derived dirs for the same sf_dir basename under a stale
+    fingerprint. Testdata is regenerated every round; without eviction
+    each regeneration mints a new ``{base}-{key}`` dir and the old ones
+    accumulate forever (flagged in round-2 ADVICE)."""
+    import shutil
+
+    try:
+        siblings = os.scandir(root)
+    except FileNotFoundError:
+        return
+    for e in siblings:
+        if e.is_dir() and e.name.startswith(f"{base}-") and e.name != f"{base}-{live_key}":
+            shutil.rmtree(e.path, ignore_errors=True)
 
 
 def _is_done(path: str) -> bool:
@@ -196,6 +213,23 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """
     key = source_fingerprint(sf_dir)[:8]
     t_orders, t_lineitem = f"orders_bkt_{key}", f"lineitem_bkt_{key}"
+    # Drop catalog entries bucketed against a superseded fingerprint
+    # (backing files already evicted by _evict_stale_siblings). Tables
+    # for a DIFFERENT live sf_dir keep their files and are left alone.
+    for stale in spark.catalog.listTables():
+        name = stale.name
+        if name.startswith(("orders_bkt_", "lineitem_bkt_")) and name not in (
+            t_orders,
+            t_lineitem,
+        ):
+            loc = (
+                spark.sql(f"DESCRIBE FORMATTED {name}")
+                .filter("col_name = 'Location'")
+                .collect()
+            )
+            path = loc[0].data_type.replace("file:", "") if loc else ""
+            if not path or not os.path.exists(path):
+                spark.sql(f"DROP TABLE IF EXISTS {name}")
     for tname, src, cols in (
         (t_orders, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"]),
         (t_lineitem, "lineitem", ["l_orderkey", "l_quantity", "l_extendedprice"]),

@@ -229,3 +229,105 @@ def test_adp_evaluate_to_parquet_single_pass(spark, tmp_path):
         .toPandas().sort_values("__row_id__").reset_index(drop=True)
     )
     assert filled["x"][1] == "0.0"
+
+
+# ------------------------------------------------------------------
+# Property fuzz of the Series-only ADP route (api.py adp_eval_vectors)
+# — round-2 VERDICT item 7: the vector path gets the same treatment as
+# the matrix path in test_property_formula.py. Random formulas ×
+# random precisions vs an INDEPENDENT mpmath oracle (plain Python eval
+# over mpf operands, not _mp_eval).
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_VEC_NAMES = ["u", "v"]
+_VEC_LITS = ["2", "0.5", "3.0", "1e-25"]
+
+
+@st.composite
+def _vec_formulas(draw, depth: int = 0):
+    if depth >= 2:
+        return draw(st.sampled_from(_VEC_NAMES + _VEC_LITS))
+    kind = draw(st.integers(0, 2))
+    if kind == 0:
+        return draw(st.sampled_from(_VEC_NAMES))
+    if kind == 1:
+        return draw(st.sampled_from(_VEC_LITS))
+    op = draw(st.sampled_from(["+", "-", "*", "/", "**"]))
+    left = draw(_vec_formulas(depth=depth + 1))
+    # keep exponents small literals so magnitudes stay in mpf comfort
+    right = (
+        draw(st.sampled_from(["2", "0.5"]))
+        if op == "**"
+        else draw(_vec_formulas(depth=depth + 1))
+    )
+    return f"({left} {op} {right})"
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(formula=_vec_formulas(), dps=st.sampled_from([20, 30, 50]))
+def test_adp_vector_fuzz_vs_mpmath(spark, formula, dps):
+    import re as _re
+
+    # strictly positive operands: '**' stays real-valued (zero
+    # denominators can still arise from e.g. 'u - u' — handled below)
+    u_vals = [1.5, 2.0, 1e-30, 7.25]
+    v_vals = [3.0, 0.125, 4.0, 1e20]
+    # literals enter the engine DECIMALLY (mpf('1e-25'), not the
+    # nearest binary double) — the oracle must ingest them the same way
+    mp_formula = _re.sub(
+        r"(?<![\w.])(\d+(?:\.\d+)?(?:e-?\d+)?)", r"mpf('\1')", formula
+    )
+
+    def oracle_env(i):
+        return {
+            "u": mpmath.mpf(repr(u_vals[i])),
+            "v": mpmath.mpf(repr(v_vals[i])),
+            "mpf": mpmath.mpf,
+            "__builtins__": {},
+        }
+
+    fe = FormulaEvaluator(
+        {"u": pd.Series(u_vals), "v": pd.Series(v_vals)},
+        adp_enabled=True,
+        decimal_precision=dps,
+        spark=spark,
+    )
+    try:
+        got = fe.evaluate_formula(formula)
+    except ZeroDivisionError:
+        # engine raised the guarded ADP zero-division diagnostic; the
+        # oracle must agree that SOME element divides by zero
+        with mpmath.workdps(dps):
+            hits = 0
+            for i in range(4):
+                try:
+                    eval(mp_formula, oracle_env(i))  # noqa: S307
+                except ZeroDivisionError:
+                    hits += 1
+            assert hits > 0, formula
+        return
+    if not any(n in formula for n in _VEC_NAMES):
+        # all-literal formula: scalar result by design (matches the
+        # float path's compiled.is_scalar route)
+        with mpmath.workdps(dps):
+            expected = eval(mp_formula, oracle_env(0))  # noqa: S307
+            assert float(got) == pytest.approx(float(expected))
+        return
+    assert isinstance(got, pd.Series) and len(got) == 4
+    with mpmath.workdps(dps):
+        eps = mpmath.mpf(10) ** (-(dps - 5))
+        for i in range(4):
+            expected = eval(mp_formula, oracle_env(i))  # noqa: S307 — oracle
+            expected = mpmath.mpf(expected) if isinstance(expected, int) else expected
+            assert mpmath.almosteq(got.iloc[i], expected, rel_eps=eps), (
+                formula,
+                i,
+                got.iloc[i],
+                expected,
+            )

@@ -128,3 +128,13 @@ def test_where_whitelist():
     assert isinstance(expr, Call) and expr.func == "where"
     with pytest.raises(FormulaError):
         parse_formula("where(a, b)")
+
+
+def test_transpose_attribute_rejected_with_deviation_note():
+    # `m.T` is reachable through pd.eval in the reference
+    # (coeff_maker.py:766) but is a documented v1 non-goal (SURVEY.md
+    # §7): the error must say so rather than emit a generic parse error.
+    with pytest.raises(FormulaError, match=r"(?s)'T'.*deviation.*SURVEY"):
+        parse_formula("m.T")
+    with pytest.raises(FormulaError, match="attribute access"):
+        parse_formula("(a + b).T * c")

@@ -189,3 +189,29 @@ def test_plan_battery_funnel_slice_scans(spark, sf_dir):
     plan = _executed_plan(REGISTRY["q94_funnel"].fn(spark, sf_dir))
     # the two chained steps push EqualTo(event_type, ...) to the scan
     assert plan.count("EqualTo(event_type,") >= 2, plan[:2000]
+
+
+def test_q66_tfidf_builds_lazily_no_driver_count(spark, sf_dir):
+    """q66's corpus size is a broadcast 1-row aggregate INSIDE the
+    plan (round-2 VERDICT item 5), not a separate ``docs.count()``
+    driver action: constructing the DataFrame must launch zero jobs."""
+    from ssb_coefficient_maker_spark.operators.text import q66_tfidf_top_terms
+
+    sc = spark.sparkContext
+    # baseline: jobs a bare documents read costs (parquet schema read)
+    sc.setJobGroup("q66_probe_base", "bare load_table")
+    try:
+        load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    finally:
+        sc.setJobGroup(None, None)
+    base = len(sc.statusTracker().getJobIdsForGroup("q66_probe_base"))
+    sc.setJobGroup("q66_probe_build", "q66 plan construction")
+    try:
+        df = q66_tfidf_top_terms(spark, sf_dir)
+    finally:
+        sc.setJobGroup(None, None)
+    built = len(sc.statusTracker().getJobIdsForGroup("q66_probe_build"))
+    # pre-fix this was base + 1 (the separate docs.count() action)
+    assert built <= base, (built, base)
+    # and the fused plan still evaluates (collect is allowed to job)
+    assert df.limit(5).count() >= 0

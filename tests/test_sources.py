@@ -188,3 +188,27 @@ def test_loaded_ts_is_plain_timestamp(spark, sf_dir):
     assert isinstance(sev.schema["ts"].dataType, T.TimestampType), sev.schema["ts"].dataType
     # and epoch math must resolve (this is what broke under NTZ)
     ev.select(F.unix_micros("ts")).limit(1).collect()
+
+
+def test_stale_derived_siblings_evicted(tmp_path):
+    """Regenerated testdata mints a new fingerprint; the old
+    ``{base}-{key}`` derived dirs for the same sf_dir must be deleted
+    (round-2 ADVICE: unbounded temp growth across rounds)."""
+    import os
+    import tempfile
+
+    from ssb_coefficient_maker_spark.sources.derived import (
+        _derived_root,
+        source_fingerprint,
+    )
+
+    sf = tmp_path / "sfx"
+    sf.mkdir()
+    (sf / "documents.parquet").write_bytes(b"a")
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_derived")
+    stale = os.path.join(root, "sfx-deadbeef0000")
+    os.makedirs(os.path.join(stale, "events_by_date"), exist_ok=True)
+    live = _derived_root(str(sf), "events_by_date")
+    key = source_fingerprint(str(sf))[:12]
+    assert f"sfx-{key}" in live
+    assert not os.path.exists(stale)
