@@ -57,20 +57,33 @@ def main() -> int:
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     total_warm = round(sum(warm.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "total_wall_sec_all_queries",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_warm": warm,
-                "total_warm_sec": total_warm,
-                "sf": float(sf) if sf else sf_dir,
-                "n_queries": len(timings),
-            }
-        )
+    payload = {
+        "metric": "total_wall_sec_all_queries",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_warm": warm,
+        "total_warm_sec": total_warm,
+        "sf": float(sf) if sf else sf_dir,
+        "n_queries": len(timings),
+    }
+    print(json.dumps(payload))
+    # The driver keeps only a stdout tail, which truncates 96 queries —
+    # persist the full cold+warm table in the repo so every run's
+    # per-query numbers stay reviewable (round-2 VERDICT item 3).
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"bench_results_sf{sf or 'x'}.json",
+        ),
     )
+    try:
+        with open(out_path, "w") as f:
+            json.dump(payload, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as exc:
+        print(f"BENCH WARN could not write {out_path}: {exc}", file=sys.stderr)
     return 0
 
 

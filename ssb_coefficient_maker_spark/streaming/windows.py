@@ -34,16 +34,23 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (file source; stands in for
     Kafka). Normalizes ts to a session-UTC timestamp like the batch
     loader, whatever the file's physical type."""
+    import os
+
     from ssb_coefficient_maker_spark.sources.loaders import _ensure_session_confs
 
     _ensure_session_confs(spark)
-    # the file stream source wants a directory: scan sf_dir, keep only
-    # the events file
-    raw = (
-        spark.readStream.schema(_events_schema(spark, sf_dir))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # events.parquet is a DIRECTORY of part files in any real layout
+    # (engine-written datasets, production tables) — stream that dir
+    # directly. The driver's testdata ships it as a single FILE, which
+    # a file-stream source can't be pointed at: scan sf_dir with a
+    # pathGlobFilter instead (matches leaf file names, so it would see
+    # ZERO files in the directory layout — the sf1 empty-stream bug).
+    base = os.path.join(sf_dir, "events.parquet")
+    reader = spark.readStream.schema(_events_schema(spark, sf_dir))
+    if os.path.isdir(base):
+        raw = reader.parquet(base)
+    else:
+        raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     ts_type = raw.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
