@@ -543,7 +543,13 @@ def q52_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps both directions.
     """
     n1, n2 = "NATION_1", "NATION_2"
-    nation = load_table(spark, sf_dir, "nation")
+    # Pre-filter the dim to the two nations BEFORE the fact joins: the
+    # final OR-of-ANDs spans both join sides, so Catalyst can't derive
+    # the per-side IN(n1,n2) constraint itself. With it, the enriched
+    # customer/supplier sides shrink 25/2x before touching the fact
+    # stream (classic TPC-H Q7 rewrite) — at scale that's the
+    # difference between a broadcastable build side and a full shuffle.
+    nation = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(n1, n2))
     cust = load_table(spark, sf_dir, "customer").join(
         F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
     ).select("c_custkey", F.col("n_name").alias("cust_nation"))
