@@ -1536,6 +1536,536 @@ def _minhash_oracle_sql(k: int = 5, threshold: float = 0.4) -> str:
         ORDER BY doc_a, doc_b
         """
 
+# ------------------------------------------------------------ round-3 surface
+
+# Shared engine/oracle constants (both sides read the same values so a
+# changed default cannot silently break parity).
+Q97_UPDATE_MOD = 97
+Q97_INSERT_MOD = 499
+Q97_INSERT_KEY_SHIFT = 10_000_000
+Q99_N_PER_LANG = 40
+Q99_OVERSAMPLE = 4
+Q100_MILLI = 1000
+Q104_TOP_DAYS = 10
+Q106_MIN_PRICE = 400_000.0
+
+# PII patterns shared by the Spark plan and the DuckDB oracle. Kept to
+# constructs Java regex and RE2 treat identically (character classes,
+# bounded greedy quantifiers — no lookaround, no backrefs, no
+# alternation whose leftmost-first vs leftmost-longest semantics could
+# diverge).
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+PII_PHONE_RE = r"555-\d{4}"
+
+
+def q97_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE / upsert: apply a deterministic changeset (price
+    corrections on every 97th order + net-new rows cloned above the
+    key space) to the orders table via operators/merge.py
+    merge_upsert — ONE hash aggregation over the union, no join, no
+    window sort (see the module docstring for why this beats the
+    full-outer-join formulation at scale). Result: per-status counts
+    and totals over the merged table, where 'U'/'I' rows prove the
+    update and insert paths both landed."""
+    from ssb_coefficient_maker_spark.operators.merge import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    updates = (
+        orders.filter(F.col("o_orderkey") % Q97_UPDATE_MOD == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    inserts = (
+        orders.filter(F.col("o_orderkey") % Q97_INSERT_MOD == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(Q97_INSERT_KEY_SHIFT))
+        .withColumn("o_orderstatus", F.lit("I"))
+    )
+    merged = merge_upsert(orders, updates.unionByName(inserts), key="o_orderkey")
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+_Q97_ORACLE = f"""
+WITH changeset AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         o_totalprice + 100.0 AS o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % {Q97_UPDATE_MOD} = 0
+  UNION ALL
+  SELECT o_orderkey + {Q97_INSERT_KEY_SHIFT}, o_custkey, 'I',
+         o_totalprice, o_orderdate, o_orderpriority
+  FROM orders WHERE o_orderkey % {Q97_INSERT_MOD} = 0
+), merged AS (
+  SELECT * FROM changeset
+  UNION ALL
+  SELECT * FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM changeset c WHERE c.o_orderkey = o.o_orderkey)
+)
+SELECT o_orderstatus, count(*) AS n_orders,
+       round(sum(o_totalprice), 4) AS total_price
+FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q98_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix — the standard product-analytics
+    rollup: users grouped by first-active week, counted in each later
+    week. Three shuffles, all keyed sensibly for scale: distinct
+    (user, week) partial-aggregates map-side before the user shuffle,
+    the cohort min reuses the same user partitioning (AQE coalesces
+    the exchanges), and the final matrix aggregation is tiny
+    (weeks x offsets rows)."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    offset = (
+        (F.unix_timestamp("week") - F.unix_timestamp("cohort_week")) / 604800
+    ).cast("long")
+    return (
+        uw.join(cohort, "user_id")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            offset.alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+_Q98_ORACLE = """
+WITH uw AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+), cohort AS (
+  SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY 1
+)
+SELECT strftime(c.cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST((epoch(u.week) - epoch(c.cohort_week)) / 604800 AS BIGINT) AS week_offset,
+       count(DISTINCT u.user_id) AS n_users
+FROM uw u JOIN cohort c USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q99_exact_group_sample(
+    spark: SparkSession, sf_dir: str, n: int = Q99_N_PER_LANG
+) -> DataFrame:
+    """Exactly-N-per-stratum deterministic sample (eval-set carving,
+    per-language audit samples) — complements q96's rate-based
+    sampling, which cannot promise exact counts. Order within a
+    stratum is by the portable Knuth hash of doc_id (uniform,
+    engine-reproducible), so the sample is stable across runs and
+    engines.
+
+    Scale shape: a naive per-group row_number sorts EVERY row of a
+    100 TB table. Instead a hash-threshold PRE-FILTER keeps only
+    ~n*oversample expected rows per stratum (hb/2^32 < n*os/count —
+    exact integer arithmetic, replicated in the oracle), and the
+    row_number window sorts just the survivors. The oversample factor
+    makes undershoot probability astronomically small; because the
+    oracle applies the same filter, even that case stays parity-green."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    hb = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    pref = (
+        docs.select("doc_id", "lang", hb.alias("hb"))
+        .join(counts, "lang")
+        # hb < 2^32 and n_total up to ~2e9 keeps the product in int64
+        .filter(F.col("hb") * F.col("n_total") < F.lit(n * Q99_OVERSAMPLE * 4294967296))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("hb").asc(), F.col("doc_id").asc())
+    return (
+        pref.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= n)
+        .select("lang", "rk", "doc_id")
+        .orderBy("lang", "rk")
+    )
+
+
+_Q99_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS hb FROM documents
+), c AS (
+  SELECT lang, count(*) AS n_total FROM documents GROUP BY 1
+), pref AS (
+  SELECT h.doc_id, h.lang, h.hb
+  FROM h JOIN c USING (lang)
+  WHERE h.hb * c.n_total < {Q99_N_PER_LANG * Q99_OVERSAMPLE} * 4294967296
+), rk AS (
+  SELECT lang, doc_id,
+         row_number() OVER (PARTITION BY lang ORDER BY hb, doc_id) AS rk
+  FROM pref
+)
+SELECT lang, CAST(rk AS INTEGER) AS rk, doc_id
+FROM rk WHERE rk <= {Q99_N_PER_LANG} ORDER BY lang, rk
+"""
+
+
+def q100_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based data mixing (tau = 0.5): per-language keep
+    rates proportional to count^(tau-1) = 1/sqrt(count), normalized
+    so the SMALLEST language keeps everything — the standard
+    multilingual flattening rule (the sampled distribution becomes
+    proportional to count^tau, shrinking the head's dominance without
+    discarding the tail). Rates are integer milli-probabilities
+    against the portable Knuth bucket, so the kept set is a
+    deterministic pure function of doc_id that any engine reproduces.
+
+    Scale: one count aggregation, one 1-row max broadcast back (the
+    scalar-subquery crossJoin pattern, no driver round-trip), one
+    lang-keyed join of a languages-sized dimension (AQE broadcasts
+    it), one filter+count. Nothing is proportional to the corpus but
+    the two scans."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    w = counts.select(
+        "lang", "n_total", (F.lit(1.0) / F.sqrt("n_total")).alias("w")
+    )
+    wmax = w.agg(F.max("w").alias("wmax"))
+    rates = w.crossJoin(wmax).select(
+        "lang",
+        "n_total",
+        F.floor(F.col("w") / F.col("wmax") * Q100_MILLI).cast("long").alias("keep_milli"),
+    )
+    milli = F.pmod(
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)), F.lit(Q100_MILLI)
+    )
+    kept = (
+        docs.select("lang", milli.alias("milli"))
+        .join(rates.select("lang", "keep_milli"), "lang")
+        .filter(F.col("milli") < F.col("keep_milli"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "lang", "left")
+        .select(
+            "lang", "n_total", "keep_milli",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q100_ORACLE = f"""
+WITH c AS (
+  SELECT lang, count(*) AS n_total FROM documents GROUP BY 1
+), r AS (
+  SELECT lang, n_total,
+         CAST(floor((1.0 / sqrt(n_total))
+                    / (SELECT max(1.0 / sqrt(n_total)) FROM c)
+                    * {Q100_MILLI}) AS BIGINT) AS keep_milli
+  FROM c
+), k AS (
+  SELECT d.lang, count(*) AS n_kept
+  FROM documents d JOIN r USING (lang)
+  WHERE ((d.doc_id * 2654435761) % 4294967296) % {Q100_MILLI} < r.keep_milli
+  GROUP BY 1
+)
+SELECT r.lang, r.n_total, r.keep_milli, coalesce(k.n_kept, 0) AS n_kept
+FROM r LEFT JOIN k USING (lang) ORDER BY lang
+"""
+
+
+def q101_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every training-data pipeline
+    runs before anything else. The corpus ships no real PII, so each
+    doc gets deterministic synthetic PII (email, IPv4, phone derived
+    from doc_id) appended first; the scrub then counts and replaces
+    all three classes with typed placeholder tokens. Everything is
+    pure JVM regex expressions — map-only, no shuffle except the final
+    per-language rollup, so it composes in front of any other stage
+    at any scale."""
+    did = F.col("doc_id")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), did.cast("string"),
+        F.lit("@example.com from 10.0."),
+        (did % 256).cast("string"), F.lit("."), (did % 100).cast("string"),
+        F.lit(" tel 555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(pii_text, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IP_RE, "<IP>",
+        ),
+        PII_PHONE_RE, "<PHONE>",
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            F.regexp_count(pii_text, F.lit(PII_EMAIL_RE)).alias("n_email"),
+            F.regexp_count(pii_text, F.lit(PII_IP_RE)).alias("n_ip"),
+            F.regexp_count(pii_text, F.lit(PII_PHONE_RE)).alias("n_phone"),
+            F.length(red).alias("red_len"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_email").alias("n_emails"),
+            F.sum("n_ip").alias("n_ips"),
+            F.sum("n_phone").alias("n_phones"),
+            F.sum("red_len").alias("total_redacted_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q101_ORACLE = """
+WITH pii AS (
+  SELECT lang,
+         text || ' contact u' || CAST(doc_id AS VARCHAR)
+              || '@example.com from 10.0.'
+              || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)
+              || ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents
+), scored AS (
+  SELECT lang,
+         len(regexp_extract_all(t, '@EMAIL@')) AS n_email,
+         len(regexp_extract_all(t, '@IP@')) AS n_ip,
+         len(regexp_extract_all(t, '@PHONE@')) AS n_phone,
+         length(regexp_replace(regexp_replace(regexp_replace(
+             t, '@EMAIL@', '<EMAIL>', 'g'), '@IP@', '<IP>', 'g'),
+             '@PHONE@', '<PHONE>', 'g')) AS red_len
+  FROM pii
+)
+SELECT lang, count(*) AS n_docs, sum(n_email) AS n_emails, sum(n_ip) AS n_ips,
+       sum(n_phone) AS n_phones, sum(red_len) AS total_redacted_len
+FROM scored GROUP BY lang ORDER BY lang
+""".replace("@EMAIL@", PII_EMAIL_RE).replace("@IP@", PII_IP_RE).replace(
+    "@PHONE@", PII_PHONE_RE
+)
+
+
+def q102_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-stratum CDF / quantile normalization of a score — the
+    rank-based calibration step for mixing heterogeneous quality
+    scores (each language's score distribution maps onto [0,1] before
+    a global threshold). percent_rank over a deterministic total
+    order (score, then id) bucketed into deciles; one shuffle on the
+    stratum key, per-partition sort, tiny rollup."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    decile = F.least(F.floor(F.percent_rank().over(w) * 10), F.lit(9)).cast("long")
+    return (
+        docs.select("lang", "n_chars", decile.alias("decile"))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang", "decile")
+    )
+
+
+_Q102_ORACLE = """
+WITH ranked AS (
+  SELECT lang, n_chars,
+         CAST(least(floor(percent_rank() OVER (
+           PARTITION BY lang ORDER BY n_chars, doc_id) * 10), 9) AS BIGINT) AS decile
+  FROM documents
+)
+SELECT lang, decile, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars
+FROM ranked GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def q103_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric per-vector quantization of the embedding column
+    — the 4x storage/bandwidth cut ANN shortlists ship at scale (the
+    PQ tier, q81, is the ~50x cousin; int8 is the cheap first rung
+    that keeps exact-ish dot products). scale = max|v|/127, code_i =
+    floor(v_i/scale + 0.5) (floor(x+.5) instead of round() because
+    engines disagree on round-half semantics, floor never does).
+    Reported: per-label mean squared reconstruction error in ppm —
+    entirely JVM higher-order array expressions, map-only until the
+    tiny label rollup."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    with_scale = emb.select("label", v.alias("v")).select(
+        "label", "v",
+        (F.array_max(F.transform("v", F.abs)) / F.lit(127.0)).alias("scale"),
+    )
+    sqerr = F.aggregate(
+        F.transform(
+            "v",
+            lambda x: F.pow(
+                x - F.floor(x / F.col("scale") + F.lit(0.5)) * F.col("scale"),
+                F.lit(2.0),
+            ),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        with_scale.select("label", (sqerr / F.size("v")).alias("mse"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("mse") * 1e6, 4).alias("mse_ppm"),
+        )
+        .orderBy("label")
+    )
+
+
+_Q103_ORACLE = """
+WITH v AS (
+  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), s AS (
+  SELECT label, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM v
+), e AS (
+  SELECT label,
+         list_sum(list_transform(
+           v, x -> pow(x - floor(x / scale + 0.5) * scale, 2))) / len(v) AS mse
+  FROM s
+)
+SELECT label, count(*) AS n_vecs, round(avg(mse) * 1000000, 4) AS mse_ppm
+FROM e GROUP BY label ORDER BY label
+"""
+
+
+def q104_dpp_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the date-partitioned events copy
+    joined to a materialized date DIMENSION (sources/derived.py
+    date_dim_path) filtered on a non-key attribute (busy_rank <= 10 —
+    the top days by aggregated value, a property of the dim data that
+    static predicate inference cannot project onto the fact's
+    partition column). Catalyst plants a DynamicPruningExpression on
+    the fact scan: the dim executes first and only the matching date
+    directories are read (plan-asserted in tests). At 100 TB this is
+    the difference between scanning the table and scanning 10 days,
+    decided per-run by the data itself — q59's static pruning cannot
+    express it."""
+    from ssb_coefficient_maker_spark.sources.derived import (
+        date_dim_path,
+        partitioned_events_path,
+    )
+
+    fact = spark.read.parquet(partitioned_events_path(spark, sf_dir))
+    dim = spark.read.parquet(date_dim_path(spark, sf_dir))
+    busy = dim.filter(F.col("busy_rank") <= Q104_TOP_DAYS)
+    return (
+        fact.join(busy.select("event_date"), "event_date")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q104_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS event_date, round(sum(value), 4) AS day_value
+  FROM events GROUP BY 1
+), busy AS (
+  SELECT event_date FROM daily ORDER BY day_value DESC, event_date
+  LIMIT {Q104_TOP_DAYS}
+)
+SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events e JOIN busy b ON CAST(e.ts AS DATE) = b.event_date
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q105_incremental_mv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental materialized view: a running per-type
+    (count, sum) aggregate maintained by update-mode foreachBatch —
+    each micro-batch emits only the CHANGED keys, and the sink merges
+    them by dynamically overwriting just those keys' partitions
+    (q65's partition-granular pattern applied continuously). The MV
+    is then read back; on a finite replay it equals the batch
+    aggregate, which is the oracle. Production: the same plan off
+    Kafka maintains the dashboard table forever with per-key state,
+    not per-event storage."""
+    from ssb_coefficient_maker_spark.streaming.windows import incremental_mv_path
+
+    mv = spark.read.parquet(incremental_mv_path(spark, sf_dir))
+    return (
+        mv.select(
+            "event_type", "n_events", F.round(F.col("sum_value"), 4).alias("total_value")
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q105_ORACLE = """
+SELECT event_type, count(*) AS n_events, round(sum(value), 4) AS total_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
+def q106_runtime_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning: orders is filtered to the
+    priciest tail, and Catalyst injects a bloom_filter_agg built from
+    the filtered keys as a might_contain predicate on the lineitem
+    scan side — rows that cannot join are dropped BEFORE the shuffle
+    (plan-asserted in tests). At 100 TB this prunes the dominant
+    shuffle by the dim's selectivity without any manual semi-join.
+    Confs are scoped to a cloned session (newSession shares the JVM
+    and catalog but isolates conf), so lowering the injection
+    thresholds for this local-scale demo can't perturb other
+    queries' plans. Broadcast is disabled in the clone because
+    Catalyst only injects bloom filters into SHUFFLE joins (a
+    broadcast join already prunes at the probe) — at 100 TB the
+    orders side exceeds any broadcast threshold and this is the plan
+    that runs."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+    )
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    orders = load_table(s2, sf_dir, "orders").filter(
+        F.col("o_totalprice") > Q106_MIN_PRICE
+    )
+    li = load_table(s2, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        li.join(orders.select("o_orderkey", "o_orderpriority"),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4)
+            .alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q106_ORACLE = f"""
+SELECT o_orderpriority, count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_totalprice > {Q106_MIN_PRICE}
+GROUP BY 1 ORDER BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(
         relational.q01_pricing_summary,
@@ -2491,6 +3021,24 @@ REGISTRY: dict[str, QuerySpec] = {
         FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
         """,
         "scalar_fn",
+    ),
+    "q97_merge_upsert": QuerySpec(q97_merge_upsert, _Q97_ORACLE, "storage"),
+    "q98_cohort_retention": QuerySpec(q98_cohort_retention, _Q98_ORACLE, "window"),
+    "q99_exact_group_sample": QuerySpec(q99_exact_group_sample, _Q99_ORACLE, "text"),
+    "q100_temperature_mixing": QuerySpec(
+        q100_temperature_mixing, _Q100_ORACLE, "text"
+    ),
+    "q101_pii_redaction": QuerySpec(q101_pii_redaction, _Q101_ORACLE, "text"),
+    "q102_quantile_normalize": QuerySpec(
+        q102_quantile_normalize, _Q102_ORACLE, "window"
+    ),
+    "q103_int8_quantization": QuerySpec(
+        q103_int8_quantization, _Q103_ORACLE, "similarity"
+    ),
+    "q104_dpp_prune_join": QuerySpec(q104_dpp_prune_join, _Q104_ORACLE, "storage"),
+    "q105_incremental_mv": QuerySpec(q105_incremental_mv, _Q105_ORACLE, "streaming"),
+    "q106_runtime_filter_join": QuerySpec(
+        q106_runtime_filter_join, _Q106_ORACLE, "join"
     ),
 }
 

@@ -249,3 +249,30 @@ def bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             .saveAsTable(tname)
         )
     return t_orders, t_lineitem
+
+
+def date_dim_path(spark: SparkSession, sf_dir: str) -> str:
+    """A materialized date dimension derived from events: per-date
+    activity rollups plus a busy-day rank (by total value, date
+    tie-break). Gives the dynamic-partition-pruning demo (q104) a
+    genuinely independent dim TABLE whose selective literal filter
+    (busy_rank <= k) cannot be statically inferred onto the fact
+    scan — the real star-schema shape."""
+    path = _derived_root(sf_dir, "date_dim")
+    if not _is_done(path):
+        from pyspark.sql import Window
+
+        daily = (
+            load_table(spark, sf_dir, "events")
+            .groupBy(F.to_date("ts").alias("event_date"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("day_value"),
+            )
+        )
+        # global rank over a days-sized frame (one row per date — tiny
+        # by construction at any corpus size)
+        w = Window.orderBy(F.col("day_value").desc(), F.col("event_date").asc())
+        dim = daily.withColumn("busy_rank", F.row_number().over(w))
+        dim.write.mode("overwrite").parquet(path)
+    return path

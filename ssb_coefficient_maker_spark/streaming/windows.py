@@ -159,3 +159,64 @@ def stream_to_parquet_foreachBatch(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def incremental_mv_path(spark: SparkSession, sf_dir: str) -> str:
+    """Maintain a per-event_type (count, sum) materialized view
+    incrementally: an update-mode streaming aggregation whose
+    foreachBatch sink merges each micro-batch's CHANGED keys into the
+    MV by dynamically overwriting only those keys' partitions — q65's
+    partition-granular overwrite applied continuously. State is
+    per-key (5 event types), so it is cardinality-bounded regardless
+    of input volume; the MV directory is the always-current dashboard
+    table. Keyed by the source fingerprint: a regenerated testdata
+    drop rebuilds the MV from a fresh checkpoint."""
+    import tempfile
+
+    from ssb_coefficient_maker_spark.sources.derived import source_fingerprint
+
+    key = source_fingerprint(sf_dir)[:12]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_derived", f"q105-{key}")
+    out, ckpt = os.path.join(root, "mv"), os.path.join(root, "ckpt")
+
+    def run_stream() -> None:
+        agg = (
+            stream_events(spark, sf_dir)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("sum_value"),
+            )
+        )
+
+        def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
+            # update mode emits only keys whose aggregate changed this
+            # batch; dynamic overwrite replaces exactly those keys'
+            # partition directories in the MV
+            (
+                batch_df.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("event_type")
+                .parquet(out)
+            )
+
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_stream()
+    if not os.path.isdir(out):
+        # checkpoint survived but the MV didn't (tmp cleanup / partial
+        # crash): drop the checkpoint and replay from scratch
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+        run_stream()
+    return out
