@@ -2066,6 +2066,128 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+_q107_counter = [0]
+
+
+def q107_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream watermarked interval join — the last streaming
+    primitive in the surface: views and purchases as two independent
+    event streams, inner-joined on user with the purchase inside the
+    hour after the view. Spark buffers both sides in keyed state and
+    evicts it as the watermarks advance past the interval bound; the
+    emitted pairs are aggregated per user from the sink.
+
+    The replay watermark is set beyond the corpus span (finite replay
+    of UNORDERED part files: a production-sized watermark would evict
+    state between micro-batches and silently drop cross-batch pairs —
+    exactly the late-data semantics, but wrong for an oracle-checked
+    full replay). Production: the same plan with a watermark sized to
+    the real out-of-orderness, e.g. minutes; state then stays bounded
+    by (watermark + interval) x arrival rate."""
+    from ssb_coefficient_maker_spark.streaming.windows import (
+        run_to_memory,
+        stream_events,
+    )
+
+    views = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(F.col("user_id").alias("vu"), F.col("ts").alias("vts"))
+        .withWatermark("vts", "60 days")
+    )
+    purchases = (
+        stream_events(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("pu"), F.col("ts").alias("pts"))
+        .withWatermark("pts", "60 days")
+    )
+    joined = views.join(
+        purchases,
+        (F.col("vu") == F.col("pu"))
+        & (F.col("pts") > F.col("vts"))
+        & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    _q107_counter[0] += 1
+    name = f"q107_sink_{_q107_counter[0]}"
+    sink = run_to_memory(spark, joined.select(F.col("vu").alias("user_id")), name, "append")
+    return (
+        sink.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("user_id")
+    )
+
+
+_Q107_ORACLE = """
+SELECT v.user_id, count(*) AS n_pairs
+FROM events v JOIN events p
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q108_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate through the Arrow GROUPED_AGG pandas UDF seam
+    — the UDAF surface for statistics Spark has no builtin for. The
+    example is an interquartile (middle-50%) trimmed mean: sort the
+    group, drop n//4 from each end POSITIONALLY, average the rest —
+    a rank-positional definition both engines reproduce exactly
+    (quantile-interpolation definitions differ across engines and
+    would never hash-match). Arrow moves each group as one numpy
+    batch; state is per-group, partial-aggregated per partition by
+    Spark's grouped-agg machinery."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _trimmed_mean(v):
+        import numpy as np
+
+        s = np.sort(v.to_numpy(dtype=float))
+        k = len(s) // 4
+        kept = s[k : len(s) - k] if len(s) > 2 * k else s
+        return float(kept.mean())
+
+    # annotations set as REAL types: this module uses postponed
+    # annotation evaluation, under which inline hints reach
+    # pandas_udf as unresolvable strings
+    _trimmed_mean.__annotations__ = {"v": pd.Series, "return": float}
+    trimmed_mean = pandas_udf(_trimmed_mean, "double")
+
+    def _n(v):
+        return len(v)
+
+    # Spark disallows mixing GROUPED_AGG pandas UDFs with JVM
+    # aggregates in one agg, so the count rides the same Arrow batch
+    _n.__annotations__ = {"v": pd.Series, "return": int}
+    n_udaf = pandas_udf(_n, "long")
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            n_udaf("o_totalprice").alias("n_orders"),
+            F.round(trimmed_mean("o_totalprice"), 4).alias("trimmed_mean_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_Q108_ORACLE = """
+WITH r AS (
+  SELECT o_orderpriority, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice, o_orderkey) AS rn,
+         count(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM orders
+)
+SELECT o_orderpriority, max(n) AS n_orders,
+       round(avg(o_totalprice) FILTER (
+         WHERE rn > n // 4 AND rn <= n - n // 4), 4) AS trimmed_mean_price
+FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(
         relational.q01_pricing_summary,
@@ -3040,6 +3162,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "q106_runtime_filter_join": QuerySpec(
         q106_runtime_filter_join, _Q106_ORACLE, "join"
     ),
+    "q107_stream_stream_join": QuerySpec(
+        q107_stream_stream_join, _Q107_ORACLE, "streaming"
+    ),
+    "q108_grouped_agg_udaf": QuerySpec(q108_grouped_agg_udaf, _Q108_ORACLE, "udf"),
 }
 
 

