@@ -355,9 +355,8 @@ def q80_streaming_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     so re-runs process zero new data and the sink stays stable; the
     read-back equals the batch aggregation (q20's oracle)."""
     import os
-    import tempfile
 
-    from ssb_coefficient_maker_spark.sources.derived import source_fingerprint
+    from ssb_coefficient_maker_spark.sources.derived import prefixed_cache_root
     from ssb_coefficient_maker_spark.sources.loaders import _ensure_session_confs
     from ssb_coefficient_maker_spark.streaming.windows import (
         stream_events,
@@ -366,8 +365,7 @@ def q80_streaming_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _ensure_session_confs(spark)
-    key = source_fingerprint(sf_dir)[:12]
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_derived", f"q80-{key}")
+    root = prefixed_cache_root("q80", sf_dir)
     out, ckpt = os.path.join(root, "out"), os.path.join(root, "ckpt")
     def run_stream() -> None:
         q = stream_to_parquet_foreachBatch(

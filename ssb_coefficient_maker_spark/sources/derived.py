@@ -276,3 +276,29 @@ def date_dim_path(spark: SparkSession, sf_dir: str) -> str:
         dim = daily.withColumn("busy_rank", F.row_number().over(w))
         dim.write.mode("overwrite").parquet(path)
     return path
+
+
+def prefixed_cache_root(tag: str, sf_dir: str) -> str:
+    """Fingerprint-keyed cache dir for per-query derived state
+    (streaming checkpoints/sinks: q80, q105). Same eviction contract
+    as ``_derived_root``: when the source fingerprint changes, stale
+    siblings of the same tag are removed — without this, every
+    testdata regeneration minted a new ``{tag}-{key}`` dir forever
+    (the round-2 ADVICE leak, fixed for ``{base}-{key}`` dirs but not
+    for these)."""
+    import shutil
+    import tempfile
+
+    key = source_fingerprint(sf_dir)[:12]
+    root = os.path.join(tempfile.gettempdir(), "spark_graft_derived")
+    try:
+        for e in os.scandir(root):
+            if (
+                e.is_dir()
+                and e.name.startswith(f"{tag}-")
+                and e.name != f"{tag}-{key}"
+            ):
+                shutil.rmtree(e.path, ignore_errors=True)
+    except FileNotFoundError:
+        pass
+    return os.path.join(root, f"{tag}-{key}")

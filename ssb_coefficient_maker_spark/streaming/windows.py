@@ -170,13 +170,11 @@ def incremental_mv_path(spark: SparkSession, sf_dir: str) -> str:
     per-key (5 event types), so it is cardinality-bounded regardless
     of input volume; the MV directory is the always-current dashboard
     table. Keyed by the source fingerprint: a regenerated testdata
-    drop rebuilds the MV from a fresh checkpoint."""
-    import tempfile
+    drop rebuilds the MV from a fresh checkpoint (stale-fingerprint
+    siblings evicted by prefixed_cache_root)."""
+    from ssb_coefficient_maker_spark.sources.derived import prefixed_cache_root
 
-    from ssb_coefficient_maker_spark.sources.derived import source_fingerprint
-
-    key = source_fingerprint(sf_dir)[:12]
-    root = os.path.join(tempfile.gettempdir(), "spark_graft_derived", f"q105-{key}")
+    root = prefixed_cache_root("q105", sf_dir)
     out, ckpt = os.path.join(root, "mv"), os.path.join(root, "ckpt")
 
     def run_stream() -> None:

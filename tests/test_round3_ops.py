@@ -268,3 +268,30 @@ def test_grouped_agg_udaf_definition(spark):
     got = df.groupBy("g").agg(tm("v").alias("m")).collect()[0]["m"]
     # sorted: [1..7,100], k=2 -> kept [3,4,5,6] -> mean 4.5
     assert got == 4.5
+
+
+def test_merge_upsert_property_random(spark):
+    """Property check vs the naive anti-join + union formulation on
+    randomized key sets (seeded)."""
+    import random
+
+    rng = random.Random(42)
+    for _ in range(3):
+        base_keys = rng.sample(range(50), rng.randint(5, 30))
+        cs_keys = rng.sample(range(60), rng.randint(1, 20))
+        base = spark.createDataFrame(
+            [(k, float(k * 10)) for k in base_keys], "k int, v double"
+        )
+        cs = spark.createDataFrame(
+            [(k, float(-k)) for k in cs_keys], "k int, v double"
+        )
+        from ssb_coefficient_maker_spark.operators.merge import merge_upsert
+
+        got = sorted(map(tuple, merge_upsert(base, cs, "k").collect()))
+        naive = sorted(
+            map(
+                tuple,
+                cs.unionByName(base.join(cs, "k", "left_anti")).collect(),
+            )
+        )
+        assert got == naive
