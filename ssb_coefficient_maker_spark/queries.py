@@ -1546,6 +1546,7 @@ Q99_OVERSAMPLE = 4
 Q100_MILLI = 1000
 Q104_TOP_DAYS = 10
 Q106_MIN_PRICE = 400_000.0
+Q107_STATE_PARTITIONS = 8
 
 # PII patterns shared by the Spark plan and the DuckDB oracle. Kept to
 # constructs Java regex and RE2 treat identically (character classes,
@@ -2064,6 +2065,40 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q109_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the table-maintenance OPTIMIZE pass a
+    100 TB ingest pipeline runs continuously: a 64-tiny-file events
+    layout (sources/derived.py small_files_events_path — the shape
+    streaming writers produce) rewritten into 4 size-bounded,
+    key-clustered files (repartitionByRange on user_id → disjoint key
+    ranges per file, so selective scans touch one file and row-group
+    min/max stats prune the rest; sortWithinPartitions for encoding
+    wins; maxRecordsPerFile as the size cap). The query aggregates
+    from the COMPACTED copy; the oracle aggregates the original
+    events — compaction must be byte-for-byte value-preserving, so
+    they hash-match. File-count and disjoint-range claims are
+    test-asserted (tests/test_round3_ops.py)."""
+    from ssb_coefficient_maker_spark.sources.derived import compacted_events_path
+
+    ev = spark.read.parquet(compacted_events_path(spark, sf_dir))
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q109_ORACLE = """
+SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+       round(sum(value), 4) AS total_value
+FROM events GROUP BY 1 ORDER BY 1
+"""
+
+
 _q107_counter = [0]
 
 
@@ -2081,20 +2116,30 @@ def q107_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly the late-data semantics, but wrong for an oracle-checked
     full replay). Production: the same plan with a watermark sized to
     the real out-of-orderness, e.g. minutes; state then stays bounded
-    by (watermark + interval) x arrival rate."""
+    by (watermark + interval) x arrival rate.
+
+    The join runs on a cloned session with state partitioning sized
+    to the LOCAL state volume: each shuffle partition carries a state
+    store whose setup cost is fixed per store, so 32 (or a vanilla
+    200) partitions for a few-MB state pays 4-25x pure overhead
+    (measured 5.5 s -> 2.4 s warm at sf0.1 going 32 -> 8). At real
+    volume the same knob goes UP with key cardinality — it is a
+    capacity parameter, not a constant."""
     from ssb_coefficient_maker_spark.streaming.windows import (
         run_to_memory,
         stream_events,
     )
 
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", str(Q107_STATE_PARTITIONS))
     views = (
-        stream_events(spark, sf_dir)
+        stream_events(s2, sf_dir)
         .filter(F.col("event_type") == "view")
         .select(F.col("user_id").alias("vu"), F.col("ts").alias("vts"))
         .withWatermark("vts", "60 days")
     )
     purchases = (
-        stream_events(spark, sf_dir)
+        stream_events(s2, sf_dir)
         .filter(F.col("event_type") == "purchase")
         .select(F.col("user_id").alias("pu"), F.col("ts").alias("pts"))
         .withWatermark("pts", "60 days")
@@ -2107,7 +2152,7 @@ def q107_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _q107_counter[0] += 1
     name = f"q107_sink_{_q107_counter[0]}"
-    sink = run_to_memory(spark, joined.select(F.col("vu").alias("user_id")), name, "append")
+    sink = run_to_memory(s2, joined.select(F.col("vu").alias("user_id")), name, "append")
     return (
         sink.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
@@ -3164,6 +3209,9 @@ REGISTRY: dict[str, QuerySpec] = {
         q107_stream_stream_join, _Q107_ORACLE, "streaming"
     ),
     "q108_grouped_agg_udaf": QuerySpec(q108_grouped_agg_udaf, _Q108_ORACLE, "udf"),
+    "q109_compact_small_files": QuerySpec(
+        q109_compact_small_files, _Q109_ORACLE, "storage"
+    ),
 }
 
 

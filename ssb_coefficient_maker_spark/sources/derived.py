@@ -302,3 +302,37 @@ def prefixed_cache_root(tag: str, sf_dir: str) -> str:
     except FileNotFoundError:
         pass
     return os.path.join(root, f"{tag}-{key}")
+
+
+def small_files_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """The PROBLEM layout for the compaction demo (q109): events
+    shattered into 64 tiny files — what streaming ingestion and
+    over-parallel writers produce, and what kills scan throughput at
+    scale (per-file open/footer cost dominates)."""
+    path = _derived_root(sf_dir, "events_small_files")
+    if not _is_done(path):
+        load_table(spark, sf_dir, "events").repartition(64).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def compacted_events_path(spark: SparkSession, sf_dir: str) -> str:
+    """Compaction (the OPTIMIZE operation): the shattered layout
+    rewritten as few, size-bounded, KEY-CLUSTERED files —
+    ``repartitionByRange`` assigns disjoint user_id ranges per output
+    file (so selective key scans touch one file; min/max row-group
+    stats prune the rest) and ``sortWithinPartitions`` orders rows
+    inside each file for run-length/dictionary encoding wins.
+    ``maxRecordsPerFile`` caps file size at any input volume."""
+    path = _derived_root(sf_dir, "events_compacted")
+    if not _is_done(path):
+        ev = spark.read.parquet(small_files_events_path(spark, sf_dir))
+        (
+            ev.repartitionByRange(4, "user_id")
+            .sortWithinPartitions("user_id", "ts")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 2_000_000)
+            .parquet(path)
+        )
+    return path

@@ -295,3 +295,44 @@ def test_merge_upsert_property_random(spark):
             )
         )
         assert got == naive
+
+
+def test_compaction_layout_claims(spark, sf_dir):
+    """Compaction must actually shrink the file count and produce
+    DISJOINT user_id ranges per file (the clustering claim selective
+    scans rely on)."""
+    import os
+
+    from ssb_coefficient_maker_spark.sources.derived import (
+        compacted_events_path,
+        small_files_events_path,
+    )
+
+    small = small_files_events_path(spark, sf_dir)
+    compact = compacted_events_path(spark, sf_dir)
+
+    def data_files(d):
+        return [
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith("_")
+        ]
+
+    assert len(data_files(small)) >= 32
+    cfiles = data_files(compact)
+    assert len(cfiles) <= 8
+    ranges = []
+    for f in cfiles:
+        r = (
+            spark.read.parquet(f)
+            .agg(F.min("user_id").alias("mn"), F.max("user_id").alias("mx"))
+            .collect()[0]
+        )
+        ranges.append((r["mn"], r["mx"]))
+    ranges.sort()
+    for (_, amx), (bmn, _) in zip(ranges, ranges[1:]):
+        assert amx <= bmn  # key-clustered: files cover disjoint ranges
+    # value preservation
+    n_small = spark.read.parquet(small).count()
+    n_compact = spark.read.parquet(compact).count()
+    assert n_small == n_compact
