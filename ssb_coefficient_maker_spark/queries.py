@@ -337,8 +337,11 @@ def q76_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _q76_counter[0] += 1
     name = f"q76_sink_{_q76_counter[0]}"
-    ev = stream_events(spark, sf_dir)
-    sink = run_to_memory(spark, stateful_dedup(ev), name, "append")
+    from ssb_coefficient_maker_spark.streaming.windows import state_sized_session
+
+    s2 = state_sized_session(spark)
+    ev = stream_events(s2, sf_dir)
+    sink = run_to_memory(s2, stateful_dedup(ev), name, "append")
     return sink.select("user_id", "event_type").orderBy("user_id", "event_type")
 
 
@@ -421,8 +424,11 @@ def q63_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _q63_counter[0] += 1
     name = f"q63_sink_{_q63_counter[0]}"
-    ev = stream_events(spark, sf_dir)
-    sink = run_to_memory(spark, tumbling_window_agg(ev), name, "complete")
+    from ssb_coefficient_maker_spark.streaming.windows import state_sized_session
+
+    s2 = state_sized_session(spark)
+    ev = stream_events(s2, sf_dir)
+    sink = run_to_memory(s2, tumbling_window_agg(ev), name, "complete")
     return sink.select(
         F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "event_type",
@@ -2065,6 +2071,66 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+_q110_counter = [0]
+
+
+def q110_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join — the third streaming join shape
+    (q107 covers stream-stream, q63/q76 cover keyed aggregation):
+    each micro-batch of the event stream joins the materialized date
+    dimension (a plain parquet table, re-broadcast per batch, NO
+    streaming state on the static side), classifying every event as
+    landing on a busy or normal day; the enriched stream then feeds a
+    watermarked aggregation. Production: the dim is a slowly-changing
+    lookup table the batch pipeline maintains; the stream picks up
+    dim updates on each micro-batch without restarts."""
+    from ssb_coefficient_maker_spark.sources.derived import date_dim_path
+    from ssb_coefficient_maker_spark.streaming.windows import (
+        run_to_memory,
+        state_sized_session,
+        stream_events,
+    )
+
+    s2 = state_sized_session(spark)
+    dim = s2.read.parquet(date_dim_path(s2, sf_dir)).select(
+        "event_date", "busy_rank"
+    )
+    ev = stream_events(s2, sf_dir).withColumn("event_date", F.to_date("ts"))
+    enriched = ev.join(dim, "event_date")
+    day_class = (
+        F.when(F.col("busy_rank") <= Q104_TOP_DAYS, "busy").otherwise("normal")
+    )
+    agg = (
+        enriched.withWatermark("ts", "1 hour")
+        .groupBy(day_class.alias("day_class"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    _q110_counter[0] += 1
+    name = f"q110_sink_{_q110_counter[0]}"
+    sink = run_to_memory(s2, agg, name, "complete")
+    return sink.orderBy("day_class", "event_type")
+
+
+_Q110_ORACLE = f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS event_date, round(sum(value), 4) AS day_value
+  FROM events GROUP BY 1
+), ranked AS (
+  SELECT event_date,
+         row_number() OVER (ORDER BY day_value DESC, event_date) AS busy_rank
+  FROM daily
+)
+SELECT CASE WHEN r.busy_rank <= {Q104_TOP_DAYS} THEN 'busy' ELSE 'normal' END
+         AS day_class,
+       e.event_type, count(*) AS n, round(sum(e.value), 4) AS total_value
+FROM events e JOIN ranked r ON CAST(e.ts AS DATE) = r.event_date
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q109_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-files compaction — the table-maintenance OPTIMIZE pass a
     100 TB ingest pipeline runs continuously: a 64-tiny-file events
@@ -2130,8 +2196,9 @@ def q107_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_events,
     )
 
-    s2 = spark.newSession()
-    s2.conf.set("spark.sql.shuffle.partitions", str(Q107_STATE_PARTITIONS))
+    from ssb_coefficient_maker_spark.streaming.windows import state_sized_session
+
+    s2 = state_sized_session(spark, Q107_STATE_PARTITIONS)
     views = (
         stream_events(s2, sf_dir)
         .filter(F.col("event_type") == "view")
@@ -3211,6 +3278,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "q108_grouped_agg_udaf": QuerySpec(q108_grouped_agg_udaf, _Q108_ORACLE, "udf"),
     "q109_compact_small_files": QuerySpec(
         q109_compact_small_files, _Q109_ORACLE, "storage"
+    ),
+    "q110_stream_static_join": QuerySpec(
+        q110_stream_static_join, _Q110_ORACLE, "streaming"
     ),
 }
 

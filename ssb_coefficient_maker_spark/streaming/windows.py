@@ -218,3 +218,23 @@ def incremental_mv_path(spark: SparkSession, sf_dir: str) -> str:
         shutil.rmtree(ckpt, ignore_errors=True)
         run_stream()
     return out
+
+
+STATE_PARTITIONS = 8
+
+
+def state_sized_session(spark: SparkSession, partitions: int = STATE_PARTITIONS) -> SparkSession:
+    """Clone the session with shuffle partitioning sized to the LOCAL
+    streaming state volume. Every shuffle partition of a stateful
+    operator carries its own state store with a fixed per-store setup
+    cost, so 32 (or a vanilla 200) partitions for a few MB of state
+    is pure overhead (measured 5.5 s -> 2.4 s warm on the
+    stream-stream join going 32 -> 8 stores). This is a CAPACITY
+    parameter: at production volume it scales UP with key cardinality
+    — and for checkpointed queries Spark pins it at first run, so
+    restarts keep the original partitioning regardless of conf.
+    newSession shares the JVM and catalog but isolates conf, so the
+    caller's batch plans are untouched."""
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    return s2

@@ -336,3 +336,34 @@ def test_compaction_layout_claims(spark, sf_dir):
     n_small = spark.read.parquet(small).count()
     n_compact = spark.read.parquet(compact).count()
     assert n_small == n_compact
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    """Stream-static enrichment on a full replay must equal the batch
+    join + aggregation."""
+    from ssb_coefficient_maker_spark.queries import (
+        Q104_TOP_DAYS,
+        q110_stream_static_join,
+    )
+    from ssb_coefficient_maker_spark.sources.derived import date_dim_path
+
+    got = {
+        (r["day_class"], r["event_type"]): (r["n"], r["total_value"])
+        for r in q110_stream_static_join(spark, sf_dir).collect()
+    }
+    dim = spark.read.parquet(date_dim_path(spark, sf_dir))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    day_class = F.when(F.col("busy_rank") <= Q104_TOP_DAYS, "busy").otherwise("normal")
+    want = {
+        (r["day_class"], r["event_type"]): (r["n"], r["total_value"])
+        for r in ev.join(dim.select("event_date", "busy_rank"), "event_date")
+        .groupBy(day_class.alias("day_class"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .collect()
+    }
+    assert got == want
