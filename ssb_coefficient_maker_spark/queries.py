@@ -32,6 +32,24 @@ class QuerySpec:
     group: str
 
 
+KNUTH_MULT = 2654435761  # Knuth multiplicative hash (2^32 / phi)
+KNUTH_MOD = 4294967296  # 2^32
+
+
+def knuth_hash(col: "F.Column") -> "F.Column":
+    """Portable multiplicative hash of a stable integer id — the ONE
+    definition every deterministic-sampling operator (q78, q96, q99,
+    q100) shares with its SQL oracle (knuth_hash_sql). Plain int64
+    arithmetic any engine reproduces bit-for-bit; engine-specific
+    hashes (xxhash64) would make splits irreproducible outside Spark."""
+    return F.pmod(col * F.lit(KNUTH_MULT), F.lit(KNUTH_MOD))
+
+
+def knuth_hash_sql(expr: str) -> str:
+    """ANSI-SQL replica of knuth_hash for oracle strings."""
+    return f"(({expr} * {KNUTH_MULT}) % {KNUTH_MOD})"
+
+
 # --------------------------------------------------------------- REF flagship
 
 
@@ -705,9 +723,7 @@ def q78_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ssb_coefficient_maker_spark.operators.text import words_col
 
     docs = load_table(spark, sf_dir, "documents")
-    bucket = F.pmod(
-        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)), F.lit(100)
-    )
+    bucket = F.pmod(knuth_hash(F.col("doc_id")), F.lit(100))
     split = (
         F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
     )
@@ -723,11 +739,14 @@ def q78_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q78_ORACLE = """
+_KH_SQL = knuth_hash_sql("doc_id")
+_KHD_SQL = knuth_hash_sql("d.doc_id")
+
+_Q78_ORACLE = f"""
 WITH d AS (
   SELECT lang,
-         CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
-              WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+         CASE WHEN {_KH_SQL} % 100 < 80 THEN 'train'
+              WHEN {_KH_SQL} % 100 < 90 THEN 'val'
               ELSE 'test' END AS split,
          CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
   FROM documents
@@ -1115,7 +1134,7 @@ def q96_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang string, keep_milli int",
     )
     bucket = F.pmod(
-        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)), F.lit(1000)
+        knuth_hash(F.col("doc_id")), F.lit(1000)
     )
     return (
         docs.join(rates, "lang")
@@ -1132,12 +1151,12 @@ def q96_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_Q96_ORACLE = """
+_Q96_ORACLE = f"""
 WITH rates(lang, keep_milli) AS (
   VALUES ('en', 200), ('de', 800), ('fr', 800), ('es', 800), ('zh', 800)
 ), flagged AS (
   SELECT d.lang,
-         ((d.doc_id * 2654435761) % 4294967296) % 1000 < r.keep_milli AS keep
+         {_KHD_SQL} % 1000 < r.keep_milli AS keep
   FROM documents d JOIN rates r ON d.lang = r.lang
 )
 SELECT lang, count(*) AS n_total,
@@ -1546,13 +1565,16 @@ def _minhash_oracle_sql(k: int = 5, threshold: float = 0.4) -> str:
 # changed default cannot silently break parity).
 Q97_UPDATE_MOD = 97
 Q97_INSERT_MOD = 499
-Q97_INSERT_KEY_SHIFT = 10_000_000
+# far beyond any realistic orderkey space: a shift inside the key
+# range would let an updated key k collide with an inserted key
+# (k' + shift), giving the changeset duplicate keys and breaking
+# merge_upsert's unique-key contract (review finding)
+Q97_INSERT_KEY_SHIFT = 10**12
 Q99_N_PER_LANG = 40
 Q99_OVERSAMPLE = 4
 Q100_MILLI = 1000
 Q104_TOP_DAYS = 10
 Q106_MIN_PRICE = 400_000.0
-Q107_STATE_PARTITIONS = 8
 
 # PII patterns shared by the Spark plan and the DuckDB oracle. Kept to
 # constructs Java regex and RE2 treat identically (character classes,
@@ -1621,23 +1643,26 @@ FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
 def q98_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly cohort retention matrix — the standard product-analytics
     rollup: users grouped by first-active week, counted in each later
-    week. Three shuffles, all keyed sensibly for scale: distinct
-    (user, week) partial-aggregates map-side before the user shuffle,
-    the cohort min reuses the same user partitioning (AQE coalesces
-    the exchanges), and the final matrix aggregation is tiny
-    (weeks x offsets rows)."""
+    week. ONE scan, two shuffles: distinct (user, week)
+    partial-aggregates map-side before the user shuffle; the cohort
+    week is a whole-partition window MIN over the SAME user
+    partitioning (a groupBy+join formulation scans and
+    distinct-aggregates the events table twice unless ReuseExchange
+    happens to fire — review finding); the final matrix aggregation
+    is tiny (weeks x offsets rows)."""
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events")
     uw = ev.select(
         "user_id", F.date_trunc("week", F.col("ts")).alias("week")
     ).distinct()
-    cohort = uw.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cohort_week = F.min("week").over(Window.partitionBy("user_id"))
     offset = (
-        (F.unix_timestamp("week") - F.unix_timestamp("cohort_week")) / 604800
+        (F.unix_timestamp("week") - F.unix_timestamp(cohort_week)) / 604800
     ).cast("long")
     return (
-        uw.join(cohort, "user_id")
-        .select(
-            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        uw.select(
+            F.date_format(cohort_week, "yyyy-MM-dd").alias("cohort_week"),
             offset.alias("week_offset"),
             "user_id",
         )
@@ -1677,11 +1702,15 @@ def q99_exact_group_sample(
     exact integer arithmetic, replicated in the oracle), and the
     row_number window sorts just the survivors. The oversample factor
     makes undershoot probability astronomically small; because the
-    oracle applies the same filter, even that case stays parity-green."""
+    oracle applies the same filter, even that case stays parity-green.
+
+    The REGISTERED oracle pins n = Q99_N_PER_LANG (oracle SQL is
+    static); callers passing another n (tests do) get the same
+    engine-side semantics but must not compare against _Q99_ORACLE."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    hb = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296))
+    hb = knuth_hash(F.col("doc_id"))
     counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
     pref = (
         docs.select("doc_id", "lang", hb.alias("hb"))
@@ -1700,7 +1729,7 @@ def q99_exact_group_sample(
 
 _Q99_ORACLE = f"""
 WITH h AS (
-  SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS hb FROM documents
+  SELECT doc_id, lang, {_KH_SQL} AS hb FROM documents
 ), c AS (
   SELECT lang, count(*) AS n_total FROM documents GROUP BY 1
 ), pref AS (
@@ -1743,9 +1772,7 @@ def q100_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_total",
         F.floor(F.col("w") / F.col("wmax") * Q100_MILLI).cast("long").alias("keep_milli"),
     )
-    milli = F.pmod(
-        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)), F.lit(Q100_MILLI)
-    )
+    milli = F.pmod(knuth_hash(F.col("doc_id")), F.lit(Q100_MILLI))
     kept = (
         docs.select("lang", milli.alias("milli"))
         .join(rates.select("lang", "keep_milli"), "lang")
@@ -1775,7 +1802,7 @@ WITH c AS (
 ), k AS (
   SELECT d.lang, count(*) AS n_kept
   FROM documents d JOIN r USING (lang)
-  WHERE ((d.doc_id * 2654435761) % 4294967296) % {Q100_MILLI} < r.keep_milli
+  WHERE {_KHD_SQL} % {Q100_MILLI} < r.keep_milli
   GROUP BY 1
 )
 SELECT r.lang, r.n_total, r.keep_milli, coalesce(k.n_kept, 0) AS n_kept
@@ -2081,7 +2108,7 @@ def q110_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension (a plain parquet table, re-broadcast per batch, NO
     streaming state on the static side), classifying every event as
     landing on a busy or normal day; the enriched stream then feeds a
-    watermarked aggregation. Production: the dim is a slowly-changing
+    keyed aggregation. Production: the dim is a slowly-changing
     lookup table the batch pipeline maintains; the stream picks up
     dim updates on each micro-batch without restarts."""
     from ssb_coefficient_maker_spark.sources.derived import date_dim_path
@@ -2100,8 +2127,12 @@ def q110_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_class = (
         F.when(F.col("busy_rank") <= Q104_TOP_DAYS, "busy").otherwise("normal")
     )
+    # no watermark: this aggregation is non-windowed and runs in
+    # complete mode, where a watermark neither drops late rows nor
+    # evicts state (review finding — production uses update mode with
+    # a watermark sized to real out-of-orderness)
     agg = (
-        enriched.withWatermark("ts", "1 hour")
+        enriched
         .groupBy(day_class.alias("day_class"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -2198,7 +2229,7 @@ def q107_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ssb_coefficient_maker_spark.streaming.windows import state_sized_session
 
-    s2 = state_sized_session(spark, Q107_STATE_PARTITIONS)
+    s2 = state_sized_session(spark)
     views = (
         stream_events(s2, sf_dir)
         .filter(F.col("event_type") == "view")

@@ -283,25 +283,30 @@ def prefixed_cache_root(tag: str, sf_dir: str) -> str:
     (streaming checkpoints/sinks: q80, q105). Same eviction contract
     as ``_derived_root``: when the source fingerprint changes, stale
     siblings of the same tag are removed — without this, every
-    testdata regeneration minted a new ``{tag}-{key}`` dir forever
-    (the round-2 ADVICE leak, fixed for ``{base}-{key}`` dirs but not
-    for these)."""
+    testdata regeneration minted a new dir forever (the round-2
+    ADVICE leak, fixed for ``{base}-{key}`` dirs but not for these).
+    The dir name AND the eviction scope include the sf_dir basename:
+    keying on the fingerprint alone would make every scale switch
+    (sf0.01 tests -> sf0.1 bench -> sf1 validation) delete the other
+    scale's live checkpoints."""
     import shutil
     import tempfile
 
     key = source_fingerprint(sf_dir)[:12]
+    base = os.path.basename(os.path.abspath(sf_dir).rstrip("/"))
     root = os.path.join(tempfile.gettempdir(), "spark_graft_derived")
+    live = f"{tag}-{base}-{key}"
     try:
         for e in os.scandir(root):
             if (
                 e.is_dir()
-                and e.name.startswith(f"{tag}-")
-                and e.name != f"{tag}-{key}"
+                and e.name.startswith(f"{tag}-{base}-")
+                and e.name != live
             ):
                 shutil.rmtree(e.path, ignore_errors=True)
     except FileNotFoundError:
         pass
-    return os.path.join(root, f"{tag}-{key}")
+    return os.path.join(root, live)
 
 
 def small_files_events_path(spark: SparkSession, sf_dir: str) -> str:
