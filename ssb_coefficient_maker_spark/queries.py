@@ -2098,6 +2098,165 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q111_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality constraint audit — the expectations pass a
+    pipeline runs before publishing a table: null rates, domain
+    violations and key duplication for orders, plus referential
+    integrity (orphaned lineitem FKs) — each table read ONCE (the
+    orders checks ride a single aggregation, the orphan check is one
+    anti-join), emitting one (constraint, violations, checked) row
+    per rule. At scale this composes with `observe()` to piggyback on
+    a production write instead of a separate audit job (the A14
+    single-pass-audit pattern, api.py evaluate_to_parquet)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o_checks = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("null_custkey"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("nonpos_price"),
+        F.sum(
+            (~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")
+        ).alias("bad_status"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("dup_keys"),
+    )
+    orphans = li.join(
+        orders.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("n_orphans"))
+    n_li = li.agg(F.count(F.lit(1)).alias("n_li"))
+    wide = o_checks.crossJoin(orphans).crossJoin(n_li)
+    rules = [
+        ("custkey_not_null", "null_custkey", "n_rows"),
+        ("positive_totalprice", "nonpos_price", "n_rows"),
+        ("valid_orderstatus", "bad_status", "n_rows"),
+        ("unique_orderkey", "dup_keys", "n_rows"),
+        ("lineitem_fk_integrity", "n_orphans", "n_li"),
+    ]
+    audit = wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("constraint"),
+                        F.col(viol).cast("long").alias("violations"),
+                        F.col(total).cast("long").alias("checked"),
+                    )
+                    for name, viol, total in rules
+                ]
+            )
+        ).alias("r")
+    )
+    return audit.select("r.constraint", "r.violations", "r.checked").orderBy(
+        "constraint"
+    )
+
+
+_Q111_ORACLE = """
+WITH o AS (
+  SELECT count(*) AS n_rows,
+         sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+         sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpos_price,
+         sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END)
+           AS bad_status,
+         count(*) - count(DISTINCT o_orderkey) AS dup_keys
+  FROM orders
+), l AS (
+  SELECT count(*) AS n_li,
+         sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+  FROM lineitem li LEFT JOIN orders o ON li.l_orderkey = o.o_orderkey
+)
+SELECT * FROM (
+  SELECT 'custkey_not_null' AS constraint, null_custkey AS violations,
+         n_rows AS checked FROM o
+  UNION ALL
+  SELECT 'positive_totalprice', nonpos_price, n_rows FROM o
+  UNION ALL
+  SELECT 'valid_orderstatus', bad_status, n_rows FROM o
+  UNION ALL
+  SELECT 'unique_orderkey', dup_keys, n_rows FROM o
+  UNION ALL
+  SELECT 'lineitem_fk_integrity', n_orphans, n_li FROM l
+) ORDER BY "constraint"
+"""
+
+
+def q112_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff / change-data-feed generation — the INVERSE of
+    q97's merge: given yesterday's table and today's (here: orders
+    vs orders with the deterministic q97 changeset applied), emit the
+    change feed (inserts / updates / deletes with per-status counts).
+    One full-outer join on the key, change class from null-ness +
+    payload inequality — the shape engines use to derive CDC streams
+    from snapshots when the source can't emit a log. At 100 TB the
+    join co-locates on bucketed/partitioned storage (q64) and only
+    payload-CHANGED rows flow downstream."""
+    from ssb_coefficient_maker_spark.operators.merge import merge_upsert
+
+    orders = load_table(spark, sf_dir, "orders")
+    updates = (
+        orders.filter(F.col("o_orderkey") % Q97_UPDATE_MOD == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+        .withColumn("o_orderstatus", F.lit("U"))
+    )
+    inserts = (
+        orders.filter(F.col("o_orderkey") % Q97_INSERT_MOD == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(Q97_INSERT_KEY_SHIFT))
+        .withColumn("o_orderstatus", F.lit("I"))
+    )
+    new = merge_upsert(orders, updates.unionByName(inserts), key="o_orderkey")
+    old_k = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("old_price"),
+        F.col("o_orderstatus").alias("old_status"),
+    )
+    new_k = new.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("new_price"),
+        F.col("o_orderstatus").alias("new_status"),
+    )
+    diff = old_k.join(new_k, "k", "full_outer").select(
+        F.when(F.col("old_price").isNull(), "insert")
+        .when(F.col("new_price").isNull(), "delete")
+        .when(
+            (F.col("new_price") != F.col("old_price"))
+            | (F.col("new_status") != F.col("old_status")),
+            "update",
+        )
+        .otherwise("unchanged")
+        .alias("change"),
+    )
+    return (
+        diff.groupBy("change")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("change")
+    )
+
+
+_Q112_ORACLE = f"""
+WITH changeset AS (
+  SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice + 100.0 AS o_totalprice
+  FROM orders WHERE o_orderkey % {Q97_UPDATE_MOD} = 0
+  UNION ALL
+  SELECT o_orderkey + {Q97_INSERT_KEY_SHIFT}, 'I', o_totalprice
+  FROM orders WHERE o_orderkey % {Q97_INSERT_MOD} = 0
+), new AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM changeset
+  UNION ALL
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders o
+  WHERE NOT EXISTS (SELECT 1 FROM changeset c WHERE c.o_orderkey = o.o_orderkey)
+), diff AS (
+  SELECT CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+              WHEN n.o_orderkey IS NULL THEN 'delete'
+              WHEN n.o_totalprice <> o.o_totalprice
+                OR n.o_orderstatus <> o.o_orderstatus THEN 'update'
+              ELSE 'unchanged' END AS change
+  FROM orders o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+)
+SELECT change, count(*) AS n_rows FROM diff GROUP BY change ORDER BY change
+"""
+
+
 _q110_counter = [0]
 
 
@@ -3313,6 +3472,8 @@ REGISTRY: dict[str, QuerySpec] = {
     "q110_stream_static_join": QuerySpec(
         q110_stream_static_join, _Q110_ORACLE, "streaming"
     ),
+    "q111_constraint_audit": QuerySpec(q111_constraint_audit, _Q111_ORACLE, "quality"),
+    "q112_snapshot_diff": QuerySpec(q112_snapshot_diff, _Q112_ORACLE, "storage"),
 }
 
 

@@ -367,3 +367,51 @@ def test_stream_static_join_equals_batch(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_constraint_audit_clean_and_planted(spark, sf_dir):
+    """Audit is all-clean on driver data; planted violations are
+    caught (proves the rules aren't vacuously zero)."""
+    from ssb_coefficient_maker_spark.queries import q111_constraint_audit
+
+    rows = {r["constraint"]: r for r in q111_constraint_audit(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "custkey_not_null", "positive_totalprice", "valid_orderstatus",
+        "unique_orderkey", "lineitem_fk_integrity",
+    }
+    assert all(r["violations"] == 0 for r in rows.values())
+    assert all(r["checked"] > 0 for r in rows.values())
+    # planted: a frame with one null custkey, one nonpositive price,
+    # one dup key must trip the same expressions
+    bad = spark.createDataFrame(
+        [(1, None, "O", 10.0), (1, 2, "O", -5.0), (3, 4, "X", 7.0)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double",
+    )
+    got = bad.agg(
+        F.sum(F.col("o_custkey").isNull().cast("long")).alias("nulls"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("nonpos"),
+        F.sum((~F.col("o_orderstatus").isin("O", "F", "P")).cast("long")).alias("bad"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("dups"),
+    ).collect()[0]
+    assert (got["nulls"], got["nonpos"], got["bad"], got["dups"]) == (1, 1, 1, 1)
+
+
+def test_snapshot_diff_counts_match_changeset(spark, sf_dir):
+    """The change feed must classify exactly the changeset rows:
+    inserts = keys added, updates = keys rewritten with a real payload
+    change, no deletes (merge never drops keys)."""
+    from ssb_coefficient_maker_spark.queries import (
+        Q97_INSERT_MOD,
+        Q97_UPDATE_MOD,
+        q112_snapshot_diff,
+    )
+
+    got = {r["change"]: r["n_rows"] for r in q112_snapshot_diff(spark, sf_dir).collect()}
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n = orders.count()
+    n_upd = orders.filter(F.col("o_orderkey") % Q97_UPDATE_MOD == 0).count()
+    n_ins = orders.filter(F.col("o_orderkey") % Q97_INSERT_MOD == 0).count()
+    assert got.get("insert", 0) == n_ins
+    assert got.get("update", 0) == n_upd
+    assert got.get("delete", 0) == 0
+    assert got.get("unchanged", 0) == n - n_upd
