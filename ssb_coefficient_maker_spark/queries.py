@@ -63,16 +63,19 @@ def q24_formula_coeffmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ssb_coefficient_maker_spark.session import ROW_ID
 
     li = load_table(spark, sf_dir, "lineitem")
-    a = (
+    # BOTH named matrices come from ONE pivot carrying two aggregates
+    # (columns A_p..R_q), split by projection: building them as two
+    # separate pivots costs a second aggregation plan whose
+    # analysis/codegen alone measured ~6x the steady-state query time
+    # (7.2 s -> 1.1 s cold at sf0.1), and the projections stay
+    # co-partitioned on row_id for the alignment join
+    wide = (
         li.groupBy(F.col("l_orderkey").alias(ROW_ID))
         .pivot("l_returnflag", ["A", "N", "R"])
-        .agg(F.sum("l_extendedprice"))
+        .agg(F.sum("l_extendedprice").alias("p"), F.sum("l_quantity").alias("q"))
     )
-    b = (
-        li.groupBy(F.col("l_orderkey").alias(ROW_ID))
-        .pivot("l_returnflag", ["A", "N", "R"])
-        .agg(F.sum("l_quantity"))
-    )
+    a = wide.select(ROW_ID, *[F.col(f"{c}_p").alias(c) for c in ("A", "N", "R")])
+    b = wide.select(ROW_ID, *[F.col(f"{c}_q").alias(c) for c in ("A", "N", "R")])
     # defer validation: the fill fuses into the lazy plan and the
     # pivots compute exactly once at the consumer's action (eager
     # parity mode would run an audit aggregate first — 2x the work)
@@ -118,16 +121,15 @@ def q58_fused_coeffmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ssb_coefficient_maker_spark.session import ROW_ID
 
     li = load_table(spark, sf_dir, "lineitem")
-    a = (
+    # same one-pivot-two-aggregates construction as q24 (see the
+    # comment there): both operands are projections of one plan
+    wide = (
         li.groupBy(F.col("l_orderkey").alias(ROW_ID))
         .pivot("l_returnflag", ["A", "N", "R"])
-        .agg(F.sum("l_extendedprice"))
+        .agg(F.sum("l_extendedprice").alias("p"), F.sum("l_quantity").alias("q"))
     )
-    b = (
-        li.groupBy(F.col("l_orderkey").alias(ROW_ID))
-        .pivot("l_returnflag", ["A", "N", "R"])
-        .agg(F.sum("l_quantity"))
-    )
+    a = wide.select(ROW_ID, *[F.col(f"{c}_p").alias(c) for c in ("A", "N", "R")])
+    b = wide.select(ROW_ID, *[F.col(f"{c}_q").alias(c) for c in ("A", "N", "R")])
     import pandas as pd
 
     cmap = pd.DataFrame(
