@@ -381,3 +381,59 @@ def q90_repetition_filter(
         .withColumn("flagged", (F.col("rep_frac") > threshold).cast("boolean"))
         .orderBy("doc_id")
     )
+
+
+def q113_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-distribution entropy per document — the information-
+    density quality signal the CCNet/Gopher filter family uses
+    (templated/boilerplate text has low entropy, natural prose high;
+    thresholding it is the next filter after the repetition rule,
+    q90). H = -sum((tf/len) * ln(tf/len)) over the doc's word
+    frequencies. Shape at scale: explode -> (doc, word) count ->
+    per-doc aggregate — every stage shuffles on doc_id and the word
+    counts partial-aggregate map-side; the per-language rollup is
+    languages-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id", "lang", F.explode(words_col(F.col("text"))).alias("w")
+    )
+    tf = ex.groupBy("doc_id", "lang", "w").agg(F.count(F.lit(1)).alias("c"))
+    dl = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ent = (
+        tf.join(dl, "doc_id")
+        .groupBy("doc_id", "lang")
+        .agg(
+            (-F.sum((F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n"))))
+            .alias("h")
+        )
+    )
+    return (
+        ent.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("h"), 4).alias("avg_entropy"),
+            F.round(F.max("h"), 4).alias("max_entropy"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q113_ORACLE = """
+WITH d AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents
+), ex AS (
+  SELECT doc_id, lang, unnest(ws) AS w FROM d
+), tf AS (
+  SELECT doc_id, lang, w, count(*) AS c FROM ex GROUP BY 1, 2, 3
+), dl AS (
+  SELECT doc_id, count(*) AS n FROM ex GROUP BY 1
+), ent AS (
+  SELECT tf.doc_id, tf.lang,
+         -sum((c * 1.0 / n) * ln(c * 1.0 / n)) AS h
+  FROM tf JOIN dl USING (doc_id) GROUP BY 1, 2
+)
+SELECT lang, count(*) AS n_docs, round(avg(h), 4) AS avg_entropy,
+       round(max(h), 4) AS max_entropy
+FROM ent GROUP BY lang ORDER BY lang
+"""

@@ -3475,6 +3475,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q110_stream_static_join, _Q110_ORACLE, "streaming"
     ),
     "q111_constraint_audit": QuerySpec(q111_constraint_audit, _Q111_ORACLE, "quality"),
+    "q113_word_entropy": QuerySpec(text.q113_word_entropy, text.Q113_ORACLE, "text"),
     "q112_snapshot_diff": QuerySpec(q112_snapshot_diff, _Q112_ORACLE, "storage"),
 }
 

@@ -88,3 +88,34 @@ def test_decontamination_finds_planted_overlap(spark, tmp_path):
     assert out.doc_id.tolist() == [100]
     assert out.iloc[0].n_bench_docs == 1
     assert out.iloc[0].n_shared_grams >= 5  # 12-word overlap -> 5 shared 8-grams
+
+
+def test_word_entropy_bounds(spark, sf_dir):
+    """Per-language average word entropy must sit in (0, ln(max doc
+    words)] — and a constant-word document must score exactly 0."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from ssb_coefficient_maker_spark.operators.text import q113_word_entropy
+
+    rows = q113_word_entropy(spark, sf_dir).collect()
+    assert rows
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    max_words = docs.select(
+        F.max(F.size(F.split(F.trim("text"), "\\s+")))
+    ).collect()[0][0]
+    for r in rows:
+        assert 0 < r["avg_entropy"] <= r["max_entropy"] <= math.log(max_words) + 1e-9
+    # degenerate doc: all words identical -> H = 0
+    one = spark.createDataFrame([(1, "x x x x x", "en")], "doc_id long, text string, lang string")
+    ex = one.select("doc_id", F.explode(F.split(F.trim("text"), "\\s+")).alias("w"))
+    tf = ex.groupBy("doc_id", "w").count()
+    n = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    h = (
+        tf.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg((-F.sum((F.col("count") / F.col("n")) * F.log(F.col("count") / F.col("n")))).alias("h"))
+        .collect()[0]["h"]
+    )
+    assert h == 0.0
