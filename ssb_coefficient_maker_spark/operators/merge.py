@@ -27,7 +27,22 @@ def merge_upsert(base: DataFrame, changeset: DataFrame, key: str) -> DataFrame:
     """Upsert ``changeset`` rows into ``base`` by ``key``: a key
     present in both sides takes the changeset row, a key present in
     one side passes through. Columns are matched by name (changeset
-    must carry all base columns)."""
+    must carry all base columns).
+
+    Preconditions (the primary-key merge contract, narrower than SQL
+    MERGE in two ways):
+
+    - **Keys must be non-null.** ``groupBy`` groups NULL keys
+      together, so a NULL-key changeset row would *replace* a
+      NULL-key base row — SQL MERGE's ON equality never matches NULL.
+      Callers with nullable keys must filter or assert first.
+    - **Payload columns must be orderable.** The argmax is a struct
+      ``max``; a map-typed payload column fails at runtime. Wrap
+      unorderable columns (``map_entries`` / to-json) before merging.
+
+    Within each side keys must be unique (standard PK contract), so
+    the struct comparator only ever decides base-vs-changeset via the
+    leading ``__pri__`` tag, never via payload values."""
     cols = base.columns
     payload = [c for c in cols if c != key]
     tagged = (

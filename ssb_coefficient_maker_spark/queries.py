@@ -41,13 +41,37 @@ def knuth_hash(col: "F.Column") -> "F.Column":
     definition every deterministic-sampling operator (q78, q96, q99,
     q100) shares with its SQL oracle (knuth_hash_sql). Plain int64
     arithmetic any engine reproduces bit-for-bit; engine-specific
-    hashes (xxhash64) would make splits irreproducible outside Spark."""
-    return F.pmod(col * F.lit(KNUTH_MULT), F.lit(KNUTH_MOD))
+    hashes (xxhash64) would make splits irreproducible outside Spark.
+
+    Overflow-safe at ANY int64 id: the naive ``(id * M) % 2^32``
+    overflows int64 once id exceeds ~3.47e9 (Spark non-ANSI silently
+    wraps, DuckDB raises — the oracle and the engine would diverge
+    exactly at the id ranges a 100 TB corpus reaches). We only need
+    the low 32 bits of the product, so reduce the id mod 2^32 first
+    and split it 16/16: with a = ah*2^16 + al, (a*M) mod 2^32 =
+    (al*M + ((ah*M) mod 2^16)*2^16) mod 2^32, and every intermediate
+    stays below 2^49 — no overflow in either engine. Bit-identical to
+    the naive form for ids < 2^32, so existing splits are unchanged."""
+    a = F.pmod(col, F.lit(KNUTH_MOD))
+    ah = F.floor(a / F.lit(65536))
+    al = a - ah * F.lit(65536)
+    return F.pmod(
+        al * F.lit(KNUTH_MULT)
+        + F.pmod(ah * F.lit(KNUTH_MULT), F.lit(65536)) * F.lit(65536),
+        F.lit(KNUTH_MOD),
+    )
 
 
 def knuth_hash_sql(expr: str) -> str:
-    """ANSI-SQL replica of knuth_hash for oracle strings."""
-    return f"(({expr} * {KNUTH_MULT}) % {KNUTH_MOD})"
+    """ANSI-SQL replica of knuth_hash for oracle strings — the same
+    16/16 split-multiply so DuckDB never sees an int64 overflow."""
+    e = f"(({expr}) % {KNUTH_MOD})"
+    ah = f"CAST(floor({e} / 65536) AS BIGINT)"
+    al = f"({e} - {ah} * 65536)"
+    return (
+        f"(({al} * {KNUTH_MULT} + (({ah} * {KNUTH_MULT}) % 65536) * 65536)"
+        f" % {KNUTH_MOD})"
+    )
 
 
 # --------------------------------------------------------------- REF flagship
@@ -1930,7 +1954,9 @@ def q103_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines disagree on round-half semantics, floor never does).
     Reported: per-label mean squared reconstruction error in ppm —
     entirely JVM higher-order array expressions, map-only until the
-    tiny label rollup."""
+    tiny label rollup. An all-zero vector gives scale = 0; both sides
+    guard it to mse = 0 (the quantization of a zero vector is exact)
+    instead of letting 0/0 produce engine-dependent NaN semantics."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.transform("embedding", lambda x: x.cast("double"))
     with_scale = emb.select("label", v.alias("v")).select(
@@ -1948,8 +1974,11 @@ def q103_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    mse = F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+        sqerr / F.size("v")
+    )
     return (
-        with_scale.select("label", (sqerr / F.size("v")).alias("mse"))
+        with_scale.select("label", mse.alias("mse"))
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
@@ -1969,8 +1998,10 @@ WITH v AS (
   FROM v
 ), e AS (
   SELECT label,
-         list_sum(list_transform(
-           v, x -> pow(x - floor(x / scale + 0.5) * scale, 2))) / len(v) AS mse
+         CASE WHEN scale = 0 THEN 0.0 ELSE
+           list_sum(list_transform(
+             v, x -> pow(x - floor(x / scale + 0.5) * scale, 2))) / len(v)
+         END AS mse
   FROM s
 )
 SELECT label, count(*) AS n_vecs, round(avg(mse) * 1000000, 4) AS mse_ppm

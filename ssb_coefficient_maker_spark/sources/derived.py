@@ -288,7 +288,16 @@ def prefixed_cache_root(tag: str, sf_dir: str) -> str:
     The dir name AND the eviction scope include the sf_dir basename:
     keying on the fingerprint alone would make every scale switch
     (sf0.01 tests -> sf0.1 bench -> sf1 validation) delete the other
-    scale's live checkpoints."""
+    scale's live checkpoints.
+
+    Concurrency caveat (single-driver contract): eviction extends to
+    LIVE streaming checkpoints — if testdata under the same sf_dir
+    basename is regenerated (new fingerprint) while another process
+    still runs a q80/q105 stream against the old data, the first
+    caller on the new fingerprint rmtree's that running query's
+    checkpoint/sink mid-stream. Fine for this bench harness (one
+    driver at a time); a multi-tenant deployment would key eviction
+    on checkpoint liveness (lease files) instead."""
     import shutil
     import tempfile
 
