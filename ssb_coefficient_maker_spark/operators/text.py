@@ -389,23 +389,25 @@ def q113_word_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (templated/boilerplate text has low entropy, natural prose high;
     thresholding it is the next filter after the repetition rule,
     q90). H = -sum((tf/len) * ln(tf/len)) over the doc's word
-    frequencies. Shape at scale: explode -> (doc, word) count ->
-    per-doc aggregate — every stage shuffles on doc_id and the word
-    counts partial-aggregate map-side; the per-language rollup is
+    frequencies — computed single-pass via the algebraic identity
+    H = ln(n) - sum(c*ln(c))/n with n = sum(c), so doc length is
+    derived FROM the (doc, word) counts instead of re-aggregating the
+    raw word stream: the corpus explodes exactly once and there is no
+    (doc,word)->doc join re-shuffling the gram stream (plan-asserted
+    in tests/test_text.py). Shape at scale: explode -> (doc, word)
+    count -> per-doc aggregate — both aggregations shuffle on doc_id
+    and partial-aggregate map-side; the per-language rollup is
     languages-sized."""
     docs = load_table(spark, sf_dir, "documents")
     ex = docs.select(
         "doc_id", "lang", F.explode(words_col(F.col("text"))).alias("w")
     )
     tf = ex.groupBy("doc_id", "lang", "w").agg(F.count(F.lit(1)).alias("c"))
-    dl = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ent = (
-        tf.join(dl, "doc_id")
-        .groupBy("doc_id", "lang")
-        .agg(
-            (-F.sum((F.col("c") / F.col("n")) * F.log(F.col("c") / F.col("n"))))
-            .alias("h")
-        )
+    ent = tf.groupBy("doc_id", "lang").agg(
+        (
+            F.log(F.sum("c"))
+            - F.sum(F.col("c") * F.log("c")) / F.sum("c")
+        ).alias("h")
     )
     return (
         ent.groupBy("lang")
@@ -426,12 +428,10 @@ WITH d AS (
   SELECT doc_id, lang, unnest(ws) AS w FROM d
 ), tf AS (
   SELECT doc_id, lang, w, count(*) AS c FROM ex GROUP BY 1, 2, 3
-), dl AS (
-  SELECT doc_id, count(*) AS n FROM ex GROUP BY 1
 ), ent AS (
-  SELECT tf.doc_id, tf.lang,
-         -sum((c * 1.0 / n) * ln(c * 1.0 / n)) AS h
-  FROM tf JOIN dl USING (doc_id) GROUP BY 1, 2
+  SELECT doc_id, lang,
+         ln(sum(c)) - sum(c * ln(c)) / sum(c) AS h
+  FROM tf GROUP BY 1, 2
 )
 SELECT lang, count(*) AS n_docs, round(avg(h), 4) AS avg_entropy,
        round(max(h), 4) AS max_entropy

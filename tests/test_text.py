@@ -119,3 +119,21 @@ def test_word_entropy_bounds(spark, sf_dir):
         .collect()[0]["h"]
     )
     assert h == 0.0
+
+
+def test_word_entropy_single_explode_no_join(spark, sf_dir):
+    """q113 must explode the corpus exactly ONCE: doc length is
+    derived from the (doc, word) counts (H = ln(n) - sum(c*ln c)/n),
+    not re-aggregated from the raw word stream — the round-3 shape
+    evaluated the explode pipeline twice and joined the gram stream
+    back to itself. One Generate, zero Joins in the optimized plan."""
+    from ssb_coefficient_maker_spark.operators.text import q113_word_entropy
+
+    plan = (
+        q113_word_entropy(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("Generate") == 1, plan
+    assert "Join" not in plan, plan
