@@ -43,15 +43,11 @@ __version__ = "0.1.0"
 
 def release_caches() -> None:
     """Unpersist every session-scoped cache the engine maintains
-    (MinHash shingle table, IVF index, PQ index). Safe any time; the
-    next use rebuilds. Long-lived sessions embedding the engine call
-    this between workloads."""
-    from ssb_coefficient_maker_spark.operators.dedup import release_shingle_cache
-    from ssb_coefficient_maker_spark.operators.similarity import (
-        release_ivf_index,
-        release_pq_index,
-    )
+    (MinHash shingle table, IVF index, PQ index — one registry,
+    cachereg). Safe any time; the next use rebuilds. Long-lived
+    sessions embedding the engine call this between workloads; each
+    cache also self-bounds to ONE pinned corpus, evicting on corpus
+    switch or testdata regeneration."""
+    from ssb_coefficient_maker_spark.cachereg import release_all
 
-    release_shingle_cache()
-    release_ivf_index()
-    release_pq_index()
+    release_all()

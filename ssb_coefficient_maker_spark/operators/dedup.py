@@ -122,16 +122,12 @@ def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SHINGLE_CACHE: tuple[tuple[int, str], DataFrame] | None = None
-
-
 def release_shingle_cache() -> None:
     """Unpersist the shingle table cached by the last
     ``minhash_lsh_pairs`` call (safe to call any time)."""
-    global _SHINGLE_CACHE
-    if _SHINGLE_CACHE is not None:
-        _SHINGLE_CACHE[1].unpersist(blocking=True)
-        _SHINGLE_CACHE = None
+    from ssb_coefficient_maker_spark.cachereg import get_cache
+
+    get_cache("shingle_table").release()
 
 
 def _shingle_table(docs: DataFrame, family: str = "xxhash64") -> DataFrame:
@@ -141,19 +137,21 @@ def _shingle_table(docs: DataFrame, family: str = "xxhash64") -> DataFrame:
     writes once and reads from every downstream dedup stage —
     re-shingling per call would be the expensive mistake. A DIFFERENT
     input releases the previous cache first, so a long-lived session
-    holds at most one copy."""
-    global _SHINGLE_CACHE
+    holds at most one copy (cachereg.PinnedCache — shared lifecycle
+    with the IVF/PQ indexes)."""
+    from ssb_coefficient_maker_spark.cachereg import get_cache
+
+    cache = get_cache("shingle_table")
     # DataFrame.semanticHash() is the public fingerprint of the analyzed
     # plan (stable across Spark Connect, unlike _jdf internals).
-    key = (docs.semanticHash(), family)
-    if _SHINGLE_CACHE is not None and _SHINGLE_CACHE[0] == key:
-        return _SHINGLE_CACHE[1]
-    release_shingle_cache()
+    corpus = (docs.semanticHash(), family)
+    hit = cache.lookup(corpus, ())
+    if hit is not None:
+        return hit
     sh_tbl = docs.select(
         "doc_id", shingles_col(F.col("text"), family=family).alias("sh")
     ).persist()
-    _SHINGLE_CACHE = (key, sh_tbl)
-    return sh_tbl
+    return cache.store(corpus, (), sh_tbl, pinned=[sh_tbl])
 
 
 def minhash_lsh_pairs(

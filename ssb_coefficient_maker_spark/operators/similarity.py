@@ -171,26 +171,32 @@ def q56_kmeans_ivf(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
 # bucket assignment. An ANN index is built ONCE and probed many times —
 # at 100 TB the assignment below is a bucket-partitioned table on
 # storage; the persisted DataFrame is the local-session stand-in.
-_IVF_INDEX: dict[tuple, tuple[list[list[float]], DataFrame]] = {}
+# Lifecycle lives in cachereg.PinnedCache: at most ONE corpus pinned,
+# evicted on corpus switch or testdata regeneration (fingerprint key).
 
 
 def ivf_index(
     spark: SparkSession, sf_dir: str, n_centroids: int = 20, iters: int = 3
 ) -> tuple[list[list[float]], DataFrame]:
-    key = (sf_dir, n_centroids, iters)
-    if key not in _IVF_INDEX:
-        emb = load_table(spark, sf_dir, "embeddings")
-        cents = kmeans_centroids(emb, k=n_centroids, iters=iters)
-        assigned = assign_buckets(emb, cents).persist()
-        _IVF_INDEX[key] = (cents, assigned)
-    return _IVF_INDEX[key]
+    from ssb_coefficient_maker_spark.cachereg import corpus_key_for, get_cache
+
+    cache = get_cache("ivf_index")
+    corpus = corpus_key_for(sf_dir)
+    params = (n_centroids, iters)
+    hit = cache.lookup(corpus, params)
+    if hit is not None:
+        return hit
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, k=n_centroids, iters=iters)
+    assigned = assign_buckets(emb, cents).persist()
+    return cache.store(corpus, params, (cents, assigned), pinned=[assigned])
 
 
 def release_ivf_index() -> None:
     """Unpersist all cached IVF indexes (safe to call any time)."""
-    for _cents, df in _IVF_INDEX.values():
-        df.unpersist(blocking=True)
-    _IVF_INDEX.clear()
+    from ssb_coefficient_maker_spark.cachereg import get_cache
+
+    get_cache("ivf_index").release()
 
 
 def q35_ivf_topk(
@@ -538,9 +544,6 @@ def pq_encode(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
     return emb.withColumn("codes", _codes("embedding"))
 
 
-_PQ_INDEX: dict[tuple, tuple[list, DataFrame]] = {}
-
-
 def _with_l2_normalized(df: DataFrame, src: str, dst: str) -> DataFrame:
     """Adds ``dst`` = L2-normalized ``src``. The norm lands in its own
     column first: inlining the aggregate into the transform lambda
@@ -564,33 +567,42 @@ def pq_index(spark: SparkSession, sf_dir: str, n_sub: int = 16, k: int = 32):
     narrow angle and recall collapses (measured 0.4 → 0.9-1.0 @10 with
     the n_sub=16, k=32 defaults: 16×5 = 80 bits ≈ 10 bytes per vector,
     ~50× smaller than the raw doubles the ADC scan replaces). The
-    original embedding rides along for the exact re-rank."""
-    key = (sf_dir, n_sub, k)
-    if key not in _PQ_INDEX:
-        emb = load_table(spark, sf_dir, "embeddings")
-        norm = _with_l2_normalized(emb, "embedding", "emb_n")
-        train_in = norm.select("vec_id", F.col("emb_n").alias("embedding"))
-        books = pq_train(train_in, n_sub=n_sub, k=k)
-        # encode on the normalized copy, keep the ORIGINAL embedding
-        # for the exact re-rank — a column rename, not a re-join of
-        # the source table
-        enc_in = norm.select(
-            "vec_id", "label", F.col("embedding").alias("emb_orig"),
-            F.col("emb_n").alias("embedding"),
-        )
-        codes = (
-            pq_encode(enc_in, books)
-            .select("vec_id", "label", F.col("emb_orig").alias("embedding"), "codes")
-            .persist()
-        )
-        _PQ_INDEX[key] = (books, codes)
-    return _PQ_INDEX[key]
+    original embedding rides along for the exact re-rank.
+
+    Lifecycle: cachereg.PinnedCache — one corpus pinned at a time,
+    evicted on corpus switch / testdata regeneration."""
+    from ssb_coefficient_maker_spark.cachereg import corpus_key_for, get_cache
+
+    cache = get_cache("pq_index")
+    corpus = corpus_key_for(sf_dir)
+    params = (n_sub, k)
+    hit = cache.lookup(corpus, params)
+    if hit is not None:
+        return hit
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = _with_l2_normalized(emb, "embedding", "emb_n")
+    train_in = norm.select("vec_id", F.col("emb_n").alias("embedding"))
+    books = pq_train(train_in, n_sub=n_sub, k=k)
+    # encode on the normalized copy, keep the ORIGINAL embedding
+    # for the exact re-rank — a column rename, not a re-join of
+    # the source table
+    enc_in = norm.select(
+        "vec_id", "label", F.col("embedding").alias("emb_orig"),
+        F.col("emb_n").alias("embedding"),
+    )
+    codes = (
+        pq_encode(enc_in, books)
+        .select("vec_id", "label", F.col("emb_orig").alias("embedding"), "codes")
+        .persist()
+    )
+    return cache.store(corpus, params, (books, codes), pinned=[codes])
 
 
 def release_pq_index() -> None:
-    for _b, df in _PQ_INDEX.values():
-        df.unpersist(blocking=True)
-    _PQ_INDEX.clear()
+    """Unpersist the cached PQ index (safe to call any time)."""
+    from ssb_coefficient_maker_spark.cachereg import get_cache
+
+    get_cache("pq_index").release()
 
 
 def q81_pq_topk(

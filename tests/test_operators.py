@@ -540,3 +540,45 @@ def test_connected_components_clusters_and_hygiene(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 99: 99}
     labels.unpersist(blocking=True)
     assert jsc.getPersistentRDDs().size() <= before
+
+
+def test_index_caches_evict_previous_corpus(spark, sf_dir, tmp_path):
+    """cachereg.PinnedCache contract (round-3 VERDICT #4): building an
+    index against a SECOND corpus must unpersist the first corpus's
+    pinned frames — a long-lived session pointing at corpus after
+    corpus holds at most one corpus per cache, without anyone calling
+    release_* by hand."""
+    import shutil
+
+    from ssb_coefficient_maker_spark.cachereg import get_cache
+    from ssb_coefficient_maker_spark.operators.similarity import (
+        ivf_index,
+        pq_index,
+        release_ivf_index,
+        release_pq_index,
+    )
+
+    corpus_b = tmp_path / "corpus_b"
+    corpus_b.mkdir()
+    shutil.copy(f"{sf_dir}/embeddings.parquet", corpus_b / "embeddings.parquet")
+
+    release_ivf_index()
+    release_pq_index()
+    try:
+        _c_a, assigned_a = ivf_index(spark, sf_dir)
+        _b_a, codes_a = pq_index(spark, sf_dir)
+        assert assigned_a.storageLevel.useMemory
+        assert codes_a.storageLevel.useMemory
+
+        ivf_index(spark, str(corpus_b))
+        pq_index(spark, str(corpus_b))
+        # corpus A's frames were unpersisted by the corpus switch
+        assert not assigned_a.storageLevel.useMemory
+        assert not codes_a.storageLevel.useMemory
+        assert len(get_cache("ivf_index").pinned_frames()) == 1
+        assert len(get_cache("pq_index").pinned_frames()) == 1
+    finally:
+        release_ivf_index()
+        release_pq_index()
+    assert get_cache("ivf_index").pinned_frames() == []
+    assert get_cache("pq_index").pinned_frames() == []
