@@ -205,6 +205,19 @@ class FormulaEvaluator:
 
         if any(isinstance(self.datasets[n], TripletMatrix) for n in names):
             tdf = compile_formula_triplet(expr, self.datasets)
+            if self.validation == "defer":
+                # same contract as the wide path below: no eager audit
+                # job; fill (if requested) fuses lazily into the plan
+                from ssb_coefficient_maker_spark.validation import (
+                    fill_invalid as _fill,
+                )
+
+                if self.fill_invalid:
+                    tdf = _fill(tdf, [VALUE])
+                self._last_value_cols = [VALUE]
+                self.last_invalid_count = None  # not audited in defer mode
+                self._last_is_triplet = True
+                return tdf
             tdf, count = _validate(
                 tdf,
                 [VALUE],

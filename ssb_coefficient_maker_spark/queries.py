@@ -2521,6 +2521,77 @@ FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def q114_triplet_wide_formula(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-matrix escape hatch, exercised through the ENGINE
+    (SURVEY §7 risk 3, `plans/triplet.py`): a supplier x part
+    coefficient matrix has one column per part — 2k parts at sf0.01,
+    200k at sf1, far past WIDE_MATRIX_THRESHOLD (4000), where the
+    wide path's O(width) Catalyst projections stall. The triplet/long
+    form makes width a ROW dimension: both operand matrices are
+    (row, col, value) aggregates of lineitem, the formula
+    ``a / (a + b)`` compiles to ONE composite-key join plus a single
+    value projection (compile_formula_triplet), and the per-supplier
+    rollup keeps the checkable output suppliers-sized. This is the
+    registry's bench/correctness row for the auto-switch path that
+    was previously test-only (round-3 VERDICT next-round #6)."""
+    from ssb_coefficient_maker_spark.api import FormulaEvaluator
+    from ssb_coefficient_maker_spark.plans.triplet import (
+        COL_ID,
+        VALUE,
+        TripletMatrix,
+    )
+    from ssb_coefficient_maker_spark.session import ROW_ID
+
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def long_form(agg: "F.Column") -> DataFrame:
+        return li.groupBy(
+            F.col("l_suppkey").alias(ROW_ID),
+            F.col("l_partkey").cast("string").alias(COL_ID),
+        ).agg(agg.alias(VALUE))
+
+    a = long_form(F.sum("l_extendedprice"))
+    b = long_form(F.sum("l_quantity"))
+    ev = FormulaEvaluator(
+        {"a": TripletMatrix(a), "b": TripletMatrix(b)},
+        spark=spark,
+        validation="defer",  # audit fuses into the consumer's action
+    )
+    coeff = ev.evaluate_formula("a / (a + b)")
+    return (
+        coeff.select(
+            F.col(ROW_ID).cast("long").alias("l_suppkey"),
+            F.col(VALUE).alias("v"),
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.sum("v"), 4).alias("sum_coeff"),
+            F.round(F.max("v"), 4).alias("max_coeff"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+_Q114_ORACLE = """
+WITH a AS (
+  SELECT l_suppkey AS r, CAST(l_partkey AS VARCHAR) AS c,
+         sum(l_extendedprice) AS av
+  FROM lineitem GROUP BY 1, 2
+), b AS (
+  SELECT l_suppkey AS r, CAST(l_partkey AS VARCHAR) AS c,
+         sum(l_quantity) AS bv
+  FROM lineitem GROUP BY 1, 2
+), j AS (
+  SELECT a.r, av / (av + bv) AS v
+  FROM a JOIN b ON a.r = b.r AND a.c = b.c
+)
+SELECT r AS l_suppkey, count(*) AS n_cells, round(sum(v), 4) AS sum_coeff,
+       round(max(v), 4) AS max_coeff
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(
         relational.q01_pricing_summary,
@@ -3508,6 +3579,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "q111_constraint_audit": QuerySpec(q111_constraint_audit, _Q111_ORACLE, "quality"),
     "q113_word_entropy": QuerySpec(text.q113_word_entropy, text.Q113_ORACLE, "text"),
     "q112_snapshot_diff": QuerySpec(q112_snapshot_diff, _Q112_ORACLE, "storage"),
+    "q114_triplet_wide_formula": QuerySpec(
+        q114_triplet_wide_formula, _Q114_ORACLE, "formula"
+    ),
 }
 
 
@@ -3520,6 +3594,7 @@ REGISTRY: dict[str, QuerySpec] = {
 # the full replay). Append NEW queries to this tuple too — a new query
 # is by definition never-driver-checked.
 _DRIVER_PRIORITY = (
+    "q114_triplet_wide_formula",
     "q97_merge_upsert",
     "q98_cohort_retention",
     "q99_exact_group_sample",

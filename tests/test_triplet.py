@@ -117,3 +117,39 @@ def test_triplet_fill_keeps_col_id(spark, pdfs):
     assert set(res.columns) == {"__row_id__", "__col_id__", "value"}
     vals = [r["value"] for r in res.collect()]
     assert all(v == 0.0 for v in vals)  # a/0 -> inf -> filled
+
+
+def test_triplet_defer_validation_matches_eager(spark):
+    """validation='defer' on the triplet path must skip the eager
+    audit job (last_invalid_count None) yet produce identical values
+    to eager mode — the audit is an action-time concern, not a
+    result-shaping one (same contract as the wide path)."""
+    import pandas as pd
+
+    from ssb_coefficient_maker_spark.api import FormulaEvaluator
+    from ssb_coefficient_maker_spark.plans.triplet import TripletMatrix
+
+    long = pd.DataFrame(
+        {
+            "__row_id__": ["r1", "r1", "r2", "r2"],
+            "__col_id__": ["x", "y", "x", "y"],
+            "value": [1.0, 2.0, 3.0, 4.0],
+        }
+    )
+    a = TripletMatrix(spark.createDataFrame(long))
+    b = TripletMatrix(spark.createDataFrame(long))
+
+    def run(validation):
+        ev = FormulaEvaluator({"a": a, "b": b}, spark=spark, validation=validation)
+        out = (
+            ev.evaluate_formula("a / (a + b)")
+            .orderBy("__row_id__", "__col_id__")
+            .collect()
+        )
+        return ev.last_invalid_count, [round(r["value"], 12) for r in out]
+
+    eager_count, eager_vals = run("eager")
+    defer_count, defer_vals = run("defer")
+    assert eager_count == 0
+    assert defer_count is None
+    assert eager_vals == defer_vals == [0.5, 0.5, 0.5, 0.5]
