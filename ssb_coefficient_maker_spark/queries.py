@@ -3582,6 +3582,37 @@ REGISTRY: dict[str, QuerySpec] = {
     "q114_triplet_wide_formula": QuerySpec(
         q114_triplet_wide_formula, _Q114_ORACLE, "formula"
     ),
+    "q115_celled_neardup": QuerySpec(
+        similarity.q115_celled_neardup,
+        f"""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding AS c FROM embeddings
+          WHERE vec_id < {similarity.Q115_CLUSTERS}
+        ), corpus AS (
+          SELECT e.vec_id,
+                 list_transform(range(1, len(e.embedding) + 1),
+                                i -> {similarity.Q115_ALPHA} * CAST(c.c[i] AS DOUBLE)
+                                     + CAST(e.embedding[i] AS DOUBLE)) AS v
+          FROM embeddings e
+          JOIN cent c ON c.cid = e.vec_id % {similarity.Q115_CLUSTERS}
+        ), n AS (
+          SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM corpus
+        ), pr AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 round(list_sum(list_transform(list_zip(a.v, b.v),
+                       p -> p[1] * p[2])) / (a.nrm * b.nrm), 4) AS cos_sim
+          FROM n a JOIN n b ON a.vec_id < b.vec_id
+        )
+        SELECT CAST(vec_a % {similarity.Q115_CLUSTERS} AS BIGINT) AS cluster,
+               count(*) AS n_pairs, round(avg(cos_sim), 4) AS avg_cos,
+               round(min(cos_sim), 4) AS min_cos, round(max(cos_sim), 4) AS max_cos
+        FROM pr WHERE cos_sim >= {similarity.Q115_THRESHOLD}
+        GROUP BY 1 ORDER BY 1
+        """,
+        "dedup",
+    ),
 }
 
 
@@ -3594,6 +3625,7 @@ REGISTRY: dict[str, QuerySpec] = {
 # the full replay). Append NEW queries to this tuple too — a new query
 # is by definition never-driver-checked.
 _DRIVER_PRIORITY = (
+    "q115_celled_neardup",
     "q114_triplet_wide_formula",
     "q97_merge_upsert",
     "q98_cohort_retention",

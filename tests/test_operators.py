@@ -582,3 +582,52 @@ def test_index_caches_evict_previous_corpus(spark, sf_dir, tmp_path):
         release_pq_index()
     assert get_cache("ivf_index").pinned_frames() == []
     assert get_cache("pq_index").pinned_frames() == []
+
+
+def test_celled_neardup_exact_and_prunes(spark, sf_dir):
+    """The celled middle tier must return EXACTLY the pair set of the
+    quadratic blocked tier (pruning is allowed to skip work, never
+    pairs) while provably skipping cell pairs on a clustered corpus.
+    Also checks the isotropic degenerate case: on the raw (unclustered)
+    embeddings nothing prunes, but the result is still exact."""
+    from ssb_coefficient_maker_spark.operators.similarity import (
+        Q115_CLUSTERS,
+        Q115_THRESHOLD,
+        clustered_embeddings,
+        cosine_neardup_blocked,
+        cosine_neardup_celled,
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = clustered_embeddings(emb)
+
+    stats = {}
+    celled = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in cosine_neardup_celled(
+            corpus, threshold=Q115_THRESHOLD, n_cells=Q115_CLUSTERS, stats=stats
+        ).collect()
+    }
+    blocked = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in cosine_neardup_blocked(corpus, threshold=Q115_THRESHOLD).collect()
+    }
+    assert celled == blocked
+    assert len(celled) > 0
+    # clustered corpus: only ~diagonal cell pairs survive the bound
+    assert stats["kept_cell_pairs"] < stats["total_cell_pairs"] / 2, stats
+
+    # isotropic corpus at low threshold: no pruning possible, still exact
+    stats2 = {}
+    celled_raw = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in cosine_neardup_celled(
+            emb, threshold=0.4, n_cells=8, stats=stats2
+        ).collect()
+    }
+    blocked_raw = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in cosine_neardup_blocked(emb, threshold=0.4).collect()
+    }
+    assert celled_raw == blocked_raw
