@@ -248,3 +248,75 @@ def test_available_now_trigger_equals_batch(spark, sf_dir, events_stream):
     )
     exp = q20_window_tumbling(spark, sf_dir).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in exp]
+
+
+def test_stream_static_update_mode_equals_batch(spark, sf_dir, tmp_path):
+    """The q110 PRODUCTION shape (round-3 VERDICT next-round #8): the
+    registry query runs complete-mode without a watermark by design
+    (full-replay oracle semantics); production uses UPDATE mode plus a
+    watermark sized to real out-of-orderness. Drive that exact shape
+    over multiple micro-batches (maxFilesPerTrigger=1 over a 4-file
+    copy) and assert the final update per key equals the batch
+    aggregate — so the documented claim can't rot."""
+    from ssb_coefficient_maker_spark.queries import Q104_TOP_DAYS
+    from ssb_coefficient_maker_spark.sources.derived import date_dim_path
+    from ssb_coefficient_maker_spark.streaming.windows import state_sized_session
+
+    s2 = state_sized_session(spark)
+    src = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    ev_path = str(tmp_path / "events.parquet")
+    src.repartition(4).write.parquet(ev_path)
+
+    dim = s2.read.parquet(date_dim_path(s2, sf_dir)).select(
+        "event_date", "busy_rank"
+    )
+    day_class = (
+        F.when(F.col("busy_rank") <= Q104_TOP_DAYS, "busy").otherwise("normal")
+    )
+
+    raw = (
+        s2.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(ev_path)
+    )
+    agg = (
+        raw.withWatermark("ts", "30 days")  # > corpus span: nothing drops
+        .withColumn("event_date", F.to_date("ts"))
+        .join(dim, "event_date")
+        .groupBy(day_class.alias("day_class"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    sink = run_to_memory(s2, agg, "q110_update_shape", "update").toPandas()
+
+    # per key, counts grow monotonically across emissions: max-n row
+    # IS the final state
+    final = (
+        sink.sort_values("n")
+        .groupby(["day_class", "event_type"], as_index=False)
+        .tail(1)
+        .sort_values(["day_class", "event_type"])
+        .reset_index(drop=True)
+    )
+    # multiple micro-batches really happened: interim versions emitted
+    assert len(sink) > len(final)
+
+    exp = (
+        s2.read.parquet(ev_path)
+        .withColumn("event_date", F.to_date("ts"))
+        .join(dim, "event_date")
+        .groupBy(day_class.alias("day_class"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .toPandas()
+        .sort_values(["day_class", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert len(final) == len(exp)
+    merged = final.merge(exp, on=["day_class", "event_type"], suffixes=("_s", "_b"))
+    assert (merged["n_s"] == merged["n_b"]).all()
+    assert (abs(merged["total_value_s"] - merged["total_value_b"]) < 1e-6).all()
