@@ -2592,6 +2592,203 @@ FROM j GROUP BY 1 ORDER BY 1
 """
 
 
+def q116_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subquery, decorrelated by Catalyst (TPC-H
+    Q17 shape): lineitems below 20% of their part's average quantity.
+    Expressed as actual correlated SQL — the engine capability under
+    test is that Catalyst rewrites the per-row subquery into ONE
+    per-part aggregate + equi-join (plan-asserted in
+    tests/test_round4_ops.py: an Aggregate feeding a Join, no
+    re-scan per row). At 100 TB the decorrelated form is the only
+    viable one; writing it declaratively keeps AQE free to pick the
+    join strategy."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q116_lineitem")
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_weekly_loss
+        FROM q116_lineitem l1
+        WHERE l_quantity < (
+          SELECT 0.2 * avg(l_quantity) FROM q116_lineitem l2
+          WHERE l2.l_partkey = l1.l_partkey)
+        """
+    )
+
+
+_Q116_ORACLE = """
+SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_weekly_loss
+FROM lineitem l1
+WHERE l_quantity < (
+  SELECT 0.2 * avg(l_quantity) FROM lineitem l2
+  WHERE l2.l_partkey = l1.l_partkey)
+"""
+
+
+def q117_scalar_aggregate_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar aggregate against a derived relation (TPC-H Q15 shape):
+    per-supplier revenue, then the supplier(s) hitting the global max
+    of that same derived relation. The CTE is referenced twice (rows +
+    max); Spark evaluates the scalar max as a one-row subquery result
+    broadcast into the filter — no window over the full relation, no
+    driver round-trip. Revenue is rounded to 4 BEFORE the max
+    comparison so tie semantics are engine-portable."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q117_lineitem")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("q117_supplier")
+    return spark.sql(
+        """
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+          FROM q117_lineitem GROUP BY l_suppkey)
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM q117_supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s.s_suppkey
+        """
+    )
+
+
+_Q117_ORACLE = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue
+  FROM lineitem GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s.s_suppkey
+"""
+
+
+def q118_universal_quantification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Universal quantification via double correlation (TPC-H Q21
+    shape, adapted to this schema): orders where EVERY lineitem
+    shipped more than 30 days after the order date — EXISTS (has
+    lineitems) AND NOT EXISTS (any early lineitem), with an
+    INEQUALITY in the correlated predicate. Catalyst decorrelates to
+    one left-semi and one left-anti join on o_orderkey; ALL-ness is
+    the anti join, never a per-order re-scan."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("q118_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q118_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_late_orders
+        FROM q118_orders o
+        WHERE EXISTS (
+            SELECT 1 FROM q118_lineitem l WHERE l.l_orderkey = o.o_orderkey)
+          AND NOT EXISTS (
+            SELECT 1 FROM q118_lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """
+    )
+
+
+_Q118_ORACLE = """
+SELECT o_orderpriority, count(*) AS n_late_orders
+FROM orders o
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+def q119_having_global_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING against a GLOBAL scalar aggregate (TPC-H Q11 shape):
+    parts whose revenue exceeds 1.5x the average part's revenue
+    (scale-invariant, unlike a fixed share of total). The per-part
+    rollup is computed once (CTE), the global total is a scalar
+    subquery over the SAME rollup — tiny second aggregate of the
+    already-reduced relation, broadcast into the filter. Revenue is
+    rounded before both uses so the share threshold compares the same
+    number in both engines."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("q119_lineitem")
+    return spark.sql(
+        """
+        WITH part_rev AS (
+          SELECT l_partkey,
+                 round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+          FROM q119_lineitem GROUP BY l_partkey)
+        SELECT l_partkey, rev AS part_revenue
+        FROM part_rev
+        WHERE rev > (SELECT 1.5 * avg(rev) FROM part_rev)
+        ORDER BY part_revenue DESC, l_partkey
+        """
+    )
+
+
+_Q119_ORACLE = """
+WITH part_rev AS (
+  SELECT l_partkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+  FROM lineitem GROUP BY l_partkey)
+SELECT l_partkey, rev AS part_revenue
+FROM part_rev
+WHERE rev > (SELECT 1.5 * avg(rev) FROM part_rev)
+ORDER BY part_revenue DESC, l_partkey
+"""
+
+
+def q120_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-feature time-series windowing — the feature-engineering
+    pass an ML training pipeline runs over user activity: per
+    (user, day) value plus lag-1, a 7-day RANGE rolling sum, and the
+    running cumulative, ALL riding ONE shuffle on user_id (every
+    window shares the same partitioning and ordering, so Catalyst
+    plans a single Window operator after a single Exchange —
+    plan-asserted in tests/test_round4_ops.py). The RANGE frame is
+    over epoch DAYS (not rows), so gaps in activity shorten the
+    window exactly like calendar time does."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "user_id",
+            F.to_date("ts").alias("event_date"),
+        )
+        .agg(F.round(F.sum("value"), 4).alias("day_value"))
+        .withColumn("epoch_day", F.datediff("event_date", F.lit("1970-01-01")))
+    )
+    by_day = Window.partitionBy("user_id").orderBy("epoch_day")
+    range_7d = by_day.rangeBetween(-6, 0)
+    cum = by_day.rangeBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.select(
+            "user_id",
+            F.col("event_date").cast("string").alias("event_date"),
+            "day_value",
+            F.round(F.lag("day_value").over(by_day), 4).alias("prev_day"),
+            F.round(F.sum("day_value").over(range_7d), 4).alias("sum_7d"),
+            F.round(F.sum("day_value").over(cum), 4).alias("cum_value"),
+        )
+        .orderBy("user_id", "event_date")
+    )
+
+
+_Q120_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+         round(sum(value), 4) AS day_value,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS epoch_day
+  FROM events GROUP BY 1, 2, 4
+)
+SELECT user_id, event_date, day_value,
+       round(lag(day_value) OVER w, 4) AS prev_day,
+       round(sum(day_value) OVER (PARTITION BY user_id ORDER BY epoch_day
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS sum_7d,
+       round(sum(day_value) OVER (PARTITION BY user_id ORDER BY epoch_day
+             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_value
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_day)
+ORDER BY user_id, event_date
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(
         relational.q01_pricing_summary,
@@ -3582,6 +3779,21 @@ REGISTRY: dict[str, QuerySpec] = {
     "q114_triplet_wide_formula": QuerySpec(
         q114_triplet_wide_formula, _Q114_ORACLE, "formula"
     ),
+    "q116_correlated_scalar_subquery": QuerySpec(
+        q116_correlated_scalar_subquery, _Q116_ORACLE, "join"
+    ),
+    "q117_scalar_aggregate_reuse": QuerySpec(
+        q117_scalar_aggregate_reuse, _Q117_ORACLE, "join"
+    ),
+    "q118_universal_quantification": QuerySpec(
+        q118_universal_quantification, _Q118_ORACLE, "join"
+    ),
+    "q119_having_global_share": QuerySpec(
+        q119_having_global_share, _Q119_ORACLE, "agg"
+    ),
+    "q120_rolling_features": QuerySpec(
+        q120_rolling_features, _Q120_ORACLE, "window"
+    ),
     "q115_celled_neardup": QuerySpec(
         similarity.q115_celled_neardup,
         f"""
@@ -3625,6 +3837,11 @@ REGISTRY: dict[str, QuerySpec] = {
 # the full replay). Append NEW queries to this tuple too — a new query
 # is by definition never-driver-checked.
 _DRIVER_PRIORITY = (
+    "q116_correlated_scalar_subquery",
+    "q117_scalar_aggregate_reuse",
+    "q118_universal_quantification",
+    "q119_having_global_share",
+    "q120_rolling_features",
     "q115_celled_neardup",
     "q114_triplet_wide_formula",
     "q97_merge_upsert",
