@@ -2592,6 +2592,38 @@ FROM j GROUP BY 1 ORDER BY 1
 """
 
 
+def q121_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (multi-dimensional) clustering rewrite — the OPTIMIZE
+    flavor q109's single-key compaction can't provide: files
+    clustered on the Morton interleave of (user_id, epoch day), so
+    min/max stats prune point scans on EITHER dimension to ~sqrt(F)
+    of F files (locality test-asserted via input_file_name(),
+    tests/test_round4_ops.py). The rewrite must be value-preserving:
+    this query aggregates per (event_type, month) from the Z-ORDERED
+    copy while the oracle aggregates the ORIGINAL events — any row
+    lost or duplicated in the rewrite breaks the hash match."""
+    from ssb_coefficient_maker_spark.sources.derived import zordered_events_path
+
+    ev = spark.read.parquet(zordered_events_path(spark, sf_dir))
+    return (
+        ev.groupBy(
+            "event_type", F.month("ts").alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+        .orderBy("event_type", "month")
+    )
+
+
+_Q121_ORACLE = """
+SELECT event_type, CAST(month(ts) AS INT) AS month, count(*) AS n_events,
+       round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q116_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated SCALAR subquery, decorrelated by Catalyst (TPC-H
     Q17 shape): lineitems below 20% of their part's average quantity.
@@ -3779,6 +3811,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "q114_triplet_wide_formula": QuerySpec(
         q114_triplet_wide_formula, _Q114_ORACLE, "formula"
     ),
+    "q121_zorder_clustering": QuerySpec(
+        q121_zorder_clustering, _Q121_ORACLE, "storage"
+    ),
     "q116_correlated_scalar_subquery": QuerySpec(
         q116_correlated_scalar_subquery, _Q116_ORACLE, "join"
     ),
@@ -3837,6 +3872,7 @@ REGISTRY: dict[str, QuerySpec] = {
 # the full replay). Append NEW queries to this tuple too — a new query
 # is by definition never-driver-checked.
 _DRIVER_PRIORITY = (
+    "q121_zorder_clustering",
     "q116_correlated_scalar_subquery",
     "q117_scalar_aggregate_reuse",
     "q118_universal_quantification",

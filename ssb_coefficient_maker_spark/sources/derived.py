@@ -350,3 +350,71 @@ def compacted_events_path(spark: SparkSession, sf_dir: str) -> str:
             .parquet(path)
         )
     return path
+
+
+def zorder_key(a: "F.Column", b: "F.Column", bits: int = 16) -> "F.Column":
+    """Z-order (Morton) curve key: interleave the low ``bits`` of two
+    non-negative ints, built from ``bits`` pairs of JVM shift/mask
+    terms (a static expression — no UDF, stays in codegen). Domain
+    precondition: both inputs in [0, 2^bits); higher bits are masked
+    off, which ALIASES distant values onto nearby curve positions —
+    acceptable for clustering (locality degrades, correctness of the
+    data is untouched), but size ``bits`` to the real key domain."""
+    z = F.lit(0).cast("long")
+    a = a.cast("long")
+    b = b.cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def zordered_events_path(spark: SparkSession, sf_dir: str, n_files: int = 16) -> str:
+    """MULTI-dimensional clustering (the Z-ORDER flavor of OPTIMIZE,
+    q121): events rewritten clustered on the Morton interleave of
+    (user_id, day) BUCKET ids, so file-level min/max stats prune BOTH
+    per-user scans AND per-day scans — a single-key sort (q109's
+    compaction) can only serve one of the two.
+
+    Each dimension is first mapped to a 16-bucket ``width_bucket``
+    over its actual min/max (one tiny agg at write time): raw-domain
+    interleaving is useless when bit widths are unbalanced (epoch day
+    ~19.7k occupies 15 bits while user_id at small SF occupies 4 —
+    the curve order then degenerates to a single-dim sort; measured
+    10/16 files for a user point query vs 4/16 after bucketing).
+    Production Z-ORDER implementations bucket for exactly this
+    reason. With F files a point query on either dimension touches
+    ~sqrt(F) files (locality test-asserted via input_file_name() in
+    tests/test_round4_ops.py). Rewrite is value-preserving — q121's
+    oracle aggregates the ORIGINAL events."""
+    path = _derived_root(sf_dir, "events_zordered")
+    if not _is_done(path):
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "__d", F.datediff(F.to_date("ts"), F.lit("1970-01-01"))
+        )
+        lims = ev.agg(
+            F.min("user_id").alias("ulo"),
+            F.max("user_id").alias("uhi"),
+            F.min("__d").alias("dlo"),
+            F.max("__d").alias("dhi"),
+        ).collect()[0]
+        bu = F.width_bucket(
+            F.col("user_id"), F.lit(lims["ulo"]), F.lit(lims["uhi"] + 1), F.lit(16)
+        ) - F.lit(1)
+        bd = F.width_bucket(
+            F.col("__d"), F.lit(lims["dlo"]), F.lit(lims["dhi"] + 1), F.lit(16)
+        ) - F.lit(1)
+        (
+            ev.withColumn("__z", zorder_key(bu, bd, bits=4))
+            .repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z", "__d")
+            .write.mode("overwrite")
+            .option("maxRecordsPerFile", 2_000_000)
+            .parquet(path)
+        )
+    return path

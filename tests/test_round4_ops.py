@@ -71,3 +71,52 @@ def test_q120_window_semantics_vs_pandas(spark, sf_dir):
         lo = days[i] - pd.Timedelta(days=6)
         exp = one_user.day_value[(days >= lo) & (days <= days[i])].sum()
         assert abs(one_user.sum_7d[i] - round(exp, 4)) < 1e-6
+
+
+def test_q121_zorder_locality_both_dimensions(spark, sf_dir):
+    """Z-order's whole point: point queries on EITHER clustered
+    dimension touch ~sqrt(F) of F files — a single-key sort serves
+    only one dimension. Measured via input_file_name(): which files
+    actually contain rows for one user / one day (bucketed Morton
+    keys; measured ~5-6 of 16 at these SFs, sqrt(16)=4 + boundary
+    effects)."""
+    from pyspark.sql import functions as F
+
+    from ssb_coefficient_maker_spark.sources.derived import zordered_events_path
+
+    ev = spark.read.parquet(zordered_events_path(spark, sf_dir, n_files=16))
+    total = ev.select(F.input_file_name()).distinct().count()
+    assert total >= 12  # range partitioner may merge a couple of ranges
+    uid = ev.select("user_id").limit(1).collect()[0][0]
+    day = ev.select(F.to_date("ts").alias("d")).limit(1).collect()[0][0]
+    f_user = (
+        ev.filter(F.col("user_id") == uid)
+        .select(F.input_file_name()).distinct().count()
+    )
+    f_day = (
+        ev.filter(F.to_date("ts") == F.lit(day))
+        .select(F.input_file_name()).distinct().count()
+    )
+    assert f_user <= total // 2, (f_user, total)
+    assert f_day <= total // 2, (f_day, total)
+
+
+def test_q121_zorder_value_preserving(spark, sf_dir):
+    """The rewrite must lose/duplicate nothing: full-row content hash
+    of the z-ordered copy equals the original's."""
+    from pyspark.sql import functions as F
+
+    from ssb_coefficient_maker_spark.sources.derived import zordered_events_path
+    from ssb_coefficient_maker_spark.sources.loaders import load_table
+
+    cols = ["event_id", "user_id", "event_type", "value"]
+    def content_hash(df):
+        return (
+            df.select(F.xxhash64(*cols).alias("h"))
+            .agg(F.sum("h").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()[0]
+        )
+
+    orig = content_hash(load_table(spark, sf_dir, "events"))
+    zord = content_hash(spark.read.parquet(zordered_events_path(spark, sf_dir)))
+    assert (orig["s"], orig["n"]) == (zord["s"], zord["n"])
