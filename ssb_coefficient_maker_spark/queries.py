@@ -2624,6 +2624,195 @@ FROM events GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+def q122_join_skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics — the measurement that DECIDES when
+    the salted-join path (q70, `operators/skew.py`) is worth its
+    extra shuffle: per-key row counts for a candidate join key,
+    reduced to the distribution shape an operator planner reads
+    (p50/p90/max rows-per-key, the max/median ratio, and the share of
+    rows owned by the single hottest key). Two tiny aggregations over
+    the already-reduced key histogram — the raw table is touched
+    once. At 100 TB this is the profiling pass that runs BEFORE the
+    big join, on the same stats the AQE skew-join threshold consumes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_key.agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c").alias("n_rows"),
+            F.percentile("c", F.lit(0.5)).alias("p50_raw"),
+            F.percentile("c", F.lit(0.9)).alias("p90_raw"),
+            F.max("c").alias("max_rows_per_key"),
+        )
+        .select(
+            "n_keys",
+            "n_rows",
+            F.round("p50_raw", 4).alias("p50_rows_per_key"),
+            F.round("p90_raw", 4).alias("p90_rows_per_key"),
+            "max_rows_per_key",
+            F.round(F.col("max_rows_per_key") / F.col("p50_raw"), 4).alias(
+                "max_over_median"
+            ),
+            F.round(F.col("max_rows_per_key") / F.col("n_rows"), 6).alias(
+                "top_key_share"
+            ),
+        )
+    )
+
+
+_Q122_ORACLE = """
+WITH per_key AS (
+  SELECT l_suppkey, count(*) AS c FROM lineitem GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n_keys, sum(c) AS n_rows,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY c) AS p50_raw,
+         percentile_cont(0.9) WITHIN GROUP (ORDER BY c) AS p90_raw,
+         max(c) AS max_rows_per_key
+  FROM per_key
+)
+SELECT n_keys, n_rows, round(p50_raw, 4) AS p50_rows_per_key,
+       round(p90_raw, 4) AS p90_rows_per_key, max_rows_per_key,
+       round(max_rows_per_key / p50_raw, 4) AS max_over_median,
+       round(max_rows_per_key / n_rows, 6) AS top_key_share
+FROM stats
+"""
+
+
+def q123_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile winsorization per stratum — the outlier-clipping
+    step an ML feature pipeline runs before normalization: clip each
+    event's value to its event_type's [p05, p95], report per-type how
+    many rows clipped each way and the mean shift. The per-type
+    percentile pair is a types-sized aggregate broadcast back onto
+    the fact (AQE picks broadcast from runtime stats); the clip is a
+    map-only projection. EXACT percentiles both sides (same
+    interpolation as percentile_cont), so the clip thresholds match
+    the oracle bit-for-bit after rounding."""
+    ev = load_table(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.05)), 4).alias("lo"),
+        F.round(F.percentile("value", F.lit(0.95)), 4).alias("hi"),
+    )
+    clipped = ev.join(cuts, "event_type").select(
+        "event_type",
+        "value",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("w"),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("value") < F.col("lo")).cast("long")).alias("n_clipped_lo"),
+            F.sum((F.col("value") > F.col("hi")).cast("long")).alias("n_clipped_hi"),
+            F.round(F.avg(F.col("w") - F.col("value")), 6).alias("mean_shift"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q123_ORACLE = """
+WITH cuts AS (
+  SELECT event_type,
+         round(percentile_cont(0.05) WITHIN GROUP (ORDER BY value), 4) AS lo,
+         round(percentile_cont(0.95) WITHIN GROUP (ORDER BY value), 4) AS hi
+  FROM events GROUP BY 1
+), clipped AS (
+  SELECT e.event_type, e.value, c.lo, c.hi,
+         least(greatest(e.value, c.lo), c.hi) AS w
+  FROM events e JOIN cuts c USING (event_type)
+)
+SELECT event_type, count(*) AS n,
+       sum(CASE WHEN value < lo THEN 1 ELSE 0 END) AS n_clipped_lo,
+       sum(CASE WHEN value > hi THEN 1 ELSE 0 END) AS n_clipped_hi,
+       round(avg(w - value), 6) AS mean_shift
+FROM clipped GROUP BY 1 ORDER BY 1
+"""
+
+
+def q124_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram PMI collocations — the phrase-mining pass tokenizer /
+    vocabulary construction runs over a corpus: score word pairs by
+    pointwise mutual information ln(p(ab) / (p(a) p(b))), keep
+    frequent collocations. Shape at scale: ONE projection
+    materializes the word array, bigrams explode from a JVM
+    ``transform(sequence(...))`` (no Python), unigram and bigram
+    counts are two hash aggregations, and the two unigram joins hit
+    an already-reduced vocabulary-sized table (AQE broadcasts it).
+    Corpus-size totals ride 1-row aggregates joined back. Top-20 by
+    (rounded PMI, bigram) — deterministic tie order both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.split(F.trim("text"), r"\s+").alias("ws")
+    )
+    uni = (
+        words.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    bi = (
+        words.select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ws") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ws", i).alias("w1"),
+                        F.element_at("ws", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b")
+        )
+        .groupBy(F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("cab"))
+    )
+    n_uni = uni.agg(F.sum("cw").alias("nu"))
+    n_bi = bi.agg(F.sum("cab").alias("nb"))
+    pmi = (
+        bi.join(uni.select(F.col("w").alias("w1"), F.col("cw").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("cw").alias("c2")), "w2")
+        .crossJoin(n_uni)
+        .crossJoin(n_bi)
+        .filter(F.col("cab") >= 5)
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "cab",
+            F.round(
+                F.log(
+                    (F.col("cab") / F.col("nb"))
+                    / ((F.col("c1") / F.col("nu")) * (F.col("c2") / F.col("nu")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return pmi.orderBy(F.col("pmi").desc(), F.col("bigram")).limit(20)
+
+
+_Q124_ORACLE = """
+WITH ws AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents
+), uni AS (
+  SELECT w, count(*) AS cw FROM (SELECT unnest(ws) AS w FROM ws) GROUP BY 1
+), bi AS (
+  SELECT b['w1'] AS w1, b['w2'] AS w2, count(*) AS cab FROM (
+    SELECT unnest(list_transform(range(1, len(ws)),
+                  i -> {'w1': ws[i], 'w2': ws[i+1]})) AS b
+    FROM ws)
+  GROUP BY 1, 2
+), nu AS (SELECT sum(cw) AS nu FROM uni
+), nb AS (SELECT sum(cab) AS nb FROM bi)
+SELECT w1 || ' ' || w2 AS bigram, cab,
+       round(ln((cab / nb) / ((c1.cw / nu.nu) * (c2.cw / nu.nu))), 4) AS pmi
+FROM bi
+JOIN uni c1 ON c1.w = bi.w1
+JOIN uni c2 ON c2.w = bi.w2
+CROSS JOIN nu CROSS JOIN nb
+WHERE cab >= 5
+ORDER BY pmi DESC, bigram LIMIT 20
+"""
+
+
 def q116_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated SCALAR subquery, decorrelated by Catalyst (TPC-H
     Q17 shape): lineitems below 20% of their part's average quantity.
@@ -3814,6 +4003,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "q121_zorder_clustering": QuerySpec(
         q121_zorder_clustering, _Q121_ORACLE, "storage"
     ),
+    "q122_join_skew_diagnostics": QuerySpec(
+        q122_join_skew_diagnostics, _Q122_ORACLE, "agg"
+    ),
+    "q123_winsorize": QuerySpec(q123_winsorize, _Q123_ORACLE, "quality"),
+    "q124_bigram_pmi": QuerySpec(q124_bigram_pmi, _Q124_ORACLE, "text"),
     "q116_correlated_scalar_subquery": QuerySpec(
         q116_correlated_scalar_subquery, _Q116_ORACLE, "join"
     ),
@@ -3872,6 +4066,9 @@ REGISTRY: dict[str, QuerySpec] = {
 # the full replay). Append NEW queries to this tuple too — a new query
 # is by definition never-driver-checked.
 _DRIVER_PRIORITY = (
+    "q124_bigram_pmi",
+    "q122_join_skew_diagnostics",
+    "q123_winsorize",
     "q121_zorder_clustering",
     "q116_correlated_scalar_subquery",
     "q117_scalar_aggregate_reuse",
