@@ -387,6 +387,7 @@ def cosine_neardup_celled(
     n_cells: int = 16,
     iters: int = 3,
     block_size: int = 1024,
+    fringe_quantile: float | None = None,
     stats: dict | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold with IVF-cell pruning — the
@@ -419,8 +420,21 @@ def cosine_neardup_celled(
     repartitionByRange on (cell, vec_id) instead of a per-cell window
     sort — same shuffle count.
 
-    ``stats`` (optional dict) receives kept/total cell-pair counts so
-    tests and SCALE_NOTES can quantify the pruning.
+    ``fringe_quantile`` hardens the bound against OUTLIERS: the max
+    radius is fragile — one far-from-centroid member inflates its
+    cell's radius and un-prunes every pair involving that cell. With
+    a quantile q (e.g. 0.9), each cell's radius caps at its q-th
+    angle percentile; members beyond the cap become a FRINGE residual
+    checked exhaustively against everything (fringe x core block
+    pairs + fringe x fringe upper-triangle). Core-core pairs keep the
+    capped-radius bound (sound: every remaining member is inside the
+    cap), so completeness holds with a residual cost of
+    O(|fringe| * n) instead of a collapse back to O(n^2). None
+    (default) = cap at the max, no fringe — the original behavior.
+
+    ``stats`` (optional dict) receives kept/total cell-pair counts
+    (and the fringe size) so tests and SCALE_NOTES can quantify the
+    pruning.
     """
     import math
 
@@ -431,14 +445,16 @@ def cosine_neardup_celled(
     cn = cn / np.linalg.norm(cn, axis=1, keepdims=True)
     theta = np.arccos(np.clip(cn @ cn.T, -1.0, 1.0))
 
-    assigned = assign_buckets_with_cos(emb.select("vec_id", "embedding"), cents)
+    assigned = assign_buckets_with_cos(
+        emb.select("vec_id", "embedding"), cents
+    ).withColumn(
+        "ang",
+        F.acos(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), F.col("cosc")))),
+    )
+    rq = 1.0 if fringe_quantile is None else fringe_quantile
     radius_rows = (
         assigned.groupBy("bucket")
-        .agg(
-            F.max(
-                F.acos(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), F.col("cosc"))))
-            ).alias("radius")
-        )
+        .agg(F.percentile("ang", F.lit(rq)).alias("radius"))
         .collect()
     )
     radius = {r["bucket"]: r["radius"] for r in radius_rows}
@@ -457,9 +473,23 @@ def cosine_neardup_celled(
         stats["kept_cell_pairs"] = len(kept)
         stats["total_cell_pairs"] = total
 
+    # fringe split: a member beyond its cell's (capped) radius moves
+    # to the residual set; with fringe_quantile=None the cap IS the
+    # max, so nothing is a fringe member and `core` == `assigned`
+    cap_items: list["F.Column"] = []
+    for b, r in radius.items():
+        cap_items.append(F.lit(b))
+        cap_items.append(F.lit(float(r)))
+    cap_col = F.create_map(*cap_items)[F.col("bucket")]
+    tagged = assigned.select(
+        "bucket", "vec_id", "embedding", (F.col("ang") > cap_col + 1e-12).alias("fr")
+    )
+    core = tagged.filter(~F.col("fr"))
+    fringe = tagged.filter(F.col("fr"))
+
     w = Window.partitionBy("bucket").orderBy("vec_id")
     packed = (
-        assigned.select("bucket", "vec_id", "embedding")
+        core.select("bucket", "vec_id", "embedding")
         .withColumn("bid", ((F.row_number().over(w) - 1) / block_size).cast("long"))
         .groupBy("bucket", "bid")
         .agg(F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias("blk"))
@@ -485,6 +515,40 @@ def cosine_neardup_celled(
             "blk_a", "blk_b", (F.col("ci") != F.col("cj")).alias("cross")
         )
     )
+
+    if fringe_quantile is not None:
+        # residual: fringe x core (disjoint sets -> cross semantics)
+        # plus fringe x fringe upper-triangle (ordered packing, same
+        # one-cell semantics). |fringe| <= (1-q) * n by construction,
+        # so the residual costs O(|fringe| * n) block products — the
+        # graceful fallback instead of un-pruning whole cells. (The
+        # single-partition fringe sort is fine precisely because the
+        # fringe is small; a 100 TB deployment would range-partition.)
+        wf = Window.partitionBy(F.lit(0)).orderBy("vec_id")
+        fpacked = (
+            fringe.select("vec_id", "embedding")
+            .withColumn(
+                "bid", ((F.row_number().over(wf) - 1) / block_size).cast("long")
+            )
+            .groupBy("bid")
+            .agg(
+                F.sort_array(F.collect_list(F.struct("vec_id", "embedding"))).alias(
+                    "blk"
+                )
+            )
+        )
+        fa = fpacked.select(F.col("bid").alias("fbid_a"), F.col("blk").alias("blk_a"))
+        fb = fpacked.select(F.col("bid").alias("fbid_b"), F.col("blk").alias("blk_b"))
+        fringe_core = fa.crossJoin(
+            packed.select(F.col("blk").alias("blk_b"))
+        ).select("blk_a", "blk_b", F.lit(True).alias("cross"))
+        fringe_fringe = (
+            fa.join(fb, F.col("fbid_a") <= F.col("fbid_b"))
+            .select("blk_a", "blk_b", F.lit(False).alias("cross"))
+        )
+        pairs = pairs.unionByName(fringe_core).unionByName(fringe_fringe)
+        if stats is not None:
+            stats["n_fringe"] = fringe.count()
 
     def block_product(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -631,3 +631,61 @@ def test_celled_neardup_exact_and_prunes(spark, sf_dir):
         for r in cosine_neardup_blocked(emb, threshold=0.4).collect()
     }
     assert celled_raw == blocked_raw
+
+
+def test_celled_neardup_fringe_survives_outliers(spark, sf_dir):
+    """Outlier robustness of the celled tier: flipping a handful of
+    vectors (planted outliers) inflates their cells' MAX radius and
+    degrades max-radius pruning; with fringe_quantile the radius caps
+    at the quantile, outliers route to the exhaustive residual, and
+    the result STILL exactly equals the blocked tier."""
+    from pyspark.sql import functions as F
+
+    from ssb_coefficient_maker_spark.operators.similarity import (
+        Q115_CLUSTERS,
+        Q115_THRESHOLD,
+        clustered_embeddings,
+        cosine_neardup_blocked,
+        cosine_neardup_celled,
+        load_table,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    flip = F.col("vec_id").isin([17, 33, 77])
+    corpus = clustered_embeddings(emb).select(
+        "vec_id",
+        F.when(flip, F.transform("embedding", lambda x: -x))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+
+    s_max, s_fringe = {}, {}
+    celled_max = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in cosine_neardup_celled(
+            corpus, threshold=Q115_THRESHOLD, n_cells=Q115_CLUSTERS, stats=s_max
+        ).collect()
+    }
+    celled_fr = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in cosine_neardup_celled(
+            corpus,
+            threshold=Q115_THRESHOLD,
+            n_cells=Q115_CLUSTERS,
+            fringe_quantile=0.9,
+            stats=s_fringe,
+        ).collect()
+    }
+    blocked = {
+        (r.vec_a, r.vec_b, r.cos_sim)
+        for r in cosine_neardup_blocked(corpus, threshold=Q115_THRESHOLD).collect()
+    }
+    # both modes stay EXACT
+    assert celled_max == blocked
+    assert celled_fr == blocked
+    # capped radii prune at least as well as outlier-inflated max radii
+    assert s_fringe["kept_cell_pairs"] <= s_max["kept_cell_pairs"]
+    # the residual really is small: at most the planted outliers plus
+    # the quantile tail
+    n = corpus.count()
+    assert 0 < s_fringe["n_fringe"] <= 3 + n * 0.12, s_fringe
