@@ -2813,6 +2813,82 @@ ORDER BY pmi DESC, bigram LIMIT 20
 """
 
 
+def q125_record_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage (entity resolution) via blocking + edit-distance
+    verify — the structured-data cousin of document dedup: a dirty
+    registry copy (every 7th supplier name corrupted by one character,
+    every 14th by two) is linked back to the clean registry. Blocking
+    on the name's last 4 chars turns the O(n*m) all-pairs comparison
+    into per-block candidate products (the same candidate-generation-
+    then-verify shape as MinHash: blocking recall is a design
+    parameter — a corruption inside the block key would lose that
+    candidate, which is why the corruption sites here avoid the
+    stable suffix);
+    the verify is JVM ``levenshtein`` <= 2 (codegen, no UDF). Output:
+    pair counts per edit distance — distance 0 = exact survivors,
+    1-2 = fuzzy links."""
+    sup = load_table(spark, sf_dir, "supplier")
+    base = sup.select(
+        F.col("s_suppkey").alias("base_id"), F.col("s_name").alias("base_name")
+    )
+    # corruption at fixed mid-name positions (11, and 12 for every
+    # 14th record) — inside the zero-run of "Supplier#000000NNN",
+    # never inside the last-4-chars block key, so these records test
+    # the FUZZY path (d=1/d=2) rather than silently falling out of
+    # their block
+    one = F.concat(
+        F.expr("left(s_name, 10)"), F.lit("X"), F.expr("substring(s_name, 12)")
+    )
+    two = F.concat(
+        F.expr("left(s_name, 10)"), F.lit("XY"), F.expr("substring(s_name, 13)")
+    )
+    dirty = sup.select(
+        (F.col("s_suppkey") + 100000).alias("dirty_id"),
+        F.when(F.col("s_suppkey") % 14 == 0, two)
+        .when(F.col("s_suppkey") % 7 == 0, one)
+        .otherwise(F.col("s_name"))
+        .alias("dirty_name"),
+    )
+    cand = base.join(
+        dirty,
+        F.expr("right(base_name, 4)") == F.expr("right(dirty_name, 4)"),
+    )
+    matched = cand.select(
+        "base_id",
+        F.levenshtein("base_name", "dirty_name").alias("edit_distance"),
+    ).filter(F.col("edit_distance") <= 2)
+    return (
+        matched.groupBy("edit_distance")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count_distinct("base_id").alias("n_base_records"),
+        )
+        .orderBy("edit_distance")
+    )
+
+
+_Q125_ORACLE = """
+WITH base AS (
+  SELECT s_suppkey AS base_id, s_name AS base_name FROM supplier
+), dirty AS (
+  SELECT s_suppkey + 100000 AS dirty_id,
+         CASE WHEN s_suppkey % 14 = 0
+                THEN left(s_name, 10) || 'XY' || substring(s_name, 13)
+              WHEN s_suppkey % 7 = 0
+                THEN left(s_name, 10) || 'X' || substring(s_name, 12)
+              ELSE s_name END AS dirty_name
+  FROM supplier
+), cand AS (
+  SELECT base_id, levenshtein(base_name, dirty_name) AS edit_distance
+  FROM base JOIN dirty ON right(base_name, 4) = right(dirty_name, 4)
+)
+SELECT edit_distance, count(*) AS n_pairs,
+       count(DISTINCT base_id) AS n_base_records
+FROM cand WHERE edit_distance <= 2
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q116_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated SCALAR subquery, decorrelated by Catalyst (TPC-H
     Q17 shape): lineitems below 20% of their part's average quantity.
@@ -4008,6 +4084,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "q123_winsorize": QuerySpec(q123_winsorize, _Q123_ORACLE, "quality"),
     "q124_bigram_pmi": QuerySpec(q124_bigram_pmi, _Q124_ORACLE, "text"),
+    "q125_record_linkage": QuerySpec(q125_record_linkage, _Q125_ORACLE, "dedup"),
     "q116_correlated_scalar_subquery": QuerySpec(
         q116_correlated_scalar_subquery, _Q116_ORACLE, "join"
     ),
@@ -4066,6 +4143,7 @@ REGISTRY: dict[str, QuerySpec] = {
 # the full replay). Append NEW queries to this tuple too — a new query
 # is by definition never-driver-checked.
 _DRIVER_PRIORITY = (
+    "q125_record_linkage",
     "q124_bigram_pmi",
     "q122_join_skew_diagnostics",
     "q123_winsorize",
