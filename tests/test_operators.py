@@ -237,6 +237,17 @@ def test_queries_run_on_vanilla_session(spark, sf_dir):
         "q74_frame_sampling",
         "q75_udtf_rle",
         "q76_streaming_dedup",
+        # round-4 additions lead the driver's rotated queries() order,
+        # so they hit the vanilla driver session FIRST: temp views
+        # (q116), the formula engine (q114), Arrow pandas UDFs +
+        # broadcast (q115), derived writes (q121), HOF bigrams (q124)
+        "q114_triplet_wide_formula",
+        "q115_celled_neardup",
+        "q116_correlated_scalar_subquery",
+        "q120_rolling_features",
+        "q121_zorder_clustering",
+        "q124_bigram_pmi",
+        "q125_record_linkage",
     ):
         assert REGISTRY[q].fn(vanilla, sf_dir).count() > 0, q
 
