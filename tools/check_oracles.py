@@ -63,7 +63,12 @@ def main() -> int:
     spark = get_spark(app_name="check_oracles")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single files; engine-written layouts
+        # (e.g. .scale/sf1) are DIRECTORIES of part files — glob them
+        # so the 10x correctness replay works too
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     failures = 0
     for name, spec in REGISTRY.items():
