@@ -120,3 +120,65 @@ def test_q121_zorder_value_preserving(spark, sf_dir):
     orig = content_hash(load_table(spark, sf_dir, "events"))
     zord = content_hash(spark.read.parquet(zordered_events_path(spark, sf_dir)))
     assert (orig["s"], orig["n"]) == (zord["s"], zord["n"])
+
+
+def test_knuth_hash_overflow_safe_cross_engine(spark):
+    """The ADVICE scenario made a test: ids beyond ~3.47e9 overflowed
+    the naive id*M in int64 (Spark wrapped, DuckDB raised). The 16/16
+    split form must agree bit-for-bit across Spark, DuckDB, and the
+    Python reference at ANY int64 id — including the huge ids a
+    100 TB corpus reaches."""
+    import duckdb
+
+    from ssb_coefficient_maker_spark.queries import (
+        KNUTH_MOD,
+        KNUTH_MULT,
+        knuth_hash,
+        knuth_hash_sql,
+    )
+    from pyspark.sql import functions as F
+
+    ids = [0, 1, 12345, 3_470_000_000, 2**32 - 1, 2**32, 2**40 + 17,
+           2**62 + 999_999_937, 2**63 - 1]
+    expected = [(i * KNUTH_MULT) % KNUTH_MOD for i in (x % KNUTH_MOD for x in ids)]
+
+    sdf = spark.createDataFrame([(i,) for i in ids], "id long")
+    got_spark = [
+        r["h"] for r in sdf.select(knuth_hash(F.col("id")).alias("h"))
+        .collect()
+    ]
+    assert got_spark == expected
+
+    con = duckdb.connect()
+    expr = knuth_hash_sql("id")
+    got_duck = [
+        con.execute(f"SELECT {expr} AS h FROM (SELECT CAST({i} AS BIGINT) AS id)").fetchone()[0]
+        for i in ids
+    ]
+    assert got_duck == expected
+
+
+def test_zorder_key_matches_python_morton(spark):
+    """zorder_key's shift/mask expression must equal a straight
+    Python Morton interleave for every (a, b) in the bucket domain."""
+    from pyspark.sql import functions as F
+
+    from ssb_coefficient_maker_spark.sources.derived import zorder_key
+
+    def morton(a, b, bits):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(a, b) for a in range(16) for b in range(16)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    got = {
+        (r["a"], r["b"]): r["z"]
+        for r in df.select(
+            "a", "b", zorder_key(F.col("a"), F.col("b"), bits=4).alias("z")
+        ).collect()
+    }
+    for a, b in rows:
+        assert got[(a, b)] == morton(a, b, 4), (a, b)
