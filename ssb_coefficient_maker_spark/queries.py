@@ -2889,6 +2889,134 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def _scd2_customer_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 version table shared by q126/q127: each customer's
+    order history becomes status VERSIONS — one row per (customer,
+    day) keeping the latest order that day (argmax by orderkey — one
+    hash agg, no window sort), validity intervals from ``lead`` over
+    the per-customer day sequence (valid_to null = current version).
+    Deterministic both engines; the same construction in SQL backs
+    both oracles."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_day = (
+        orders.select(
+            F.col("o_custkey").alias("ck"),
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("vf"),
+            F.struct("o_orderkey", "o_orderstatus").alias("s"),
+        )
+        .groupBy("ck", "vf")
+        .agg(F.max("s").alias("s"))
+        .select("ck", "vf", F.col("s.o_orderstatus").alias("status"))
+    )
+    w = Window.partitionBy("ck").orderBy("vf")
+    return per_day.withColumn("vt", F.lead("vf").over(w))
+
+
+_SCD2_SQL = """
+  SELECT ck, vf, status, lead(vf) OVER (PARTITION BY ck ORDER BY vf) AS vt
+  FROM (
+    SELECT o_custkey AS ck,
+           datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS vf,
+           arg_max(o_orderstatus, o_orderkey) AS status
+    FROM orders GROUP BY 1, 2
+  )
+"""
+
+
+def q126_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 build — the lakehouse sibling
+    of MERGE (q97, overwrite-in-place = SCD1) and snapshot-diff CDC
+    (q112): a change history becomes versioned rows with
+    [valid_from, valid_to) intervals, closed by ``lead`` over each
+    key's change sequence. One hash agg (latest change per key+day) +
+    one keyed window — both shuffle on the customer key only. Output:
+    per status, version counts, open (current) versions, and the mean
+    closed-version lifetime in days."""
+    v = _scd2_customer_versions(spark, sf_dir)
+    return (
+        v.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_versions"),
+            F.sum(F.col("vt").isNull().cast("long")).alias("n_open"),
+            F.round(F.avg(F.col("vt") - F.col("vf")), 4).alias("avg_days_valid"),
+        )
+        .orderBy("status")
+    )
+
+
+_Q126_ORACLE = f"""
+WITH v AS ({_SCD2_SQL})
+SELECT status, count(*) AS n_versions,
+       sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS n_open,
+       round(avg(vt - vf), 4) AS avg_days_valid
+FROM v GROUP BY 1 ORDER BY 1
+"""
+
+
+def q127_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join — the feature-store correctness
+    primitive: each fact row joins the dimension VERSION that was
+    valid at the fact's own timestamp, never a later one (lookahead
+    leakage is the classic offline/online skew bug). Implemented as
+    the as-of join (`operators/asof.py`) of lineitems (at ship day,
+    keyed by the order's customer) against the SCD2 version stream —
+    when versions partition time, "latest version with valid_from <=
+    t" IS the interval lookup, and the union+window shape is one
+    customer-key shuffle instead of an interval join. The oracle
+    cross-checks with an explicit interval join (vf <= t < vt),
+    proving the equivalence. Facts BEFORE their customer's first
+    version (this synthetic data ships ~half the lineitems before the
+    order date) have no valid dimension row at their timestamp; PIT
+    semantics drop them (inner interval join) rather than leak a
+    later version — the as-of's null-status rows are filtered to
+    match."""
+    v = _scd2_customer_versions(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_custkey").alias("ck")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey"),
+        F.col("l_quantity"),
+        F.datediff(F.to_date("l_shipdate"), F.lit("1970-01-01")).alias("t"),
+    )
+    fact = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "ck", "t", "l_quantity"
+    )
+    pit = asof_join(
+        fact,
+        v.select("ck", F.col("vf").alias("t"), "status"),
+        on="t",
+        by="ck",
+        right_value_cols=["status"],
+        suffix="_v",
+    )
+    return (
+        pit.filter(F.col("status_v").isNotNull())
+        .groupBy(F.col("status_v").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 4).alias("total_qty"),
+        )
+        .orderBy("status")
+    )
+
+
+_Q127_ORACLE = f"""
+WITH v AS ({_SCD2_SQL}), fact AS (
+  SELECT o.o_custkey AS ck,
+         datediff('day', DATE '1970-01-01', CAST(l.l_shipdate AS DATE)) AS t,
+         l.l_quantity
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT v.status, count(*) AS n_items, round(sum(f.l_quantity), 4) AS total_qty
+FROM fact f JOIN v ON v.ck = f.ck AND v.vf <= f.t
+                  AND (v.vt IS NULL OR f.t < v.vt)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def q116_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated SCALAR subquery, decorrelated by Catalyst (TPC-H
     Q17 shape): lineitems below 20% of their part's average quantity.
@@ -4085,6 +4213,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "q123_winsorize": QuerySpec(q123_winsorize, _Q123_ORACLE, "quality"),
     "q124_bigram_pmi": QuerySpec(q124_bigram_pmi, _Q124_ORACLE, "text"),
     "q125_record_linkage": QuerySpec(q125_record_linkage, _Q125_ORACLE, "dedup"),
+    "q126_scd2_build": QuerySpec(q126_scd2_build, _Q126_ORACLE, "storage"),
+    "q127_point_in_time_join": QuerySpec(
+        q127_point_in_time_join, _Q127_ORACLE, "join"
+    ),
     "q116_correlated_scalar_subquery": QuerySpec(
         q116_correlated_scalar_subquery, _Q116_ORACLE, "join"
     ),
@@ -4143,6 +4275,8 @@ REGISTRY: dict[str, QuerySpec] = {
 # the full replay). Append NEW queries to this tuple too — a new query
 # is by definition never-driver-checked.
 _DRIVER_PRIORITY = (
+    "q126_scd2_build",
+    "q127_point_in_time_join",
     "q125_record_linkage",
     "q124_bigram_pmi",
     "q122_join_skew_diagnostics",
