@@ -3017,6 +3017,107 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q128_hierarchy_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent at two hierarchy levels (ratio_to_report):
+    nation revenue as a share of its region, region as a share of the
+    world — the drill-down normalization every BI rollup needs. One
+    star join + one nations-sized aggregate; both share levels are
+    window sums OVER THE AGGREGATE (25 rows), so the only data-sized
+    work is the base rollup. No second scan, no self-join."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    return (
+        rev.select(
+            "r_name",
+            "n_name",
+            F.round("rev", 4).alias("revenue"),
+            F.round(F.col("rev") / F.sum("rev").over(w_region) * 100, 4).alias(
+                "pct_of_region"
+            ),
+            F.round(
+                F.sum("rev").over(w_region) / F.sum("rev").over(w_all) * 100, 4
+            ).alias("region_pct_of_total"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+_Q128_ORACLE = """
+WITH rev AS (
+  SELECT r.r_name, n.n_name,
+         sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY 1, 2
+)
+SELECT r_name, n_name, round(rev, 4) AS revenue,
+       round(rev / sum(rev) OVER (PARTITION BY r_name) * 100, 4)
+         AS pct_of_region,
+       round(sum(rev) OVER (PARTITION BY r_name)
+             / sum(rev) OVER () * 100, 4) AS region_pct_of_total
+FROM rev ORDER BY r_name, n_name
+"""
+
+
+def q129_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day — the growth-curve metric
+    that is notoriously expensive written naively (a distinct-count
+    per day re-scans history each time, O(days * n)). The scalable
+    identity: cumulative distinct at day d = users whose FIRST event
+    is <= d. One per-user min aggregate (shuffles user keys once),
+    one days-sized count per first-day, one running sum over the
+    days-sized frame — total work O(n + days), not O(days * n)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    first_day = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_date")
+    )
+    per_day = first_day.groupBy("first_date").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("first_date").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_day.select(
+            F.col("first_date").cast("string").alias("event_date"),
+            "new_users",
+            F.sum("new_users").over(w).alias("cum_users"),
+        )
+        .orderBy("event_date")
+    )
+
+
+_Q129_ORACLE = """
+WITH first_day AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_date FROM events GROUP BY 1
+), per_day AS (
+  SELECT first_date, count(*) AS new_users FROM first_day GROUP BY 1
+)
+SELECT CAST(first_date AS VARCHAR) AS event_date, new_users,
+       sum(new_users) OVER (ORDER BY first_date
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_users
+FROM per_day ORDER BY event_date
+"""
+
+
 def q116_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated SCALAR subquery, decorrelated by Catalyst (TPC-H
     Q17 shape): lineitems below 20% of their part's average quantity.
@@ -4214,6 +4315,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "q124_bigram_pmi": QuerySpec(q124_bigram_pmi, _Q124_ORACLE, "text"),
     "q125_record_linkage": QuerySpec(q125_record_linkage, _Q125_ORACLE, "dedup"),
     "q126_scd2_build": QuerySpec(q126_scd2_build, _Q126_ORACLE, "storage"),
+    "q128_hierarchy_shares": QuerySpec(q128_hierarchy_shares, _Q128_ORACLE, "window"),
+    "q129_cumulative_distinct_users": QuerySpec(
+        q129_cumulative_distinct_users, _Q129_ORACLE, "window"
+    ),
     "q127_point_in_time_join": QuerySpec(
         q127_point_in_time_join, _Q127_ORACLE, "join"
     ),
@@ -4275,6 +4380,8 @@ REGISTRY: dict[str, QuerySpec] = {
 # the full replay). Append NEW queries to this tuple too — a new query
 # is by definition never-driver-checked.
 _DRIVER_PRIORITY = (
+    "q128_hierarchy_shares",
+    "q129_cumulative_distinct_users",
     "q126_scd2_build",
     "q127_point_in_time_join",
     "q125_record_linkage",
