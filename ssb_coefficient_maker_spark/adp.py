@@ -187,6 +187,29 @@ def adp_eval_vectors(
     return pd.Series(out, index=labels, dtype=object)
 
 
+def adp_eval_scalar(
+    expr: FormulaExpr,
+    scalars: dict[str, float],
+    dps: int,
+):
+    """Scalar/literal-only ADP evaluation.
+
+    A formula like ``'(2 / (2 - 2))'`` has no Matrix or Vector
+    operand, so neither ADP driver path fires — but falling through
+    to the numpy float path silently yields ``inf`` where the
+    reference's ADP mode raises its zero-division diagnostic
+    (coeff_maker.py ADP zero-div guard; reference
+    tests/test_FormulaEvaluator_pt2.py:470-488). Evaluate through
+    ``_mp_eval`` at ``dps`` digits so the guard fires for every
+    operand shape. Returns an mpf (callers treat it as a float).
+    """
+    import mpmath
+
+    with mpmath.workdps(dps):
+        scalar_mpf = {n: mpmath.mpf(repr(v)) for n, v in scalars.items()}
+        return _mp_eval(expr, lambda n: scalar_mpf[n], mpmath)
+
+
 def compile_adp_formula(
     expr: FormulaExpr,
     datasets: dict[str, Matrix | Vector | float],

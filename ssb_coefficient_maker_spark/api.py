@@ -176,6 +176,27 @@ class FormulaEvaluator:
             self.last_invalid_count = count
             return df
 
+        if self.adp_enabled and not any(
+            isinstance(self.datasets[n], Vector) for n in names
+        ):
+            # Literal/scalar-only ADP formula (no Matrix — handled
+            # above — and no Vector operand). The float fallthrough
+            # would silently produce inf for '(2 / (2 - 2))'
+            # (numpy errstate ignores the divide); the reference's ADP
+            # mode raises its zero-division diagnostic for ANY operand
+            # shape (coeff_maker.py ADP guard; reference
+            # tests/test_FormulaEvaluator_pt2.py:470-488), so route
+            # through _mp_eval which carries the guard.
+            return adp_mod.adp_eval_scalar(
+                expr,
+                {
+                    n: float(self.datasets[n])
+                    for n in names
+                    if isinstance(self.datasets[n], (int, float))
+                },
+                self.decimal_precision,
+            )
+
         if self.adp_enabled and any(
             isinstance(self.datasets[n], Vector) for n in names
         ):

@@ -63,6 +63,16 @@ class PinnedCache:
         if self._corpus != corpus_key:
             self.release()
             self._corpus = corpus_key
+        prev = self._entries.pop(param_key, None)
+        if prev is not None:
+            # same-corpus overwrite: free the replaced entry's frames
+            # (callers usually lookup-miss first, but the class
+            # contract must not leak executor memory if they don't)
+            for df in prev[1]:
+                try:
+                    df.unpersist(blocking=True)
+                except Exception:
+                    pass
         self._entries[param_key] = (value, list(pinned))
         return value
 

@@ -103,12 +103,25 @@ def assign_buckets(emb: DataFrame, cents: Sequence[Sequence[float]]) -> DataFram
     100 TB that is an n×dim shuffle bought for nothing.)
     """
     cmat = np.array([[float(x) for x in c] for c in cents], dtype=np.float64)
-    cnorm = cmat / np.linalg.norm(cmat, axis=1, keepdims=True)
+    nrm = _seq_norms(cmat)  # sequential — bit-matches sqrt(list_sum(x*x))
 
     @F.pandas_udf("int")
     def _bucket(e: pd.Series) -> pd.Series:
         x = np.array(e.tolist(), dtype=np.float64)
-        return pd.Series(np.argmax(x @ cnorm.T, axis=1).astype(np.int32))
+        # STRICTLY SEQUENTIAL per-dimension accumulation (still
+        # vectorized over rows×centroids): each scalar dot folds
+        # d=0..dim-1 left-to-right, bit-identical to DuckDB's ordered
+        # list_sum over list_zip products — which is what makes the
+        # trained-k-means oracles (q35/q56) value-checkable. A GEMM
+        # (x @ c.T) would use pairwise/SIMD summation and drift in the
+        # last ulp, flipping argmax for boundary vectors.
+        acc = np.zeros((len(x), len(cmat)))
+        for d in range(x.shape[1]):
+            acc += x[:, d : d + 1] * cmat[:, d][None, :]
+        score = acc / nrm[None, :]
+        # argmax → FIRST max index = lowest bucket on exact ties,
+        # matching the oracle's ORDER BY score DESC, bucket
+        return pd.Series(np.argmax(score, axis=1).astype(np.int32))
 
     return emb.withColumn("bucket", _bucket("embedding"))
 
@@ -144,7 +157,15 @@ def kmeans_centroids(emb: DataFrame, k: int = 10, iters: int = 3) -> list[list[f
             )  # k rows × dim cols — tiny
             new_cents = [list(c) for c in cents]  # empty bucket keeps old centroid
             for r in mean_rows:
-                new_cents[r["bucket"]] = [float(r[f"m{i}"]) for i in range(dim)]
+                # quantize each updated centroid coordinate to 6
+                # decimals: Spark's partial-agg avg and DuckDB's avg
+                # sum in different orders (~1e-14 relative drift);
+                # snapping both engines to the same 1e-6 grid keeps
+                # every later iteration bit-identical, so the Lloyd
+                # loop itself becomes oracle-checkable (q35/q56)
+                new_cents[r["bucket"]] = [
+                    round(float(r[f"m{i}"]), 6) for i in range(dim)
+                ]
             cents = new_cents
     finally:
         work.unpersist()
@@ -228,8 +249,15 @@ def q35_ivf_topk(
     cents, bucketed = ivf_index(spark, sf_dir, n_centroids=n_centroids)
     q, qvals = _query_vector(spark, sf_dir, query_id)
     cmat = np.array(cents, dtype=np.float64)
-    sims = (cmat @ qvals) / (np.linalg.norm(cmat, axis=1) * np.linalg.norm(qvals))
-    probes = [int(b) for b in np.argsort(-sims)[:nprobe]]
+    # sequential accumulation + stable sort: the probe choice must be
+    # bit-reproducible in the SQL oracle (ORDER BY score DESC, bucket)
+    acc = np.zeros(len(cmat))
+    for d in range(cmat.shape[1]):
+        acc += cmat[:, d] * qvals[d]
+    from ssb_coefficient_maker_spark.functions.vectors import seq_sq_norm
+
+    sims = acc / (_seq_norms(cmat) * seq_sq_norm(qvals))
+    probes = [int(b) for b in np.argsort(-sims, kind="stable")[:nprobe]]
     return (
         bucketed.filter(F.col("bucket").isin(probes) & (F.col("vec_id") != query_id))
         .select(

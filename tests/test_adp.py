@@ -331,3 +331,22 @@ def test_adp_vector_fuzz_vs_mpmath(spark, formula, dps):
                 got.iloc[i],
                 expected,
             )
+
+
+def test_adp_literal_only_zero_division_guard(spark):
+    """Round-4 Hypothesis falsifying example, pinned: a literal-only
+    ADP formula must raise the guarded zero-division diagnostic, not
+    fall through to the numpy float path and return inf
+    (reference tests/test_FormulaEvaluator_pt2.py:470-488 semantics).
+    """
+    fe = FormulaEvaluator(
+        {"u": pd.Series([1.0]), "v": pd.Series([2.0])},
+        adp_enabled=True,
+        decimal_precision=30,
+        spark=spark,
+    )
+    with pytest.raises(ZeroDivisionError):
+        fe.evaluate_formula("(2 / (2 - 2))")
+    # and a well-defined literal-only formula still yields the scalar
+    got = fe.evaluate_formula("(3 / 2) + 1")
+    assert float(got) == pytest.approx(2.5)

@@ -20,6 +20,28 @@ import numpy as np
 import pandas as pd
 
 
+def _kind(s: pd.Series) -> str:
+    """Coarse dtype family used for the strict type check.
+
+    The driver's value hash is TYPE-SENSITIVE: DuckDB renders an
+    integer ``sum()`` as HUGEINT (float64 once in pandas, '123.0')
+    while Spark renders BIGINT ('123'), so identical values hash
+    differently.  The old float-coercing compare hid exactly that
+    divergence (round-4 q101/q111/q122/q123/q126/q129).  Any
+    int-vs-float family mismatch is therefore a FAILURE here, so the
+    local replay predicts the driver verdict.
+    """
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
 def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
     problems = []
     if len(sdf) != len(ddf):
@@ -28,6 +50,17 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
     if scols != dcols:
         problems.append(f"columns spark={scols} duck={dcols}")
         return problems
+    if problems:
+        return problems
+    for c in scols:
+        sk, dk = _kind(sdf[c]), _kind(ddf[c])
+        # All-null columns come back as object/float interchangeably;
+        # only flag when both sides actually hold non-null values.
+        if sk != dk and sdf[c].notna().any() and ddf[c].notna().any():
+            problems.append(
+                f"col {c}: STRICT dtype-kind mismatch spark={sdf[c].dtype}"
+                f"({sk}) vs duck={ddf[c].dtype}({dk}) — driver hash will differ"
+            )
     if problems:
         return problems
     s = sdf[scols].sort_values(scols, kind="mergesort").reset_index(drop=True)
