@@ -865,7 +865,14 @@ def pq_train(
             )
             new_books = [[list(c) for c in b] for b in books]
             for r in rows:
-                new_books[r["s"]][r["bucket"]] = [float(r[f"m{i}"]) for i in range(sub)]
+                # 1e-6 quantization: same bit-replicability contract
+                # as kmeans_centroids — Spark's and DuckDB's avg sum
+                # in different orders; snapping to a shared grid keeps
+                # every later Lloyd iteration identical, making the PQ
+                # pipeline oracle-checkable (q81)
+                new_books[r["s"]][r["bucket"]] = [
+                    round(float(r[f"m{i}"]), 6) for i in range(sub)
+                ]
             books = new_books
     finally:
         work.unpersist()
@@ -877,7 +884,13 @@ def pq_encode(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
     story: 64 float dims compress to n_sub bytes — a 64× smaller scan
     for the ADC pass). One Arrow batch pass, all subspaces per call."""
     mats = [np.array(b, dtype=np.float64) for b in books]
-    halves = [(m * m).sum(axis=1) / 2.0 for m in mats]
+    # sequential fold for ||c||²/2 — bit-matches list_sum(c*c)/2
+    halves = []
+    for m in mats:
+        h = np.zeros(m.shape[0])
+        for d in range(m.shape[1]):
+            h += m[:, d] * m[:, d]
+        halves.append(h / 2.0)
     n_sub = len(mats)
     sub = mats[0].shape[1]
 
@@ -887,7 +900,14 @@ def pq_encode(emb: DataFrame, books: list[list[list[float]]]) -> DataFrame:
         out = np.empty((len(x), n_sub), dtype=np.int32)
         for s in range(n_sub):
             xs = x[:, s * sub : (s + 1) * sub]
-            out[:, s] = np.argmax(xs @ mats[s].T - halves[s], axis=1)
+            # sequential per-dimension accumulation (not a GEMM):
+            # bit-identical to DuckDB's ordered list_sum, so the PQ
+            # codes are reproducible by the q81 oracle; argmax takes
+            # the FIRST max = lowest code on exact ties
+            acc = np.zeros((len(x), mats[s].shape[0]))
+            for d in range(sub):
+                acc += xs[:, d : d + 1] * mats[s][:, d][None, :]
+            out[:, s] = np.argmax(acc - halves[s], axis=1)
         return pd.Series(list(out))
 
     return emb.withColumn("codes", _codes("embedding"))
@@ -970,14 +990,26 @@ def q81_pq_topk(
     is data-dependent; asserted ≥0.8 vs exact top-k in tests)."""
     books, codes = pq_index(spark, sf_dir)
     q, qvals = _query_vector(spark, sf_dir, query_id)
-    qn = qvals / np.linalg.norm(qvals)  # codes are over unit vectors
+    from ssb_coefficient_maker_spark.functions.vectors import seq_sq_norm
+
+    # codes are over unit vectors; sequential norm + per-element
+    # division so qn is bit-identical to the oracle's normalization
+    qn = qvals / seq_sq_norm(qvals)
     n_sub = len(books)
     sub = len(books[0][0])
-    # distance tables: ||q_s - c||² per subspace per centroid
+    # distance tables: ||q_s - c||² per subspace per centroid —
+    # sequential per-dimension fold, matching the oracle's ordered
+    # list_sum over (c - q)² terms
     adc = None
     for s in range(n_sub):
         qs = qn[s * sub : (s + 1) * sub]
-        tbl = [float(((np.array(c) - qs) ** 2).sum()) for c in books[s]]
+        tbl = []
+        for c in books[s]:
+            acc = 0.0
+            for d in range(sub):
+                diff = float(c[d]) - float(qs[d])
+                acc += diff * diff
+            tbl.append(acc)
         term = F.element_at(
             F.array(*[F.lit(v) for v in tbl]), F.element_at("codes", s + 1) + 1
         )

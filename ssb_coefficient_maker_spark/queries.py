@@ -3436,6 +3436,106 @@ ORDER BY cos_sim DESC, a.vec_id LIMIT 10
 """
 
 
+def _pq_oracle(
+    n_sub: int = 16,
+    k: int = 32,
+    iters: int = 3,
+    sub: int = 4,
+    shortlist: int = 100,
+    topk: int = 10,
+) -> str:
+    """Generated SQL replicating the engine's full PQ pipeline
+    (`operators/similarity.py: pq_train/pq_encode/q81_pq_topk`)
+    bit-for-bit: L2 normalization, per-subspace Lloyd with
+    1e-6-quantized means, code assignment (argmax of dot − ‖c‖²/2,
+    ties to the lower code), ADC distance tables against the
+    normalized vec_id=0 query, the ADC shortlist, and the exact
+    cosine re-rank over the shortlist's ORIGINAL vectors. Same
+    bit-replicability contract as ``_lloyd_cte``: every reduction is
+    an ordered fold on both engines (Spark sequential accumulation /
+    DuckDB ordered ``list_sum`` + ``list(... ORDER BY s)``), and the
+    one cross-engine aggregation (the Lloyd mean) is snapped to a
+    shared 1e-6 grid."""
+    dot_sub = (
+        "list_sum(list_transform(list_zip(sv.sub, b.cent), p -> p[1] * p[2]))"
+    )
+    half = "list_sum(list_transform(b.cent, x -> x * x)) / 2"
+    mean_list = ", ".join(
+        f"round(avg(sub[{i + 1}]), 6)" for i in range(sub)
+    )
+
+    def assign(name: str, book_cte: str, keep_sub: bool) -> str:
+        cols = "vec_id, s, sub, c_idx" if keep_sub else "vec_id, s, c_idx"
+        return (
+            f"{name} AS (SELECT {cols} FROM ("
+            f"SELECT sv.vec_id, sv.s, sv.sub, b.c_idx, "
+            f"row_number() OVER (PARTITION BY sv.vec_id, sv.s "
+            f"ORDER BY {dot_sub} - {half} DESC, b.c_idx) AS rn "
+            f"FROM sv JOIN {book_cte} b USING (s)) WHERE rn = 1)"
+        )
+
+    parts = [
+        "e AS (SELECT vec_id, label, embedding, "
+        "sqrt(list_sum(list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM embeddings)",
+        "en AS (SELECT vec_id, label, embedding, "
+        "list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS v FROM e)",
+        f"ss AS (SELECT unnest(range({n_sub})) AS s)",
+        f"sv AS (SELECT vec_id, s, v[s * {sub} + 1 : s * {sub} + {sub}] AS sub "
+        f"FROM en CROSS JOIN ss)",
+        f"b0 AS (SELECT s, row_number() OVER (PARTITION BY s ORDER BY vec_id) - 1 "
+        f"AS c_idx, sub AS cent FROM sv "
+        f"WHERE vec_id IN (SELECT vec_id FROM en ORDER BY vec_id LIMIT {k}))",
+    ]
+    for it in range(iters):
+        parts.append(assign(f"p{it}", f"b{it}", keep_sub=True))
+        parts.append(
+            f"m{it} AS (SELECT s, c_idx, list_value({mean_list}) AS cent "
+            f"FROM p{it} GROUP BY s, c_idx)"
+        )
+        parts.append(
+            f"b{it + 1} AS (SELECT b.s, b.c_idx, coalesce(m.cent, b.cent) AS cent "
+            f"FROM b{it} b LEFT JOIN m{it} m USING (s, c_idx))"
+        )
+    parts.append(assign("codes", f"b{iters}", keep_sub=False))
+    parts += [
+        "qn AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE) / "
+        "sqrt(list_sum(list_transform(embedding, "
+        "y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))) AS v "
+        "FROM embeddings WHERE vec_id = 0)",
+        f"tbl AS (SELECT b.s, b.c_idx, "
+        f"list_sum(list_transform("
+        f"list_zip(b.cent, qn.v[b.s * {sub} + 1 : b.s * {sub} + {sub}]), "
+        f"p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist "
+        f"FROM b{iters} b CROSS JOIN qn)",
+        "adc AS (SELECT c.vec_id, list_sum(list(t.dist ORDER BY t.s)) AS adc_dist "
+        "FROM codes c JOIN tbl t USING (s, c_idx) GROUP BY c.vec_id)",
+        f"short AS (SELECT vec_id FROM adc WHERE vec_id != 0 "
+        f"ORDER BY adc_dist ASC, vec_id ASC LIMIT {shortlist})",
+        "qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 0)",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT e.vec_id, e.label,
+       round(
+         list_sum(list_transform(list_zip(e.embedding, qv.q),
+                  p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(e.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(qv.q,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+       4) AS cos_sim
+FROM embeddings e JOIN short USING (vec_id) CROSS JOIN qv
+ORDER BY cos_sim DESC, e.vec_id LIMIT {topk}
+"""
+    )
+
+
+_Q81_ORACLE = _pq_oracle()
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(
         relational.q01_pricing_summary,
@@ -4104,7 +4204,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "q35_ivf_topk": QuerySpec(similarity.q35_ivf_topk, _Q35_ORACLE, "similarity"),
     "q56_kmeans_ivf": QuerySpec(similarity.q56_kmeans_ivf, _Q56_ORACLE, "similarity"),
-    "q81_pq_topk": QuerySpec(similarity.q81_pq_topk, None, "similarity"),
+    "q81_pq_topk": QuerySpec(similarity.q81_pq_topk, _Q81_ORACLE, "similarity"),
     "q36_embedding_stats": QuerySpec(
         similarity.q36_embedding_stats,
         """
