@@ -3334,6 +3334,465 @@ ORDER BY user_id, event_date
 """
 
 
+# --------------------------------------------------------- round-5 additions
+
+
+def q130_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (k1=1.2, b=0.75) — the lexical-search
+    primitive of every RAG / training-data-curation stack: score
+    documents against a fixed query term set and return the top 20.
+    Shape at scale: ONE tokenize+explode pass builds per-doc term
+    frequencies, the document-frequency table is query-terms-sized
+    (3 rows — broadcast), and avgdl is a 1-row aggregate joined back;
+    the score is a per-doc sum over at most |query| joined rows. No
+    all-terms inverted index is materialized — only the query terms'
+    postings ever shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "join", "vector"]
+    k1, b = 1.2, 0.75
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("ws")
+    ).select("doc_id", F.size("ws").alias("dl"), F.explode("ws").alias("w"))
+    n_docs = docs.count()
+    avgdl_df = toks.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+        F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("w").isin(terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    idf = dfreq.select(
+        "w",
+        F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0).alias(
+            "idf"
+        ),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "w")
+        .crossJoin(F.broadcast(avgdl_df))
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("term_score"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 4).alias("bm25"))
+    )
+    return scored.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(20)
+
+
+_Q130_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS dl,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), n AS (SELECT count(*) AS n_docs FROM documents),
+avgdl AS (SELECT avg(dl) AS avgdl FROM (SELECT doc_id, any_value(dl) AS dl FROM toks GROUP BY 1)),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf, any_value(dl) AS dl FROM toks
+  WHERE w IN ('spark', 'join', 'vector') GROUP BY 1, 2
+), idf AS (
+  SELECT w, ln((CAST(n.n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) AS idf
+  FROM (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1) CROSS JOIN n
+)
+SELECT doc_id,
+       round(sum(idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4)
+         AS bm25
+FROM tf JOIN idf USING (w) CROSS JOIN avgdl
+GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT 20
+"""
+
+
+def q131_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join — the manual remedy when one hot key would pin
+    a whole join on a single reducer: the BIG side gets a
+    deterministic per-row salt in [0, 8), the SMALL side is exploded
+    ×8, and the join runs on (key, salt), spreading each hot key over
+    8 reducers. The result is provably identical to the unsalted join
+    (every (row, matching dim row) pair appears exactly once — the
+    oracle IS the plain join). At 100 TB you'd reserve this for keys
+    AQE's skew-split can't fix (a single key too hot for one task
+    even after split); salting composes with it. The final rollup is
+    the same partial+final hash agg either way."""
+    n_salt = 8
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(n_salt))
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .withColumn("salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+        .withColumn("salt", F.col("salt").cast("long"))
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(sup, (li.l_suppkey == sup.s_suppkey) & (li.salt == sup.salt))
+        .join(F.broadcast(nation), sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_li"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+_Q131_ORACLE = """
+SELECT n_name, count(*) AS n_li,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q132_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution: each purchase is credited to
+    the user's most recent PRIOR non-purchase event type. One
+    user-keyed window pass (last(...) ignoring nulls over the
+    preceding frame) — the classic marketing-funnel query, and a
+    stand-in for any 'carry the latest qualifying state forward'
+    enrichment (LOCF over a filtered channel). Shuffles once on
+    user_id; conversions then reduce to a channel-sized aggregate.
+    (event_id breaks ts ties so both engines pick the same 'last'.)"""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = ev.withColumn(
+        "channel",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        ).over(w),
+    )
+    return (
+        attributed.filter(
+            (F.col("event_type") == "purchase") & F.col("channel").isNotNull()
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.round(F.sum("value"), 4).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+_Q132_ORACLE = """
+WITH attributed AS (
+  SELECT event_type, value,
+         last_value(CASE WHEN event_type != 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS channel
+  FROM events
+)
+SELECT channel, count(*) AS n_conversions,
+       round(sum(value), 4) AS attributed_value
+FROM attributed
+WHERE event_type = 'purchase' AND channel IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q133_equal_freq_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (decile) binning of order totals — NTILE over a
+    deterministic total order (price, then key to break ties), then
+    per-bin stats: the feature-engineering discretization that equal-
+    WIDTH histograms (q95) can't provide on skewed money columns.
+    NOTE the scale contract: a global NTILE is a total sort; at 100 TB
+    you'd compute approx percentile cut points (q62's sketch) and
+    bucketize by range instead — this query is the EXACT small-to-
+    medium-scale tool, and the per-bin rollup after it is an ordinary
+    hash agg."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("bin", F.ntile(10).over(w))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+        .orderBy("bin")
+    )
+
+
+_Q133_ORACLE = """
+WITH binned AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+  FROM orders
+)
+SELECT CAST(bin AS INTEGER) AS bin, count(*) AS n_orders,
+       round(min(o_totalprice), 4) AS lo, round(max(o_totalprice), 4) AS hi,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM binned GROUP BY 1 ORDER BY 1
+"""
+
+
+def q134_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per event type: median + MAD (median
+    absolute deviation), flagging |x − med| > 3·MAD — the
+    skew-immune alternative to z-scores for data-quality gates on
+    long-tailed value columns. Two exact-percentile aggregations
+    (median, then MAD over the residuals) with the tiny per-type
+    stats broadcast back; the flag pass is map-only. Both medians are
+    snapped to 1e-6 so the two engines' identical-by-construction
+    interpolations stay comparison-safe."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5D)"), 6).alias("med")
+    )
+    with_med = ev.join(F.broadcast(med), "event_type")
+    mad = with_med.groupBy("event_type").agg(
+        F.round(F.expr("percentile(abs(value - med), 0.5D)"), 6).alias("mad"),
+        F.first("med").alias("med"),
+    )
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.first("med").alias("median_value"),
+            F.first("mad").alias("mad"),
+            F.sum(
+                (F.abs(F.col("value") - F.col("med")) > 3 * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "median_value",
+            "mad",
+            "n_outliers",
+            F.round(F.col("n_outliers") / F.col("n"), 6).alias("outlier_share"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q134_ORACLE = """
+WITH med AS (
+  SELECT event_type,
+         round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS med
+  FROM events GROUP BY 1
+), mad AS (
+  SELECT e.event_type,
+         round(percentile_cont(0.5)
+               WITHIN GROUP (ORDER BY abs(e.value - m.med)), 6) AS mad,
+         any_value(m.med) AS med
+  FROM events e JOIN med m USING (event_type) GROUP BY 1
+)
+SELECT e.event_type, count(*) AS n,
+       any_value(m.med) AS median_value, any_value(m.mad) AS mad,
+       CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers,
+       round(CAST(sum(CASE WHEN abs(e.value - m.med) > 3 * m.mad THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 6) AS outlier_share
+FROM events e JOIN mad m USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q135_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (d=0.85, 3 iterations) over the nation-to-nation trade
+    graph — the canonical 'iterative algorithm on an aggregated
+    graph' shape: the DISTRIBUTED work is collapsing 100 TB of line
+    items into a nations² edge list (star join + one hash agg, edge
+    weights snapped to 1e-4); the 25-node power iteration then runs
+    driver-side on the collected edges, exactly like the k-means
+    pattern (k-sized collect, constant plan depth — lineage never
+    grows with iterations). Per-iteration ranks snap to 1e-9 so the
+    unrolled-CTE oracle reproduces the float trajectory exactly
+    (same bit-replicability contract as q35/q56/q81). Dangling-mass
+    redistribution is omitted (the trade matrix is dense — every
+    nation sells); documented simplification shared by the oracle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    cn = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("src")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("dst")
+    )
+    edges_df = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cn), cust.c_nationkey == cn.c_nk)
+        .join(F.broadcast(sn), sup.s_nationkey == sn.s_nk)
+        .groupBy("src", "dst")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("w")
+        )
+    )
+    edges = [(r["src"], r["dst"], float(r["w"])) for r in edges_df.collect()]
+    nodes = sorted(r["n_name"] for r in nation.select("n_name").collect())
+    n = len(nodes)
+    outw: dict[str, float] = {}
+    for src, _dst, w in edges:
+        outw[src] = outw.get(src, 0.0) + w
+    pr = {name: 1.0 / n for name in nodes}
+    for _ in range(3):
+        contrib = {name: 0.0 for name in nodes}
+        for src, dst, w in edges:
+            contrib[dst] += pr[src] * (w / outw[src])
+        pr = {name: round(0.15 / n + 0.85 * contrib[name], 9) for name in nodes}
+    rows = [(name, round(pr[name], 6)) for name in nodes]
+    out = spark.createDataFrame(rows, "n_name string, pagerank double")
+    return out.orderBy(F.desc("pagerank"), F.asc("n_name"))
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    base = """
+WITH edges AS (
+  SELECT cn.n_name AS src, sn.n_name AS dst,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS w
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+  GROUP BY 1, 2
+), outw AS (SELECT src, sum(w) AS ow FROM edges GROUP BY 1),
+nodes AS (SELECT n_name FROM nation),
+nn AS (SELECT count(*) AS n FROM nodes),
+pr0 AS (SELECT n_name, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn)"""
+    for it in range(iters):
+        base += f""",
+pr{it + 1} AS (
+  SELECT nodes.n_name,
+         round(0.15 / nn.n + 0.85 * coalesce(c.contrib, 0.0), 9) AS pr
+  FROM nodes CROSS JOIN nn LEFT JOIN (
+    SELECT e.dst AS n_name, sum(p.pr * (e.w / o.ow)) AS contrib
+    FROM edges e JOIN outw o ON e.src = o.src
+    JOIN pr{it} p ON e.src = p.n_name
+    GROUP BY 1) c USING (n_name)
+)"""
+    return base + f"""
+SELECT n_name, round(pr, 6) AS pagerank FROM pr{iters}
+ORDER BY pagerank DESC, n_name
+"""
+
+
+_Q135_ORACLE = _pagerank_oracle()
+
+
+_q136_counter = [0]
+
+
+def q136_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows through the streaming surface: 2-hour windows
+    every 1 hour (each event lands in exactly 2 overlapping windows),
+    watermarked, driven to completion on the memory sink — the
+    rolling-rate dashboards shape (tumbling q63 covers disjoint
+    buckets; sliding covers 'the last 2h, refreshed hourly'). On the
+    finite replay in complete mode the result equals the batch
+    expansion where each event is duplicated into its 2 covering
+    window starts — which is exactly the oracle. Production: same
+    plan off Kafka; watermark bounds state to ~2 windows per key."""
+    from ssb_coefficient_maker_spark.streaming.windows import (
+        run_to_memory,
+        sliding_window_agg,
+        state_sized_session,
+        stream_events,
+    )
+
+    _q136_counter[0] += 1
+    name = f"q136_sink_{_q136_counter[0]}"
+    s2 = state_sized_session(spark)
+    ev = stream_events(s2, sf_dir)
+    sink = run_to_memory(s2, sliding_window_agg(ev), name, "complete")
+    return sink.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n",
+        "total_value",
+    ).orderBy("window_start")
+
+
+_Q136_ORACLE = """
+WITH wins AS (
+  SELECT value,
+         unnest([date_trunc('hour', ts),
+                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws
+  FROM events
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       count(*) AS n, round(sum(value), 4) AS total_value
+FROM wins GROUP BY 1 ORDER BY 1
+"""
+
+
+def q137_grouped_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares (value ~ hour-of-day): slope,
+    intercept and r² per event type from algebraic aggregates only
+    (covar_pop / var_pop / corr merge as sums of products, so the
+    whole regression is ONE partial+final hash agg — no second pass,
+    no driver math). The grouped-trend-fitting primitive for feature
+    pipelines; at 100 TB it costs exactly one shuffle of 5 running
+    sums per group."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("double").alias("x"),
+        F.col("value").alias("y"),
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.covar_pop("y", "x") / F.var_pop("x")).alias("slope_raw"),
+            F.avg("y").alias("ybar"),
+            F.avg("x").alias("xbar"),
+            F.corr("y", "x").alias("r"),
+        )
+        .select(
+            "event_type",
+            "n",
+            F.round("slope_raw", 4).alias("slope"),
+            F.round(F.col("ybar") - F.col("slope_raw") * F.col("xbar"), 4).alias(
+                "intercept"
+            ),
+            F.round(F.col("r") * F.col("r"), 4).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q137_ORACLE = """
+SELECT event_type, count(*) AS n,
+       round(covar_pop(value, x) / var_pop(x), 4) AS slope,
+       round(avg(value) - (covar_pop(value, x) / var_pop(x)) * avg(x), 4)
+         AS intercept,
+       round(corr(value, x) * corr(value, x), 4) AS r2
+FROM (SELECT event_type, value, CAST(extract('hour' FROM ts) AS DOUBLE) AS x
+      FROM events)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def _lloyd_cte(k: int, iters: int, dim: int = 64) -> str:
     """Generated CTE chain replicating the engine's trained k-means
     (`operators/similarity.py: kmeans_centroids` + `assign_buckets`)
@@ -4202,6 +4661,22 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         "similarity",
     ),
+    "q130_bm25_topk": QuerySpec(q130_bm25_topk, _Q130_ORACLE, "text"),
+    "q131_salted_skew_join": QuerySpec(q131_salted_skew_join, _Q131_ORACLE, "joins"),
+    "q132_last_touch_attribution": QuerySpec(
+        q132_last_touch_attribution, _Q132_ORACLE, "windows"
+    ),
+    "q133_equal_freq_binning": QuerySpec(
+        q133_equal_freq_binning, _Q133_ORACLE, "aggregation"
+    ),
+    "q134_mad_outliers": QuerySpec(q134_mad_outliers, _Q134_ORACLE, "aggregation"),
+    "q135_nation_pagerank": QuerySpec(
+        q135_nation_pagerank, _Q135_ORACLE, "iterative"
+    ),
+    "q136_streaming_sliding": QuerySpec(
+        q136_streaming_sliding, _Q136_ORACLE, "streaming"
+    ),
+    "q137_grouped_ols": QuerySpec(q137_grouped_ols, _Q137_ORACLE, "aggregation"),
     "q35_ivf_topk": QuerySpec(similarity.q35_ivf_topk, _Q35_ORACLE, "similarity"),
     "q56_kmeans_ivf": QuerySpec(similarity.q56_kmeans_ivf, _Q56_ORACLE, "similarity"),
     "q81_pq_topk": QuerySpec(similarity.q81_pq_topk, _Q81_ORACLE, "similarity"),
@@ -4601,6 +5076,14 @@ REGISTRY: dict[str, QuerySpec] = {
 # stragglers. Append NEW queries near the head — a new query is by
 # definition never-driver-checked.
 _DRIVER_PRIORITY = (
+    "q130_bm25_topk",
+    "q131_salted_skew_join",
+    "q132_last_touch_attribution",
+    "q133_equal_freq_binning",
+    "q134_mad_outliers",
+    "q135_nation_pagerank",
+    "q136_streaming_sliding",
+    "q137_grouped_ols",
     "q90_repetition_filter",
     "q91_decontamination",
     "q101_pii_redaction",

@@ -1,0 +1,197 @@
+"""Round-5 operator tests: BM25 retrieval, salted skew join,
+attribution, binning, MAD outliers, quantized PageRank, sliding
+streaming windows, grouped OLS — plus pinned regressions for the
+round-4 verdict fixes (q124 1-word-document guard, PinnedCache
+same-key overwrite)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_q131_salted_join_matches_plain_join(spark, sf_dir):
+    """The whole point of salting: identical results to the unsalted
+    join (every (fact, dim) match pair appears exactly once), with
+    the join keys carrying the salt."""
+    from pyspark.sql import functions as F
+
+    from ssb_coefficient_maker_spark.queries import q131_salted_skew_join
+    from ssb_coefficient_maker_spark.sources.loaders import load_table
+
+    salted = q131_salted_skew_join(spark, sf_dir).toPandas()
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    plain = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(nation, sup.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_li"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+        )
+        .orderBy("n_name")
+        .toPandas()
+    )
+    assert salted.equals(plain), (salted.head(), plain.head())
+
+
+def test_q131_join_keys_include_salt(spark, sf_dir):
+    from ssb_coefficient_maker_spark.queries import q131_salted_skew_join
+
+    plan = (
+        q131_salted_skew_join(spark, sf_dir)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "salt" in plan, plan
+
+
+def test_q133_bins_partition_the_orders(spark, sf_dir):
+    """Decile bins must cover every order exactly once, be numbered
+    1..10, and have non-overlapping [lo, hi] ranges in bin order."""
+    from ssb_coefficient_maker_spark.queries import q133_equal_freq_binning
+    from ssb_coefficient_maker_spark.sources.loaders import load_table
+
+    bins = q133_equal_freq_binning(spark, sf_dir).toPandas()
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert list(bins["bin"]) == list(range(1, 11))
+    assert bins["n_orders"].sum() == n_orders
+    # equal-frequency: sizes differ by at most 1
+    assert bins["n_orders"].max() - bins["n_orders"].min() <= 1
+    for i in range(1, len(bins)):
+        assert bins["hi"].iloc[i - 1] <= bins["lo"].iloc[i] + 1e-9
+
+
+def test_q134_outlier_shares_sane(spark, sf_dir):
+    from ssb_coefficient_maker_spark.queries import q134_mad_outliers
+
+    out = q134_mad_outliers(spark, sf_dir).toPandas()
+    assert (out["mad"] >= 0).all()
+    assert ((out["outlier_share"] >= 0) & (out["outlier_share"] <= 1)).all()
+    assert (out["n_outliers"] <= out["n"]).all()
+
+
+def test_q135_pagerank_mass_and_determinism(spark, sf_dir):
+    """Without dangling redistribution the rank mass stays near 1 on
+    a dense trade graph, and the quantized iteration is exactly
+    reproducible run-to-run."""
+    from ssb_coefficient_maker_spark.queries import q135_nation_pagerank
+
+    a = q135_nation_pagerank(spark, sf_dir).toPandas()
+    b = q135_nation_pagerank(spark, sf_dir).toPandas()
+    assert a.equals(b)
+    assert 0.9 <= a["pagerank"].sum() <= 1.01
+    assert (a["pagerank"] > 0).all()
+
+
+def test_q136_every_event_lands_in_two_windows(spark, sf_dir):
+    from ssb_coefficient_maker_spark.queries import q136_streaming_sliding
+    from ssb_coefficient_maker_spark.sources.loaders import load_table
+
+    win = q136_streaming_sliding(spark, sf_dir).toPandas()
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert win["n"].sum() == 2 * n_events
+
+
+def test_q130_bm25_scores_ranked(spark, sf_dir):
+    from ssb_coefficient_maker_spark.queries import q130_bm25_topk
+
+    top = q130_bm25_topk(spark, sf_dir).toPandas()
+    assert 0 < len(top) <= 20
+    assert (top["bm25"] > 0).all()
+    assert list(top["bm25"]) == sorted(top["bm25"], reverse=True)
+
+
+def test_q132_attribution_bounded_by_purchases(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ssb_coefficient_maker_spark.queries import q132_last_touch_attribution
+    from ssb_coefficient_maker_spark.sources.loaders import load_table
+
+    att = q132_last_touch_attribution(spark, sf_dir).toPandas()
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert att["n_conversions"].sum() <= purchases
+    assert "purchase" not in set(att["channel"])
+
+
+def test_q137_ols_finite(spark, sf_dir):
+    import numpy as np
+
+    from ssb_coefficient_maker_spark.queries import q137_grouped_ols
+
+    ols = q137_grouped_ols(spark, sf_dir).toPandas()
+    assert np.isfinite(ols[["slope", "intercept", "r2"]].to_numpy()).all()
+    assert ((ols["r2"] >= 0) & (ols["r2"] <= 1)).all()
+
+
+def test_q124_single_word_document_yields_no_bigram(spark, tmp_path):
+    """Round-4 advisory regression: sequence(1, size-1) counts DOWN
+    for a 1-word document (start > stop defaults to step -1) and
+    element_at(ws, 0) throws INVALID_INDEX_OF_ZERO. The guard must
+    emit zero bigrams instead — matching DuckDB's empty range(1, 1)."""
+    import pandas as pd
+
+    from ssb_coefficient_maker_spark.queries import q124_bigram_pmi
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["solo", "a b a b a b a b a b", ""],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [4, 19, 0],
+        }
+    )
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = q124_bigram_pmi(spark, str(tmp_path)).toPandas()
+    # must not raise; the repeated "a b" bigrams survive the cab>=5 cut
+    assert set(out["bigram"]) <= {"a b", "b a"}
+
+
+def test_pinned_cache_overwrite_unpersists_replaced_entry(spark):
+    """PinnedCache.store on an existing (corpus, param) key must
+    unpersist the replaced entry's frames (round-4 advisory: the
+    contract, not the callers, owns the no-leak guarantee)."""
+    from ssb_coefficient_maker_spark.cachereg import PinnedCache
+
+    cache = PinnedCache("test_overwrite")
+    df1 = spark.range(5).persist()
+    df1.count()
+    cache.store("corpus", "p", "v1", pinned=[df1])
+    assert df1.storageLevel.useMemory
+    df2 = spark.range(7).persist()
+    df2.count()
+    cache.store("corpus", "p", "v2", pinned=[df2])
+    try:
+        assert not df1.storageLevel.useMemory  # replaced frame freed
+        assert cache.lookup("corpus", "p") == "v2"
+    finally:
+        cache.release()
+
+
+def test_adp_scalar_only_named_operand_zero_division(spark):
+    """Scalar-named-operand ADP formulas (no Matrix, no Vector) route
+    through the guarded mp evaluator too."""
+    import pandas as pd
+
+    from ssb_coefficient_maker_spark import FormulaEvaluator
+
+    fe = FormulaEvaluator(
+        {"u": pd.Series([1.0]), "k": 2.0},
+        adp_enabled=True,
+        decimal_precision=30,
+        spark=spark,
+    )
+    with pytest.raises(ZeroDivisionError):
+        fe.evaluate_formula("k / (k - 2)")
+    assert float(fe.evaluate_formula("k * 3")) == pytest.approx(6.0)
