@@ -3337,6 +3337,269 @@ ORDER BY user_id, event_date
 # --------------------------------------------------------- round-5 additions
 
 
+def q138_weighted_sample(spark: SparkSession, sf_dir: str, k: int = 20) -> DataFrame:
+    """Deterministic weighted sampling without replacement per stratum
+    (Efraimidis–Spirakis A-ES): each event draws key = ln(u)/w with u
+    from the portable knuth hash of its id and w = its value; the
+    top-k keys per event type ARE a weighted sample without
+    replacement. The training-data-curation workhorse (quality-score-
+    weighted example selection) made REPRODUCIBLE: no RNG state, the
+    same ids win on any engine, any partitioning, any day — which is
+    also what makes it oracle-checkable. One hash + one per-stratum
+    top-k (window rank over the key); keys snap to 1e-9 (ln is the
+    one libm call, correct within 1 ulp on both engines), ties break
+    by event_id."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    u = (knuth_hash(F.col("event_id")) + 0.5) / F.lit(float(KNUTH_MOD))
+    key = F.round(F.log(u) / F.col("value"), 9)
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("skey"), F.asc("event_id")
+    )
+    return (
+        ev.withColumn("skey", key)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "event_type",
+            F.col("rk").alias("rank"),
+            "event_id",
+            F.round("value", 4).alias("weight"),
+        )
+        .orderBy("event_type", "rank")
+    )
+
+
+_Q138_ORACLE = f"""
+WITH keyed AS (
+  SELECT event_type, event_id, value,
+         round(ln(({knuth_hash_sql("event_id")} + 0.5) / {float(KNUTH_MOD)}) / value, 9)
+           AS skey
+  FROM events
+), ranked AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY skey DESC, event_id) AS rk
+  FROM keyed
+)
+SELECT event_type, CAST(rk AS INTEGER) AS rank, event_id,
+       round(value, 4) AS weight
+FROM ranked WHERE rk <= 20 ORDER BY event_type, rank
+"""
+
+
+def q139_range_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range bucketize by precomputed decile cut points — the SCALE
+    path q133's global NTILE documents: ONE tiny exact-percentile
+    aggregate produces the 9 cuts (at 100 TB: an approx_percentile
+    sketch), broadcast back as literals, and bin assignment is a
+    map-only expression (1 + count of cuts below) — no global sort,
+    no single-partition window. Per-bin rollup is an ordinary hash
+    agg. Cuts snap to 1e-4 so both engines bin identically."""
+    orders = load_table(spark, sf_dir, "orders")
+    cut_row = orders.select(
+        F.expr(
+            "percentile(o_totalprice, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("cuts")
+    ).head()
+    cuts = [round(float(c), 4) for c in cut_row["cuts"]]
+    bin_expr = F.lit(1)
+    for c in cuts:
+        bin_expr = bin_expr + (F.col("o_totalprice") > F.lit(c)).cast("int")
+    return (
+        orders.withColumn("bin", bin_expr)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+_Q139_ORACLE = """
+WITH cuts AS (
+  SELECT list_transform(
+           percentile_cont([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+             WITHIN GROUP (ORDER BY o_totalprice),
+           x -> round(x, 4)) AS cs
+  FROM orders
+), binned AS (
+  SELECT o_totalprice,
+         1 + len(list_filter(cs, c -> o_totalprice > c)) AS bin
+  FROM orders CROSS JOIN cuts
+)
+SELECT CAST(bin AS INTEGER) AS bin, count(*) AS n_orders,
+       round(min(o_totalprice), 4) AS lo, round(max(o_totalprice), 4) AS hi
+FROM binned GROUP BY 1 ORDER BY 1
+"""
+
+
+def q140_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-day event paths (sequence mining): per (user, day)
+    the first five event types in time order join into a path string;
+    the most common paths surface navigation/funnel shapes — the
+    product-analytics cousin of n-gram mining. One (user, day)
+    shuffle; the in-group ordering rides sort_array over
+    (ts, event_id, type) structs (struct order = field order, so the
+    tie-break is explicit), then a path-sized count. At 100 TB the
+    only heavy stage is the sessionize shuffle — counts and top-k are
+    path-cardinality-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    per_day = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.struct("ts", "event_id", "event_type").alias("e"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sort_array(F.collect_list("e")).alias("es"))
+        .select(
+            F.concat_ws(
+                ">", F.slice(F.transform("es", lambda s: s["event_type"]), 1, 5)
+            ).alias("path")
+        )
+    )
+    return (
+        per_day.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_user_days"))
+        .orderBy(F.desc("n_user_days"), F.asc("path"))
+        .limit(15)
+    )
+
+
+_Q140_ORACLE = """
+WITH per_day AS (
+  SELECT array_to_string(
+           (list(event_type ORDER BY ts, event_id))[1:5], '>') AS path
+  FROM events
+  GROUP BY user_id, CAST(ts AS DATE)
+)
+SELECT path, count(*) AS n_user_days
+FROM per_day GROUP BY 1
+ORDER BY n_user_days DESC, path LIMIT 15
+"""
+
+
+def q141_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test, event type × part of day — the
+    drift/bias gate a data-quality pipeline runs on categorical
+    pairs: observed cell counts vs expected (row·col/total), χ² as
+    the sum of scaled squared deviations. Everything is algebraic
+    aggregation over ONE contingency pass (cells → margins via
+    window sums over the 20-row aggregate), so at 100 TB it costs
+    one groupBy; the statistic itself is cell-cardinality-sized."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.hour("ts") / 6).cast("int").alias("day_part")
+    )
+    cells = ev.groupBy("event_type", "day_part").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    w_r = Window.partitionBy("event_type")
+    w_c = Window.partitionBy("day_part")
+    w_all = Window.partitionBy()
+    scored = cells.select(
+        "event_type",
+        "day_part",
+        "o",
+        (
+            F.sum("o").over(w_r)
+            * F.sum("o").over(w_c)
+            / F.sum("o").over(w_all)
+        ).alias("e"),
+    )
+    return (
+        scored.groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")), 6).alias(
+                "chi2"
+            ),
+        )
+        .select(
+            "n_cells",
+            ((F.lit(5) - 1) * (F.lit(4) - 1)).alias("dof"),
+            "chi2",
+        )
+    )
+
+
+_Q141_ORACLE = """
+WITH cells AS (
+  SELECT event_type,
+         CAST(floor(extract('hour' FROM ts) / 6) AS INTEGER) AS day_part,
+         count(*) AS o
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT o,
+         sum(o) OVER (PARTITION BY event_type)
+           * sum(o) OVER (PARTITION BY day_part)
+           / sum(o) OVER () AS e
+  FROM cells
+)
+SELECT count(*) AS n_cells, CAST((5 - 1) * (4 - 1) AS INTEGER) AS dof,
+       round(sum((o - e) * (o - e) / e), 6) AS chi2
+FROM scored
+"""
+
+
+def q142_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order totals — the forensic
+    data-quality screen for fabricated or truncated monetary columns:
+    observed leading-digit shares vs the Benford expectation
+    log10(1 + 1/d), with each digit's squared relative deviation.
+    Map-only digit extraction (floor/log10 expressions) + a 9-row
+    aggregate; trivially scan-bound at any scale."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    per_digit = (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = per_digit.select(F.sum("n").alias("tot"))
+    return (
+        per_digit.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n",
+            F.round(F.col("n") / F.col("tot"), 6).alias("share"),
+            F.round(F.log10(1 + 1 / F.col("digit")), 6).alias("benford"),
+        )
+        .withColumn(
+            "sq_rel_dev",
+            F.round(
+                ((F.col("share") - F.col("benford")) ** 2) / F.col("benford"), 6
+            ),
+        )
+        .orderBy("digit")
+    )
+
+
+_Q142_ORACLE = """
+WITH d AS (
+  SELECT CAST(floor(o_totalprice
+              / power(10.0, floor(log10(o_totalprice)))) AS INTEGER) AS digit
+  FROM orders WHERE o_totalprice > 0
+), per_digit AS (
+  SELECT digit, count(*) AS n FROM d GROUP BY 1
+), total AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM per_digit)
+SELECT digit, n,
+       round(CAST(n AS DOUBLE) / tot, 6) AS share,
+       round(log10(1 + 1.0 / digit), 6) AS benford,
+       round(pow(round(CAST(n AS DOUBLE) / tot, 6)
+                 - round(log10(1 + 1.0 / digit), 6), 2)
+             / round(log10(1 + 1.0 / digit), 6), 6) AS sq_rel_dev
+FROM per_digit CROSS JOIN total ORDER BY digit
+"""
+
+
 def q130_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval (k1=1.2, b=0.75) — the lexical-search
     primitive of every RAG / training-data-curation stack: score
@@ -4661,6 +4924,17 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         "similarity",
     ),
+    "q138_weighted_sample": QuerySpec(
+        q138_weighted_sample, _Q138_ORACLE, "sampling"
+    ),
+    "q139_range_bucketize": QuerySpec(
+        q139_range_bucketize, _Q139_ORACLE, "aggregation"
+    ),
+    "q140_top_paths": QuerySpec(q140_top_paths, _Q140_ORACLE, "text"),
+    "q141_chi_square": QuerySpec(q141_chi_square, _Q141_ORACLE, "aggregation"),
+    "q142_benford_digits": QuerySpec(
+        q142_benford_digits, _Q142_ORACLE, "aggregation"
+    ),
     "q130_bm25_topk": QuerySpec(q130_bm25_topk, _Q130_ORACLE, "text"),
     "q131_salted_skew_join": QuerySpec(q131_salted_skew_join, _Q131_ORACLE, "joins"),
     "q132_last_touch_attribution": QuerySpec(
@@ -5076,6 +5350,11 @@ REGISTRY: dict[str, QuerySpec] = {
 # stragglers. Append NEW queries near the head — a new query is by
 # definition never-driver-checked.
 _DRIVER_PRIORITY = (
+    "q138_weighted_sample",
+    "q139_range_bucketize",
+    "q140_top_paths",
+    "q141_chi_square",
+    "q142_benford_digits",
     "q130_bm25_topk",
     "q131_salted_skew_join",
     "q132_last_touch_attribution",

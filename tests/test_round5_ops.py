@@ -195,3 +195,66 @@ def test_adp_scalar_only_named_operand_zero_division(spark):
     with pytest.raises(ZeroDivisionError):
         fe.evaluate_formula("k / (k - 2)")
     assert float(fe.evaluate_formula("k * 3")) == pytest.approx(6.0)
+
+
+def test_q138_weighted_sample_shape_and_determinism(spark, sf_dir):
+    from ssb_coefficient_maker_spark.queries import q138_weighted_sample
+
+    a = q138_weighted_sample(spark, sf_dir).toPandas()
+    b = q138_weighted_sample(spark, sf_dir).toPandas()
+    assert a.equals(b)  # no RNG state anywhere
+    per = a.groupby("event_type")["rank"].agg(["min", "max", "count"])
+    assert (per["min"] == 1).all()
+    assert (per["count"] == per["max"]).all()  # dense 1..k ranks
+    # weighted sampling must up-weight heavy rows: the sampled mean
+    # weight exceeds the population mean
+    from ssb_coefficient_maker_spark.sources.loaders import load_table
+
+    pop_mean = (
+        load_table(spark, sf_dir, "events").agg({"value": "avg"}).head()[0]
+    )
+    assert a["weight"].mean() > pop_mean
+
+
+def test_q139_matches_q133_bin_totals(spark, sf_dir):
+    """The broadcast-cut-points scale path and the global-NTILE exact
+    path partition the same orders; totals must agree and bin sizes
+    stay near-equal (cut-point binning can differ from NTILE only at
+    exactly-tied boundary values)."""
+    from ssb_coefficient_maker_spark.queries import (
+        q133_equal_freq_binning,
+        q139_range_bucketize,
+    )
+
+    ntile = q133_equal_freq_binning(spark, sf_dir).toPandas()
+    ranged = q139_range_bucketize(spark, sf_dir).toPandas()
+    assert ranged["n_orders"].sum() == ntile["n_orders"].sum()
+    assert list(ranged["bin"]) == list(range(1, 11))
+
+
+def test_q141_chi_square_nonnegative(spark, sf_dir):
+    from ssb_coefficient_maker_spark.queries import q141_chi_square
+
+    row = q141_chi_square(spark, sf_dir).toPandas().iloc[0]
+    assert row["chi2"] >= 0
+    assert row["dof"] == 12
+    assert row["n_cells"] <= 20
+
+
+def test_q142_benford_shares_sum_to_one(spark, sf_dir):
+    from ssb_coefficient_maker_spark.queries import q142_benford_digits
+
+    ben = q142_benford_digits(spark, sf_dir).toPandas()
+    assert set(ben["digit"]) <= set(range(1, 10))
+    assert abs(ben["share"].sum() - 1.0) < 1e-4
+    assert (ben["sq_rel_dev"] >= 0).all()
+
+
+def test_q140_paths_ordered_by_frequency(spark, sf_dir):
+    from ssb_coefficient_maker_spark.queries import q140_top_paths
+
+    paths = q140_top_paths(spark, sf_dir).toPandas()
+    assert 0 < len(paths) <= 15
+    assert list(paths["n_user_days"]) == sorted(
+        paths["n_user_days"], reverse=True
+    )
