@@ -4056,6 +4056,166 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q143_linear_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over daily gaps — the time-series repair
+    step past q92's LOCF: each user's missing days (between their
+    first and last active day) are filled by interpolating between
+    the surrounding observed daily totals, weighted by day distance.
+    Shape: the day spine explodes from sequence() (JVM, no generator
+    UDF), gap neighbors come from ONE window pass (last/first over
+    ignore-null frames — same partitioning, so Catalyst fuses all
+    four features into a single Window operator), and everything
+    reduces back to a per-user audit row. One user_id shuffle total.
+    Daily totals snap to 1e-4 first so both engines interpolate the
+    same inputs."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    daily = (
+        ev.groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.round(F.sum("value"), 4).alias("v"))
+    )
+    span = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = span.select(
+        "user_id",
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day"),
+    )
+    full = spine.join(daily, ["user_id", "day"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    filled = full.select(
+        "user_id",
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("pv"),
+        F.last(F.when(F.col("v").isNotNull(), F.col("day")), ignorenulls=True)
+        .over(w_prev)
+        .alias("pd"),
+        F.first("v", ignorenulls=True).over(w_next).alias("nv"),
+        F.first(F.when(F.col("v").isNotNull(), F.col("day")), ignorenulls=True)
+        .over(w_next)
+        .alias("nd"),
+    ).withColumn(
+        "iv",
+        F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * F.datediff("day", "pd")
+            / F.datediff("nd", "pd")
+        ),
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.col("v").isNull().cast("long")).alias("n_interpolated"),
+            F.round(F.sum("iv"), 4).alias("series_total"),
+        )
+        .orderBy("user_id")
+    )
+
+
+_Q143_ORACLE = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, round(sum(value), 4) AS v
+  FROM events WHERE user_id < 50 GROUP BY 1, 2
+), span AS (
+  SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1
+), spine AS (
+  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+           AS day
+  FROM span
+), joined AS (
+  SELECT s.user_id, s.day, d.v FROM spine s
+  LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+), filled AS (
+  SELECT user_id, day, v,
+    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY day
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM joined
+)
+SELECT user_id, count(*) AS n_days,
+       CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_interpolated,
+       round(sum(CASE WHEN v IS NOT NULL THEN v
+                 ELSE pv + (nv - pv) * datediff('day', pd, day)
+                          / datediff('day', pd, nd) END), 4) AS series_total
+FROM filled GROUP BY 1 ORDER BY 1
+"""
+
+
+def q144_group_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise median imputation — the feature-pipeline staple:
+    rows flagged missing (a deterministic 10% via the portable knuth
+    hash, standing in for real nulls) take their event type's median
+    computed from the SURVIVING rows. One percentile aggregate per
+    group broadcast back, map-only imputation, then a per-group
+    audit (imputed count, observed vs post-imputation mean). At
+    100 TB: one groupBy + one broadcast join — no second scan of the
+    fact table beyond the final rollup."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "miss", F.pmod(knuth_hash(F.col("event_id")), F.lit(10)) == 0
+    )
+    med = (
+        ev.filter(~F.col("miss"))
+        .groupBy("event_type")
+        .agg(F.round(F.expr("percentile(value, 0.5D)"), 6).alias("med"))
+    )
+    imputed = ev.join(F.broadcast(med), "event_type").withColumn(
+        "iv", F.when(F.col("miss"), F.col("med")).otherwise(F.col("value"))
+    )
+    return (
+        imputed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("miss").cast("long")).alias("n_imputed"),
+            F.round(F.avg(F.when(~F.col("miss"), F.col("value"))), 6).alias(
+                "observed_mean"
+            ),
+            F.round(F.avg("iv"), 6).alias("imputed_mean"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q144_ORACLE = f"""
+WITH ev AS (
+  SELECT event_type, value,
+         ({knuth_hash_sql("event_id")}) % 10 = 0 AS miss
+  FROM events
+), med AS (
+  SELECT event_type,
+         round(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS med
+  FROM ev WHERE NOT miss GROUP BY 1
+)
+SELECT e.event_type, count(*) AS n,
+       CAST(sum(CASE WHEN e.miss THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+       round(avg(CASE WHEN NOT e.miss THEN e.value END), 6) AS observed_mean,
+       round(avg(CASE WHEN e.miss THEN m.med ELSE e.value END), 6)
+         AS imputed_mean
+FROM ev e JOIN med m USING (event_type)
+GROUP BY 1 ORDER BY 1
+"""
+
+
 def _lloyd_cte(k: int, iters: int, dim: int = 64) -> str:
     """Generated CTE chain replicating the engine's trained k-means
     (`operators/similarity.py: kmeans_centroids` + `assign_buckets`)
@@ -4924,6 +5084,8 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         "similarity",
     ),
+    "q143_linear_interp": QuerySpec(q143_linear_interp, _Q143_ORACLE, "windows"),
+    "q144_group_impute": QuerySpec(q144_group_impute, _Q144_ORACLE, "aggregation"),
     "q138_weighted_sample": QuerySpec(
         q138_weighted_sample, _Q138_ORACLE, "sampling"
     ),
@@ -5350,6 +5512,8 @@ REGISTRY: dict[str, QuerySpec] = {
 # stragglers. Append NEW queries near the head — a new query is by
 # definition never-driver-checked.
 _DRIVER_PRIORITY = (
+    "q143_linear_interp",
+    "q144_group_impute",
     "q138_weighted_sample",
     "q139_range_bucketize",
     "q140_top_paths",

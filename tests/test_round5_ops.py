@@ -258,3 +258,39 @@ def test_q140_paths_ordered_by_frequency(spark, sf_dir):
     assert list(paths["n_user_days"]) == sorted(
         paths["n_user_days"], reverse=True
     )
+
+
+def test_q143_interpolation_fills_every_gap_day(spark, sf_dir):
+    """The spine covers [first, last] per user with no holes; every
+    missing day is interpolated (non-null) because interior gaps
+    always have both neighbors."""
+    from ssb_coefficient_maker_spark.queries import q143_linear_interp
+    from ssb_coefficient_maker_spark.sources.loaders import load_table
+    from pyspark.sql import functions as F
+
+    out = q143_linear_interp(spark, sf_dir).toPandas()
+    assert out["series_total"].notna().all()
+    # n_days == span length per user
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    span = (
+        ev.groupBy("user_id")
+        .agg(
+            (F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) + 1).alias(
+                "len"
+            )
+        )
+        .toPandas()
+        .set_index("user_id")["len"]
+    )
+    for _, r in out.iterrows():
+        assert r["n_days"] == span[r["user_id"]]
+        assert 0 <= r["n_interpolated"] < r["n_days"]
+
+
+def test_q144_imputation_shifts_mean_toward_median(spark, sf_dir):
+    from ssb_coefficient_maker_spark.queries import q144_group_impute
+
+    out = q144_group_impute(spark, sf_dir).toPandas()
+    assert (out["n_imputed"] > 0).all()  # the 10% flag hits every type
+    assert (out["n_imputed"] < out["n"]).all()
+    assert out["imputed_mean"].notna().all()
