@@ -88,6 +88,20 @@ def adp_vector_from_pandas(series: pd.Series, dps: int) -> Vector:
     return Vector(labels=_stringify(series.index), values=vals)
 
 
+def _real_pow(lhs, rhs, mp):
+    """``**`` restricted to the real domain: mpmath returns a COMPLEX
+    mpc for a negative base with fractional exponent, but this engine
+    is real-valued everywhere (the float path's numpy ``(-1)**0.5``
+    yields NaN) — coerce complex results to mpf NaN so both precision
+    modes agree on the domain. (The reference sidesteps this by
+    rejecting ``**`` under ADP entirely, coeff_maker.py:744-749; we
+    support it, documented deviation.)"""
+    res = lhs**rhs
+    if isinstance(res, mp.mpc):
+        return mp.mpf("nan")
+    return res
+
+
 def _mp_eval(expr: FormulaExpr, resolve, mpmath_mod) -> Any:
     mp = mpmath_mod
     if isinstance(expr, Num):
@@ -111,7 +125,7 @@ def _mp_eval(expr: FormulaExpr, resolve, mpmath_mod) -> Any:
                 raise ZeroDivisionError(ADP_ZERO_DIV_MSG)
             return lhs / rhs
         if expr.op == "**":
-            return lhs**rhs
+            return _real_pow(lhs, rhs, mp)
         if expr.op == "%":
             if rhs == 0:
                 raise ZeroDivisionError(ADP_ZERO_DIV_MSG)
@@ -134,7 +148,7 @@ def _mp_eval(expr: FormulaExpr, resolve, mpmath_mod) -> Any:
         if expr.func == "abs":
             return abs(args[0])
         if expr.func == "pow":
-            return args[0] ** args[1]
+            return _real_pow(args[0], args[1], mp)
         if expr.func == "fillna":
             return args[1] if mp.isnan(args[0]) else args[0]
         if expr.func == "where":

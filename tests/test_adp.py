@@ -312,19 +312,32 @@ def test_adp_vector_fuzz_vs_mpmath(spark, formula, dps):
                     hits += 1
             assert hits > 0, formula
         return
+    def realize(x):
+        # the engine is real-valued: complex oracle results (negative
+        # base ** fractional exponent) map to NaN, like the float
+        # path's numpy semantics
+        if isinstance(x, mpmath.mpc):
+            return mpmath.mpf("nan")
+        return mpmath.mpf(x) if isinstance(x, int) else x
+
     if not any(n in formula for n in _VEC_NAMES):
         # all-literal formula: scalar result by design (matches the
         # float path's compiled.is_scalar route)
         with mpmath.workdps(dps):
-            expected = eval(mp_formula, oracle_env(0))  # noqa: S307
-            assert float(got) == pytest.approx(float(expected))
+            expected = realize(eval(mp_formula, oracle_env(0)))  # noqa: S307
+            if mpmath.isnan(expected):
+                assert mpmath.isnan(mpmath.mpf(str(float(got)))), (formula, got)
+            else:
+                assert float(got) == pytest.approx(float(expected))
         return
     assert isinstance(got, pd.Series) and len(got) == 4
     with mpmath.workdps(dps):
         eps = mpmath.mpf(10) ** (-(dps - 5))
         for i in range(4):
-            expected = eval(mp_formula, oracle_env(i))  # noqa: S307 — oracle
-            expected = mpmath.mpf(expected) if isinstance(expected, int) else expected
+            expected = realize(eval(mp_formula, oracle_env(i)))  # noqa: S307
+            if mpmath.isnan(expected):
+                assert mpmath.isnan(got.iloc[i]), (formula, i, got.iloc[i])
+                continue
             assert mpmath.almosteq(got.iloc[i], expected, rel_eps=eps), (
                 formula,
                 i,
@@ -350,3 +363,39 @@ def test_adp_literal_only_zero_division_guard(spark):
     # and a well-defined literal-only formula still yields the scalar
     got = fe.evaluate_formula("(3 / 2) + 1")
     assert float(got) == pytest.approx(2.5)
+
+
+def test_adp_complex_power_coerces_to_nan(spark):
+    """Round-5 Hypothesis falsifying example, pinned: a negative base
+    with fractional exponent is COMPLEX in mpmath; the engine is
+    real-valued (float path: numpy (-1)**0.5 -> NaN), so every ADP
+    path must yield NaN, not leak an mpc. (The reference rejects **
+    under ADP outright, coeff_maker.py:744-749 — supporting it is our
+    documented deviation, so the domain must at least be consistent.)"""
+    # literal-only scalar path
+    fe = FormulaEvaluator(
+        {"u": pd.Series([1.0])}, adp_enabled=True, decimal_precision=20, spark=spark
+    )
+    got = fe.evaluate_formula("((2 - 3.0) ** 0.5)")
+    assert mpmath.isnan(got)
+    # vector path
+    fe2 = FormulaEvaluator(
+        {"u": pd.Series([4.0, -1.0])},
+        adp_enabled=True,
+        decimal_precision=20,
+        spark=spark,
+    )
+    vec = fe2.evaluate_formula("u ** 0.5")
+    assert float(vec.iloc[0]) == pytest.approx(2.0)
+    assert mpmath.isnan(vec.iloc[1])
+    # matrix path (mapInPandas mpf kernel)
+    fe3 = FormulaEvaluator(
+        {"a": pd.DataFrame({"x": [4.0, -1.0]})},
+        adp_enabled=True,
+        decimal_precision=20,
+        fill_invalid=True,
+        spark=spark,
+    )
+    out = fe3.evaluate_to_pandas("a ** 0.5")
+    assert float(out["x"].iloc[0]) == 2.0
+    assert float(out["x"].iloc[1]) == 0.0  # NaN filled to 0
