@@ -294,3 +294,48 @@ def test_q144_imputation_shifts_mean_toward_median(spark, sf_dir):
     assert (out["n_imputed"] > 0).all()  # the 10% flag hits every type
     assert (out["n_imputed"] < out["n"]).all()
     assert out["imputed_mean"].notna().all()
+
+
+def test_q143_windows_fuse_into_one_operator(spark, sf_dir):
+    """All four gap-neighbor features (prev/next value and day) share
+    one partitioning+ordering, so the physical plan runs them in a
+    SINGLE Window operator — one user_id exchange for the whole
+    interpolation, as the docstring promises."""
+    from ssb_coefficient_maker_spark.queries import q143_linear_interp
+
+    plan = (
+        q143_linear_interp(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Window") == 1, plan
+
+
+def test_q139_no_window_no_global_sort(spark, sf_dir):
+    """The range-bucketize scale path must contain NO window operator
+    and no ntile — bin assignment is a map-only expression against
+    broadcast cut points (contrast q133, whose exact NTILE needs a
+    global sort in one Window)."""
+    from ssb_coefficient_maker_spark.queries import q139_range_bucketize
+
+    plan = (
+        q139_range_bucketize(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan, plan
+    assert "ntile" not in plan, plan
+
+
+def test_q130_broadcasts_the_tiny_sides(spark, sf_dir):
+    """BM25's df/idf and avgdl joins must broadcast (query-terms-sized
+    and 1-row) — no shuffle join anywhere in the scoring tail."""
+    from ssb_coefficient_maker_spark.queries import q130_bm25_topk
+
+    plan = (
+        q130_bm25_topk(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
