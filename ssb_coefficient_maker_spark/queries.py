@@ -4216,6 +4216,238 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def q145_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling correlation between the daily purchase and view
+    totals — the co-movement monitor for paired metrics (engagement
+    vs conversion, loss vs learning-rate, ...). One conditional
+    aggregation builds the aligned daily pair series (no join, no
+    pivot shuffle: two F.sum(when(...)) columns in the same agg),
+    then corr runs as a window aggregate over a ROWS frame on the
+    day-cardinality-sized series. Heavy stage = the one daily rollup;
+    the window is tiny."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), 4
+        ).alias("purchase_v"),
+        F.round(
+            F.sum(F.when(F.col("event_type") == "view", F.col("value"))), 4
+        ).alias("view_v"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return (
+        daily.select(
+            F.col("day").cast("string").alias("day"),
+            F.round(F.corr("purchase_v", "view_v").over(w), 4).alias("corr_7d"),
+        )
+        .orderBy("day")
+    )
+
+
+_Q145_ORACLE = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day,
+         round(sum(CASE WHEN event_type = 'purchase' THEN value END), 4)
+           AS purchase_v,
+         round(sum(CASE WHEN event_type = 'view' THEN value END), 4) AS view_v
+  FROM events GROUP BY 1
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       round(corr(purchase_v, view_v) OVER (ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS corr_7d
+FROM daily ORDER BY day
+"""
+
+
+def q146_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit: KL divergence and total-variation
+    distance between the weekday and weekend event-type mixes — the
+    monitoring gate that catches a shifted traffic mix before it
+    poisons a training batch. One contingency aggregation (type ×
+    is_weekend), shares via window sums over the 10-row aggregate,
+    then two scalar sums. Weekday numbering is pinned to ISO
+    (Mon=0..Sun=6) on both engines."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.weekday("ts") >= 5).alias("weekend")
+    )
+    cells = ev.groupBy("event_type", "weekend").agg(F.count(F.lit(1)).alias("n"))
+    w_side = Window.partitionBy("weekend")
+    shares = cells.select(
+        "event_type",
+        "weekend",
+        (F.col("n") / F.sum("n").over(w_side)).alias("share"),
+    )
+    p = shares.filter(~F.col("weekend")).select(
+        "event_type", F.col("share").alias("p")
+    )
+    q = shares.filter(F.col("weekend")).select(
+        "event_type", F.col("share").alias("q")
+    )
+    return (
+        p.join(q, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.round(F.sum(F.col("p") * F.log(F.col("p") / F.col("q"))), 6).alias(
+                "kl_weekday_vs_weekend"
+            ),
+            F.round(F.sum(F.abs(F.col("p") - F.col("q"))) / 2, 6).alias(
+                "total_variation"
+            ),
+        )
+    )
+
+
+_Q146_ORACLE = """
+WITH cells AS (
+  SELECT event_type, isodow(ts) - 1 >= 5 AS weekend, count(*) AS n
+  FROM events GROUP BY 1, 2
+), shares AS (
+  SELECT event_type, weekend,
+         CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY weekend) AS share
+  FROM cells
+)
+SELECT count(*) AS n_types,
+       round(sum(p.share * ln(p.share / q.share)), 6) AS kl_weekday_vs_weekend,
+       round(sum(abs(p.share - q.share)) / 2, 6) AS total_variation
+FROM (SELECT event_type, share FROM shares WHERE NOT weekend) p
+JOIN (SELECT event_type, share FROM shares WHERE weekend) q USING (event_type)
+"""
+
+
+def q147_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel latency: per user, hours from FIRST view to FIRST
+    purchase (converters = purchase strictly after the view), with
+    the conversion rate and the latency median/p90 — the
+    time-to-value readout behind every funnel dashboard. One user
+    aggregation (two conditional mins), a map-only latency
+    expression, one scalar rollup. Latency uses the epoch DIFFERENCE
+    so it is timezone-invariant on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("vts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("pts"),
+    )
+    lat = firsts.filter(F.col("vts").isNotNull()).withColumn(
+        "hours",
+        F.when(
+            F.col("pts") > F.col("vts"),
+            (F.col("pts").cast("long") - F.col("vts").cast("long")) / 3600.0,
+        ),
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_viewed"),
+        F.sum(F.col("hours").isNotNull().cast("long")).alias("n_converted"),
+        F.round(
+            F.sum(F.col("hours").isNotNull().cast("long")) / F.count(F.lit(1)), 6
+        ).alias("conversion_rate"),
+        F.round(F.expr("percentile(hours, 0.5D)"), 4).alias("median_hours"),
+        F.round(F.expr("percentile(hours, 0.9D)"), 4).alias("p90_hours"),
+    )
+
+
+_Q147_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS vts,
+         min(CASE WHEN event_type = 'purchase' THEN ts END) AS pts
+  FROM events GROUP BY 1
+), lat AS (
+  SELECT user_id,
+         CASE WHEN pts > vts
+              THEN date_diff('second', vts, pts) / 3600.0 END AS hours
+  FROM firsts WHERE vts IS NOT NULL
+)
+SELECT count(*) AS n_viewed,
+       CAST(sum(CASE WHEN hours IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converted,
+       round(CAST(sum(CASE WHEN hours IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS conversion_rate,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY hours), 4)
+         AS median_hours,
+       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY hours), 4) AS p90_hours
+FROM lat
+"""
+
+
+def q148_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment near-dup (|A∩B| / |A|): catches the
+    subset-duplication Jaccard under-scores — a short document pasted
+    inside a longer one has low Jaccard but containment ≈ 1. Same
+    inverted-index equi-join shape as the exact-Jaccard tier (q32,
+    bounded slice: at scale this runs only on LSH candidates), but
+    scored in BOTH directions; pairs surface when either direction
+    reaches 0.8."""
+    from ssb_coefficient_maker_spark.operators.dedup import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    wordsets = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(normalized_text(F.col("text")), " ")).alias("ws"),
+    )
+    exploded = wordsets.select(
+        "doc_id", F.size("ws").alias("n"), F.explode("ws").alias("w")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    # directional: a's words found in b (a != b, both directions kept
+    # by NOT restricting to a < b)
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+        .select(
+            "doc_id", F.round(F.col("common") / F.col("na"), 4).alias("containment")
+        )
+    )
+    # per-doc subsumption summary: how many documents fully contain
+    # this one (the drop-decision table), plus its max containment
+    return (
+        pairs.groupBy("doc_id")
+        .agg(
+            F.sum((F.col("containment") >= 0.95).cast("long")).alias("n_superdocs"),
+            F.max("containment").alias("max_containment"),
+        )
+        .filter(F.col("n_superdocs") > 0)
+        .orderBy("doc_id")
+    )
+
+
+_Q148_ORACLE = """
+WITH ws AS (
+  SELECT doc_id,
+         list_distinct(string_split(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+  FROM documents WHERE doc_id < 300
+), ex AS (
+  SELECT doc_id, len(w) AS n, unnest(w) AS word FROM ws
+), pairs AS (
+  SELECT a.doc_id AS doc_id,
+         round(CAST(count(*) AS DOUBLE) / a.n, 4) AS containment
+  FROM ex a JOIN ex b ON a.word = b.word AND a.doc_id != b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN containment >= 0.95 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_superdocs,
+       max(containment) AS max_containment
+FROM pairs GROUP BY 1
+HAVING sum(CASE WHEN containment >= 0.95 THEN 1 ELSE 0 END) > 0
+ORDER BY doc_id
+"""
+
+
 def _lloyd_cte(k: int, iters: int, dim: int = 64) -> str:
     """Generated CTE chain replicating the engine's trained k-means
     (`operators/similarity.py: kmeans_centroids` + `assign_buckets`)
@@ -5084,6 +5316,14 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         "similarity",
     ),
+    "q145_rolling_corr": QuerySpec(q145_rolling_corr, _Q145_ORACLE, "windows"),
+    "q146_kl_drift": QuerySpec(q146_kl_drift, _Q146_ORACLE, "aggregation"),
+    "q147_time_to_convert": QuerySpec(
+        q147_time_to_convert, _Q147_ORACLE, "aggregation"
+    ),
+    "q148_containment_dedup": QuerySpec(
+        q148_containment_dedup, _Q148_ORACLE, "dedup"
+    ),
     "q143_linear_interp": QuerySpec(q143_linear_interp, _Q143_ORACLE, "windows"),
     "q144_group_impute": QuerySpec(q144_group_impute, _Q144_ORACLE, "aggregation"),
     "q138_weighted_sample": QuerySpec(
@@ -5512,6 +5752,10 @@ REGISTRY: dict[str, QuerySpec] = {
 # stragglers. Append NEW queries near the head — a new query is by
 # definition never-driver-checked.
 _DRIVER_PRIORITY = (
+    "q145_rolling_corr",
+    "q146_kl_drift",
+    "q147_time_to_convert",
+    "q148_containment_dedup",
     "q143_linear_interp",
     "q144_group_impute",
     "q138_weighted_sample",

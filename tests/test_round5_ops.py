@@ -339,3 +339,59 @@ def test_q130_broadcasts_the_tiny_sides(spark, sf_dir):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_q145_corr_bounded(spark, sf_dir):
+    from ssb_coefficient_maker_spark.queries import q145_rolling_corr
+
+    out = q145_rolling_corr(spark, sf_dir).toPandas()
+    vals = out["corr_7d"].dropna()
+    assert ((vals >= -1.0001) & (vals <= 1.0001)).all()
+
+
+def test_q146_kl_nonnegative(spark, sf_dir):
+    from ssb_coefficient_maker_spark.queries import q146_kl_drift
+
+    row = q146_kl_drift(spark, sf_dir).toPandas().iloc[0]
+    assert row["kl_weekday_vs_weekend"] >= 0  # Gibbs' inequality
+    assert 0 <= row["total_variation"] <= 1
+
+
+def test_q147_funnel_sane(spark, sf_dir):
+    from ssb_coefficient_maker_spark.queries import q147_time_to_convert
+
+    row = q147_time_to_convert(spark, sf_dir).toPandas().iloc[0]
+    assert 0 <= row["conversion_rate"] <= 1
+    assert row["n_converted"] <= row["n_viewed"]
+    if row["n_converted"] > 0:
+        assert row["median_hours"] >= 0
+        assert row["p90_hours"] >= row["median_hours"]
+
+
+def test_q148_containment_catches_planted_subset(spark, tmp_path):
+    """A short doc pasted inside a longer one has low Jaccard but
+    containment 1.0 — the case this operator exists for."""
+    import pandas as pd
+
+    from ssb_coefficient_maker_spark.queries import q148_containment_dedup
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "alpha beta gamma",
+                "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+                "unrelated words entirely different vocabulary here",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["t"] * 3,
+            "n_chars": [10, 20, 30],
+        }
+    )
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = q148_containment_dedup(spark, str(tmp_path)).toPandas()
+    sub = out[out["doc_id"] == 1]
+    assert len(sub) == 1 and sub.iloc[0]["max_containment"] == 1.0
+    assert 3 not in set(out["doc_id"])  # no false subsumption
