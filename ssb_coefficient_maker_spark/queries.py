@@ -4448,6 +4448,68 @@ ORDER BY doc_id
 """
 
 
+def q149_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental batch dedup — the shape every rolling ingest runs:
+    a NEW batch (doc_id >= 400 stands in for today's crawl) is
+    deduped (a) against the existing corpus by exact content hash
+    (anti join on sha2 — at 100 TB the corpus side is a bucketed
+    hash index, so this is a shuffle-free probe) and (b) WITHIN the
+    batch by keep-first-id (one window rank per hash). Output is the
+    audit every ingest job emits: per-source new/corpus-dup/
+    batch-dup/kept counts. Only the batch ever shuffles — corpus rows
+    are touched as join keys alone."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.sha2(F.col("text"), 256).alias("h")
+    )
+    corpus = docs.filter(F.col("doc_id") < 400).select("h").distinct()
+    batch = docs.filter(F.col("doc_id") >= 400)
+    vs_corpus = batch.join(corpus.withColumn("in_corpus", F.lit(True)), "h", "left")
+    w = Window.partitionBy("h").orderBy("doc_id")
+    flagged = vs_corpus.withColumn("rk", F.row_number().over(w)).select(
+        "source",
+        F.col("in_corpus").isNotNull().alias("corpus_dup"),
+        (F.col("rk") > 1).alias("batch_dup"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_batch"),
+            F.sum(F.col("corpus_dup").cast("long")).alias("n_corpus_dup"),
+            F.sum((~F.col("corpus_dup") & F.col("batch_dup")).cast("long")).alias(
+                "n_batch_dup"
+            ),
+            F.sum((~F.col("corpus_dup") & ~F.col("batch_dup")).cast("long")).alias(
+                "n_kept"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+_Q149_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, source, sha256(text) AS h FROM documents
+), corpus AS (
+  SELECT DISTINCT h FROM docs WHERE doc_id < 400
+), batch AS (
+  SELECT d.doc_id, d.source, d.h, c.h IS NOT NULL AS corpus_dup,
+         row_number() OVER (PARTITION BY d.h ORDER BY d.doc_id) > 1 AS batch_dup
+  FROM docs d LEFT JOIN corpus c ON d.h = c.h
+  WHERE d.doc_id >= 400
+)
+SELECT source, count(*) AS n_batch,
+       CAST(sum(CASE WHEN corpus_dup THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_corpus_dup,
+       CAST(sum(CASE WHEN NOT corpus_dup AND batch_dup THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_batch_dup,
+       CAST(sum(CASE WHEN NOT corpus_dup AND NOT batch_dup THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM batch GROUP BY 1 ORDER BY 1
+"""
+
+
 def _lloyd_cte(k: int, iters: int, dim: int = 64) -> str:
     """Generated CTE chain replicating the engine's trained k-means
     (`operators/similarity.py: kmeans_centroids` + `assign_buckets`)
@@ -5316,6 +5378,9 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         "similarity",
     ),
+    "q149_incremental_dedup": QuerySpec(
+        q149_incremental_dedup, _Q149_ORACLE, "dedup"
+    ),
     "q145_rolling_corr": QuerySpec(q145_rolling_corr, _Q145_ORACLE, "windows"),
     "q146_kl_drift": QuerySpec(q146_kl_drift, _Q146_ORACLE, "aggregation"),
     "q147_time_to_convert": QuerySpec(
@@ -5752,6 +5817,7 @@ REGISTRY: dict[str, QuerySpec] = {
 # stragglers. Append NEW queries near the head — a new query is by
 # definition never-driver-checked.
 _DRIVER_PRIORITY = (
+    "q149_incremental_dedup",
     "q145_rolling_corr",
     "q146_kl_drift",
     "q147_time_to_convert",

@@ -395,3 +395,14 @@ def test_q148_containment_catches_planted_subset(spark, tmp_path):
     sub = out[out["doc_id"] == 1]
     assert len(sub) == 1 and sub.iloc[0]["max_containment"] == 1.0
     assert 3 not in set(out["doc_id"])  # no false subsumption
+
+
+def test_q149_partition_of_batch(spark, sf_dir):
+    """corpus-dup + batch-dup + kept partition the batch exactly."""
+    from ssb_coefficient_maker_spark.queries import q149_incremental_dedup
+
+    out = q149_incremental_dedup(spark, sf_dir).toPandas()
+    assert (
+        out["n_corpus_dup"] + out["n_batch_dup"] + out["n_kept"] == out["n_batch"]
+    ).all()
+    assert out["n_batch"].sum() > 0
