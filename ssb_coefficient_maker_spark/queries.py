@@ -4510,6 +4510,48 @@ FROM batch GROUP BY 1 ORDER BY 1
 """
 
 
+def q150_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup audit — the first pass of any multimodal
+    ingest: hash every blob (md5 over the payload BYTES), count
+    distinct payloads, redundant copies, and the storage those copies
+    waste. Map-only hash + one hash aggregation + a 1-row rollup;
+    blobs are never moved, only their 16-byte digests shuffle — at
+    100 TB that is the entire trick (dedup decisions ride the digest
+    table; the blob store is touched once, sequentially). Oracle
+    hashes the same bytes (the synthetic payload IS the document's
+    UTF-8 text, `operators/multimodal.py: synth_media`)."""
+    from ssb_coefficient_maker_spark.operators.multimodal import synth_media
+
+    media = synth_media(spark, sf_dir)
+    groups = (
+        media.select(
+            F.md5("payload").alias("h"), F.length("payload").cast("long").alias("nb")
+        )
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.max("nb").alias("nb"))
+    )
+    return groups.agg(
+        F.sum("cnt").alias("n_media"),
+        F.count(F.lit(1)).alias("n_unique_payloads"),
+        F.sum(F.col("cnt") - 1).alias("n_redundant"),
+        F.sum((F.col("cnt") - 1) * F.col("nb")).alias("wasted_bytes"),
+    )
+
+
+_Q150_ORACLE = """
+WITH groups AS (
+  SELECT md5(text) AS h, count(*) AS cnt,
+         max(CAST(strlen(text) AS BIGINT)) AS nb
+  FROM documents GROUP BY 1
+)
+SELECT CAST(sum(cnt) AS BIGINT) AS n_media,
+       count(*) AS n_unique_payloads,
+       CAST(sum(cnt - 1) AS BIGINT) AS n_redundant,
+       CAST(sum((cnt - 1) * nb) AS BIGINT) AS wasted_bytes
+FROM groups
+"""
+
+
 def _lloyd_cte(k: int, iters: int, dim: int = 64) -> str:
     """Generated CTE chain replicating the engine's trained k-means
     (`operators/similarity.py: kmeans_centroids` + `assign_buckets`)
@@ -5378,6 +5420,7 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         "similarity",
     ),
+    "q150_media_dedup": QuerySpec(q150_media_dedup, _Q150_ORACLE, "multimodal"),
     "q149_incremental_dedup": QuerySpec(
         q149_incremental_dedup, _Q149_ORACLE, "dedup"
     ),
@@ -5817,6 +5860,7 @@ REGISTRY: dict[str, QuerySpec] = {
 # stragglers. Append NEW queries near the head — a new query is by
 # definition never-driver-checked.
 _DRIVER_PRIORITY = (
+    "q150_media_dedup",
     "q149_incremental_dedup",
     "q145_rolling_corr",
     "q146_kl_drift",

@@ -406,3 +406,14 @@ def test_q149_partition_of_batch(spark, sf_dir):
         out["n_corpus_dup"] + out["n_batch_dup"] + out["n_kept"] == out["n_batch"]
     ).all()
     assert out["n_batch"].sum() > 0
+
+
+def test_q150_media_dedup_accounting(spark, sf_dir):
+    from ssb_coefficient_maker_spark.queries import q150_media_dedup
+    from ssb_coefficient_maker_spark.sources.loaders import load_table
+
+    row = q150_media_dedup(spark, sf_dir).toPandas().iloc[0]
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert row["n_media"] == n_docs
+    assert row["n_unique_payloads"] + row["n_redundant"] == row["n_media"]
+    assert row["wasted_bytes"] >= row["n_redundant"]  # every dup wastes >=1 byte
