@@ -4552,6 +4552,72 @@ FROM groups
 """
 
 
+def q151_top_decile_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-decile curation — the selection step after
+    scoring: keep the best 10% of documents per language by the q26
+    composite quality score (ties broken by doc_id, so the cut is
+    deterministic on both engines). percent_rank over a per-language
+    window; the rollup reports kept counts and the score floor each
+    language's cut landed on. At 100 TB the window partitions by
+    language (bounded cardinality, one shuffle) — and if one language
+    dominates, the q139 pattern (precomputed score cut points)
+    replaces the window entirely."""
+    from pyspark.sql import Window
+
+    from ssb_coefficient_maker_spark.operators.text import q26_quality_score
+
+    scored = q26_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    lang = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    ranked = (
+        scored.join(lang, "doc_id")
+        .withColumn("pr", F.percent_rank().over(w))
+    )
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("pr") <= 0.1).cast("long")).alias("n_kept"),
+            F.round(
+                F.min(F.when(F.col("pr") <= 0.1, F.col("quality_score"))), 4
+            ).alias("score_floor"),
+        )
+        .orderBy("lang")
+    )
+
+
+# score CTEs mirror the q26 oracle exactly (same STOP_SQL family)
+_Q151_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS words,
+         length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_nonspace
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         CASE WHEN len(words) < 5 THEN 0.0 ELSE
+           1.0 - abs(round(CAST(len(list_filter(words,
+                     x -> list_contains({{STOP_SQL}}, x))) AS DOUBLE)
+                     / len(words), 4) - 0.4)
+               - abs(round(CAST(n_nonspace AS DOUBLE) / len(words), 4) - 5.0)
+                 / 10.0
+         END AS quality_score
+  FROM w
+), ranked AS (
+  SELECT d.lang, s.quality_score,
+         percent_rank() OVER (PARTITION BY d.lang
+                              ORDER BY s.quality_score DESC, s.doc_id) AS pr
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(CASE WHEN pr <= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(min(CASE WHEN pr <= 0.1 THEN quality_score END), 4) AS score_floor
+FROM ranked GROUP BY 1 ORDER BY 1
+""".replace("{STOP_SQL}", STOP_SQL)
+
+
 def _lloyd_cte(k: int, iters: int, dim: int = 64) -> str:
     """Generated CTE chain replicating the engine's trained k-means
     (`operators/similarity.py: kmeans_centroids` + `assign_buckets`)
@@ -5421,6 +5487,9 @@ REGISTRY: dict[str, QuerySpec] = {
         "similarity",
     ),
     "q150_media_dedup": QuerySpec(q150_media_dedup, _Q150_ORACLE, "multimodal"),
+    "q151_top_decile_curation": QuerySpec(
+        q151_top_decile_curation, _Q151_ORACLE, "text"
+    ),
     "q149_incremental_dedup": QuerySpec(
         q149_incremental_dedup, _Q149_ORACLE, "dedup"
     ),
@@ -5860,6 +5929,7 @@ REGISTRY: dict[str, QuerySpec] = {
 # stragglers. Append NEW queries near the head — a new query is by
 # definition never-driver-checked.
 _DRIVER_PRIORITY = (
+    "q151_top_decile_curation",
     "q150_media_dedup",
     "q149_incremental_dedup",
     "q145_rolling_corr",

@@ -417,3 +417,13 @@ def test_q150_media_dedup_accounting(spark, sf_dir):
     assert row["n_media"] == n_docs
     assert row["n_unique_payloads"] + row["n_redundant"] == row["n_media"]
     assert row["wasted_bytes"] >= row["n_redundant"]  # every dup wastes >=1 byte
+
+
+def test_q151_decile_selection_rate(spark, sf_dir):
+    from ssb_coefficient_maker_spark.queries import q151_top_decile_curation
+
+    out = q151_top_decile_curation(spark, sf_dir).toPandas()
+    # percent_rank <= 0.1 keeps ~10% + the rank-0 row; never more
+    # than ~15% of any language, never zero
+    assert (out["n_kept"] >= 1).all()
+    assert (out["n_kept"] <= out["n_docs"] * 0.15 + 1).all()
