@@ -4618,6 +4618,247 @@ FROM ranked GROUP BY 1 ORDER BY 1
 """.replace("{STOP_SQL}", STOP_SQL)
 
 
+def q152_boilerplate_detect(spark: SparkSession, sf_dir: str, k: int = 5) -> DataFrame:
+    """Boilerplate header/footer detection — the crawl-cleaning pass
+    that catches shared page chrome exact-dedup misses: documents
+    sharing their first-k or last-k words form a template family.
+    One tokenize pass computes both edge grams, two hash
+    aggregations count family sizes, and the audit reports families
+    with ≥3 members (prefix and suffix separately). Map + two
+    digest-sized aggs — nothing but the k-word edge strings ever
+    shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("w")
+    ).filter(F.size("w") >= k)
+    edges = ws.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice("w", 1, k)).alias("prefix"),
+        F.concat_ws(" ", F.slice("w", -k, k)).alias("suffix"),
+    )
+    pre = (
+        edges.groupBy("prefix")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+        .select(F.lit("prefix").alias("edge"), F.col("prefix").alias("gram"), "n_docs")
+    )
+    suf = (
+        edges.groupBy("suffix")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+        .select(F.lit("suffix").alias("edge"), F.col("suffix").alias("gram"), "n_docs")
+    )
+    return pre.unionAll(suf).orderBy(
+        F.desc("n_docs"), F.asc("edge"), F.asc("gram")
+    ).limit(20)
+
+
+_Q152_ORACLE = """
+WITH ws AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+), edges AS (
+  SELECT doc_id,
+         array_to_string(w[1:5], ' ') AS prefix,
+         array_to_string(w[len(w)-4 : len(w)], ' ') AS suffix
+  FROM ws WHERE len(w) >= 5
+), fams AS (
+  SELECT 'prefix' AS edge, prefix AS gram, count(*) AS n_docs
+  FROM edges GROUP BY 2 HAVING count(*) >= 3
+  UNION ALL
+  SELECT 'suffix', suffix, count(*) FROM edges GROUP BY 2 HAVING count(*) >= 3
+)
+SELECT edge, gram, n_docs FROM fams
+ORDER BY n_docs DESC, edge, gram LIMIT 20
+"""
+
+
+def q153_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix rebalancing weights — the data-mixing planner: given
+    a target mix (uniform across sources here), emit each source's
+    actual share, the per-row sampling weight that achieves the
+    target (target/actual), and the effective row budget at the
+    corpus size if weights are capped at 1 (no upsampling). One
+    source-cardinality aggregation + window total; everything after
+    the count is tiny-side math."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w_all = Window.partitionBy()
+    n_src = F.count(F.lit(1)).over(w_all)
+    total = F.sum("n").over(w_all)
+    return (
+        per_src.select(
+            "source",
+            "n",
+            F.round(F.col("n") / total, 6).alias("actual_share"),
+            F.round(F.lit(1.0) / n_src, 6).alias("target_share"),
+            F.round((F.lit(1.0) / n_src) / (F.col("n") / total), 6).alias(
+                "sample_weight"
+            ),
+            F.least(
+                F.col("n").cast("double"),
+                F.round((F.lit(1.0) / n_src) / (F.col("n") / total) * F.col("n"), 0),
+            ).cast("long").alias("effective_rows"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q153_ORACLE = """
+WITH per_src AS (
+  SELECT source, count(*) AS n FROM documents GROUP BY 1
+)
+SELECT source, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (), 6) AS actual_share,
+       round(1.0 / count(*) OVER (), 6) AS target_share,
+       round((1.0 / count(*) OVER ()) / (CAST(n AS DOUBLE) / sum(n) OVER ()), 6)
+         AS sample_weight,
+       CAST(least(CAST(n AS DOUBLE),
+            round((1.0 / count(*) OVER ())
+                  / (CAST(n AS DOUBLE) / sum(n) OVER ()) * n, 0)) AS BIGINT)
+         AS effective_rows
+FROM per_src ORDER BY source
+"""
+
+
+def q154_dup_ngram_coverage(
+    spark: SparkSession, sf_dir: str, n: int = 3
+) -> DataFrame:
+    """Duplicated-n-gram coverage — the Gopher/MassiveText corpus-
+    level repetition metric q90's WITHIN-document pass can't see:
+    for each document, the fraction of its distinct 3-grams that
+    also occur in at least one OTHER document. High coverage =
+    templated/boilerplate content even when no single pair crosses a
+    near-dup threshold. Shape: one explode → distinct (doc, gram)
+    stream; gram global doc-frequencies are ONE hash agg; the
+    per-doc coverage is a broadcast-light join back on the gram.
+    Output: per-source mean coverage + the share of docs above 0.8."""
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", "source", F.split(F.trim("text"), r"\s+").alias("w"))
+    grams = (
+        ws.filter(F.size("w") >= n)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("w") - (n - 1)),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("w", i),
+                        F.element_at("w", i + 1),
+                        F.element_at("w", i + 2),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    gdf = grams.groupBy("g").agg(F.countDistinct("doc_id").alias("df"))
+    cov = (
+        grams.join(gdf, "g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(
+                F.sum((F.col("df") >= 2).cast("long")) / F.count(F.lit(1)), 6
+            ).alias("coverage")
+        )
+    )
+    return (
+        cov.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("coverage"), 6).alias("mean_coverage"),
+            F.round(
+                F.sum((F.col("coverage") > 0.8).cast("long")) / F.count(F.lit(1)), 6
+            ).alias("share_templated"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q154_ORACLE = """
+WITH ws AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, source, g FROM (
+    SELECT doc_id, source,
+           unnest(list_transform(range(1, len(w) - 1),
+                  i -> array_to_string(w[i : i + 2], ' '))) AS g
+    FROM ws WHERE len(w) >= 3)
+), gdf AS (
+  SELECT g, count(DISTINCT doc_id) AS df FROM grams GROUP BY 1
+), cov AS (
+  SELECT doc_id, source,
+         round(CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*), 6) AS coverage
+  FROM grams JOIN gdf USING (g) GROUP BY 1, 2
+)
+SELECT source, count(*) AS n_docs,
+       round(avg(coverage), 6) AS mean_coverage,
+       round(CAST(sum(CASE WHEN coverage > 0.8 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS share_templated
+FROM cov GROUP BY 1 ORDER BY 1
+"""
+
+
+def q155_unigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM cross-entropy per document — the cheap perplexity
+    proxy the CCNet family filters on: score each document by the
+    mean −ln p(word) under the CORPUS unigram distribution; gibberish
+    and off-distribution text scores high, templated text low. The
+    corpus LM is ONE hash aggregation (vocabulary-sized, broadcast
+    back); per-doc scoring is a join on the word + one mean. Output:
+    per-language mean/p90 cross-entropy (probabilities snapped to
+    1e-9 so both engines score identical inputs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.trim("text"), r"\s+")).alias("wd")
+    )
+    lm = toks.groupBy("wd").agg(F.count(F.lit(1)).alias("c"))
+    total = lm.agg(F.sum("c").alias("tot"))
+    probs = lm.crossJoin(F.broadcast(total)).select(
+        "wd", F.round(F.col("c") / F.col("tot"), 9).alias("p")
+    )
+    doc_xent = (
+        toks.join(F.broadcast(probs), "wd")
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.avg(-F.log("p")), 6).alias("xent"))
+    )
+    return (
+        doc_xent.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("xent"), 4).alias("mean_xent"),
+            F.round(F.expr("percentile(xent, 0.9D)"), 4).alias("p90_xent"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q155_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS wd
+  FROM documents
+), lm AS (
+  SELECT wd, count(*) AS c FROM toks GROUP BY 1
+), total AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM lm),
+probs AS (
+  SELECT wd, round(CAST(c AS DOUBLE) / tot, 9) AS p FROM lm CROSS JOIN total
+), doc_xent AS (
+  SELECT doc_id, lang, round(avg(-ln(p)), 6) AS xent
+  FROM toks JOIN probs USING (wd) GROUP BY 1, 2
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(xent), 4) AS mean_xent,
+       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY xent), 4) AS p90_xent
+FROM doc_xent GROUP BY 1 ORDER BY 1
+"""
+
+
 def _lloyd_cte(k: int, iters: int, dim: int = 64) -> str:
     """Generated CTE chain replicating the engine's trained k-means
     (`operators/similarity.py: kmeans_centroids` + `assign_buckets`)
@@ -5486,6 +5727,14 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         "similarity",
     ),
+    "q152_boilerplate_detect": QuerySpec(
+        q152_boilerplate_detect, _Q152_ORACLE, "text"
+    ),
+    "q153_mix_rebalance": QuerySpec(q153_mix_rebalance, _Q153_ORACLE, "text"),
+    "q154_dup_ngram_coverage": QuerySpec(
+        q154_dup_ngram_coverage, _Q154_ORACLE, "dedup"
+    ),
+    "q155_unigram_xent": QuerySpec(q155_unigram_xent, _Q155_ORACLE, "text"),
     "q150_media_dedup": QuerySpec(q150_media_dedup, _Q150_ORACLE, "multimodal"),
     "q151_top_decile_curation": QuerySpec(
         q151_top_decile_curation, _Q151_ORACLE, "text"
@@ -5929,6 +6178,10 @@ REGISTRY: dict[str, QuerySpec] = {
 # stragglers. Append NEW queries near the head — a new query is by
 # definition never-driver-checked.
 _DRIVER_PRIORITY = (
+    "q152_boilerplate_detect",
+    "q153_mix_rebalance",
+    "q154_dup_ngram_coverage",
+    "q155_unigram_xent",
     "q151_top_decile_curation",
     "q150_media_dedup",
     "q149_incremental_dedup",

@@ -427,3 +427,73 @@ def test_q151_decile_selection_rate(spark, sf_dir):
     # than ~15% of any language, never zero
     assert (out["n_kept"] >= 1).all()
     assert (out["n_kept"] <= out["n_docs"] * 0.15 + 1).all()
+
+
+def test_q153_weights_restore_uniform_mix(spark, sf_dir):
+    """sample_weight * actual_share must equal the target share for
+    every source (that is what the weight IS)."""
+    from ssb_coefficient_maker_spark.queries import q153_mix_rebalance
+
+    out = q153_mix_rebalance(spark, sf_dir).toPandas()
+    got = out["sample_weight"] * out["actual_share"]
+    assert ((got - out["target_share"]).abs() < 1e-4).all()
+    assert (out["effective_rows"] <= out["n"]).all()  # capped, no upsampling
+
+
+def test_q154_coverage_bounded(spark, sf_dir):
+    from ssb_coefficient_maker_spark.queries import q154_dup_ngram_coverage
+
+    out = q154_dup_ngram_coverage(spark, sf_dir).toPandas()
+    assert ((out["mean_coverage"] >= 0) & (out["mean_coverage"] <= 1)).all()
+    assert ((out["share_templated"] >= 0) & (out["share_templated"] <= 1)).all()
+
+
+def test_q155_xent_positive_and_boilerplate_scores_low(spark, tmp_path):
+    """Cross-entropy is positive; a document made of the corpus's most
+    common words scores LOWER than one of rare words."""
+    import pandas as pd
+
+    from ssb_coefficient_maker_spark.queries import q155_unigram_xent
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(8)),
+            "text": ["common words here all day"] * 6
+            + ["common words here all day", "zyx qwv rare tokens only"],
+            "lang": ["en"] * 7 + ["xx"],
+            "source": ["t"] * 8,
+            "n_chars": [10] * 8,
+        }
+    )
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = (
+        q155_unigram_xent(spark, str(tmp_path)).toPandas().set_index("lang")
+    )
+    assert (out["mean_xent"] > 0).all()
+    assert out.loc["xx", "mean_xent"] > out.loc["en", "mean_xent"]
+
+
+def test_q152_detects_planted_template(spark, tmp_path):
+    import pandas as pd
+
+    from ssb_coefficient_maker_spark.queries import q152_boilerplate_detect
+
+    header = "terms of service apply here"
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(6)),
+            "text": [f"{header} unique body {i} content words" for i in range(4)]
+            + ["totally different text one two", "another unrelated doc three four"],
+            "lang": ["en"] * 6,
+            "source": ["t"] * 6,
+            "n_chars": [30] * 6,
+        }
+    )
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = q152_boilerplate_detect(spark, str(tmp_path)).toPandas()
+    pre = out[(out["edge"] == "prefix") & (out["gram"] == header)]
+    assert len(pre) == 1 and pre.iloc[0]["n_docs"] == 4
