@@ -4859,6 +4859,458 @@ FROM doc_xent GROUP BY 1 ORDER BY 1
 """
 
 
+def _basket_pairs(spark: SparkSession, sf_dir: str, min_support: int = 2):
+    """Shared pair-mining stage for q156/q158: distinct (order, part)
+    baskets self-joined on the order key into co-occurrence pair
+    counts. The self-join shuffles on l_orderkey only, and baskets
+    are bounded (the max basket in the testdata is 13 parts), so the
+    per-key pair fan-out is a small constant — the whole stage is
+    linear in lineitem, the classic scalable shape for a-priori pair
+    counting."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    a = baskets.alias("a")
+    b = baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+    )
+    return baskets, pairs
+
+
+def q156_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules — frequent part pairs within
+    orders with confidence (P(b|a)) and lift. One distinct pass
+    builds baskets, the pair counts come from a basket self-join
+    bounded by basket size (see _basket_pairs), and the item counts
+    joined back for confidence/lift are a part-keyed agg small
+    enough to broadcast. This is a-priori's first two levels without
+    the candidate-generation loop — at 100 TB the same plan holds
+    because pair fan-out is quadratic in BASKET size (bounded), not
+    corpus size."""
+    baskets, pairs = _basket_pairs(spark, sf_dir, min_support=2)
+    n_orders = baskets.select("l_orderkey").distinct().count()
+    item = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            F.round(F.col("support") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                F.col("support") * F.lit(float(n_orders)) / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("support"), F.desc("lift"), "part_a", "part_b")
+        .limit(15)
+    )
+
+
+_Q156_ORACLE = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+item AS (SELECT l_partkey, count(*) AS n_item FROM b GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS support
+  FROM b a JOIN b c
+    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+)
+SELECT part_a, part_b, support,
+       round(CAST(support AS DOUBLE) / ia.n_item, 6) AS confidence,
+       round(CAST(support AS DOUBLE) * n.n_orders / (ia.n_item * ib.n_item), 6)
+         AS lift
+FROM pairs
+JOIN item ia ON pairs.part_a = ia.l_partkey
+JOIN item ib ON pairs.part_b = ib.l_partkey
+CROSS JOIN n
+ORDER BY support DESC, lift DESC, part_a, part_b LIMIT 15
+"""
+
+
+def q157_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar seasonality index — per calendar month, the average
+    monthly revenue across years and its ratio to the grand monthly
+    mean (index > 1 = hot month). Two hash aggs (year-month, then
+    month) and a 12-row window for the grand mean; monthly revenue is
+    snapped to a 1e-4 grid before the cross-engine averaging so the
+    engines' different fold orders cannot drift the index."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mth")
+    ).agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
+    by_month = monthly.groupBy("mth").agg(
+        F.count(F.lit(1)).alias("n_years"),
+        F.round(F.avg("rev"), 4).alias("avg_revenue"),
+    )
+    grand = F.avg("avg_revenue").over(Window.partitionBy())
+    return (
+        by_month.select(
+            F.col("mth").alias("month"),
+            "n_years",
+            "avg_revenue",
+            F.round(F.col("avg_revenue") / grand, 6).alias("seasonality_idx"),
+        )
+        .orderBy("month")
+    )
+
+
+_Q157_ORACLE = """
+WITH monthly AS (
+  SELECT year(o_orderdate) AS yr, CAST(month(o_orderdate) AS INTEGER) AS mth,
+         round(sum(o_totalprice), 4) AS rev
+  FROM orders GROUP BY 1, 2
+), by_month AS (
+  SELECT mth AS month, count(*) AS n_years, round(avg(rev), 4) AS avg_revenue
+  FROM monthly GROUP BY 1
+)
+SELECT month, n_years, avg_revenue,
+       round(avg_revenue / avg(avg_revenue) OVER (), 6) AS seasonality_idx
+FROM by_month ORDER BY month
+"""
+
+
+def q158_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle counting on the part co-purchase graph
+    (edge = two parts bought together in ≥2 orders, oriented
+    u < v so each triangle is emitted exactly once). The count is
+    two equi-joins over the oriented edge list — the standard
+    shuffle-join triangle algorithm; at 100 TB you orient by degree
+    instead of key (so hub vertices sit on the closing side only)
+    and the same two joins survive skew. Output: the 10 parts in the
+    most triangles (the densest cluster cores)."""
+    _, pairs = _basket_pairs(spark, sf_dir, min_support=2)
+    edges = pairs.select(F.col("part_a").alias("u"), F.col("part_b").alias("v"))
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")),
+        )
+        .select(
+            F.col("e1.u").alias("pa"),
+            F.col("e1.v").alias("pb"),
+            F.col("e2.v").alias("pc"),
+        )
+    )
+    members = tri.select(F.explode(F.array("pa", "pb", "pc")).alias("part"))
+    return (
+        members.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("part"))
+        .limit(10)
+    )
+
+
+_Q158_ORACLE = """
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT a.l_partkey AS u, c.l_partkey AS v
+  FROM b a JOIN b c
+    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), tri AS (
+  SELECT e1.u AS pa, e1.v AS pb, e2.v AS pc
+  FROM edges e1
+  JOIN edges e2 ON e1.v = e2.u
+  JOIN edges e3 ON e1.u = e3.u AND e2.v = e3.v
+), members AS (
+  SELECT unnest([pa, pb, pc]) AS part FROM tri
+)
+SELECT part, count(*) AS n_triangles
+FROM members GROUP BY 1
+ORDER BY n_triangles DESC, part LIMIT 10
+"""
+
+
+def q159_setsim_prefix_join(
+    spark: SparkSession, sf_dir: str, tau: float = 0.9
+) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (AllPairs/
+    PPJoin): order every document's distinct tokens by global
+    document frequency (rarest first — ties by the token), emit only
+    the first n − ⌈τ·n⌉ + 1 tokens as join keys, equi-join the
+    prefixes, then verify exact Jaccard on the full sets. The prefix
+    lemma guarantees every pair with J ≥ τ collides on ≥1 prefix
+    token, so the result is EXACT — but only the rare prefix tokens
+    ever shuffle, not the full inverted index (the scalable exact
+    alternative to q32's bounded all-pairs tier and a complement to
+    q57's probabilistic LSH). Bounded to doc_id < 400 so the
+    brute-force oracle stays cheap; the Spark plan is slice-free.
+    Output is the per-doc dedup decision table: how many τ-neighbors
+    each lower-id doc has and its strongest match."""
+    from pyspark.sql import Window
+
+    from ssb_coefficient_maker_spark.operators.dedup import normalized_text
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    sets = docs.select(
+        "doc_id",
+        F.array_distinct(F.split(normalized_text(F.col("text")), " ")).alias("ws"),
+    )
+    toks = sets.select("doc_id", F.explode("ws").alias("w"))
+    dfreq = toks.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("w"))
+    ranked = (
+        toks.join(dfreq, "w")
+        .withColumn("rn", F.row_number().over(wdoc))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    prefixes = ranked.filter(
+        F.col("rn") <= F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1
+    ).select("doc_id", "w")
+    cand = (
+        prefixes.alias("a")
+        .join(
+            prefixes.alias("b"),
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("da"), F.col("ws").alias("wa"))
+    sb = sets.select(F.col("doc_id").alias("db"), F.col("ws").alias("wb"))
+    return (
+        cand.join(sa, "da")
+        .join(sb, "db")
+        .withColumn(
+            "jac",
+            F.size(F.array_intersect("wa", "wb"))
+            / F.size(F.array_union("wa", "wb")),
+        )
+        .filter(F.col("jac") >= tau)
+        .groupBy(F.col("da").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_neighbors"),
+            F.round(F.max("jac"), 4).alias("max_jaccard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_Q159_ORACLE = """
+WITH ws AS (
+  SELECT doc_id, list_distinct(string_split(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+  FROM documents WHERE doc_id < 400
+), ex AS (
+  SELECT doc_id, len(w) AS n, unnest(w) AS word FROM ws
+), pairs AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS common,
+         a.n AS na, b.n AS nb
+  FROM ex a JOIN ex b ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 4, 5
+)
+SELECT da AS doc_id, count(*) AS n_neighbors,
+       round(max(CAST(common AS DOUBLE) / (na + nb - common)), 4) AS max_jaccard
+FROM pairs
+WHERE CAST(common AS DOUBLE) / (na + nb - common) >= 0.9
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q160_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier of parts minimizing price and
+    maximizing size — the multi-objective shortlist query. Exact
+    two-phase distributed shape: (1) collapse to per-price maxima
+    (a part at a price below its price-peer's size is dominated
+    in-place), (2) bucket the price axis, compute each bucket's
+    carry-in (the running max size of all CHEAPER buckets — a
+    bucket-count-sized window, broadcast back), then flag frontier
+    points with a per-bucket window. Only the tiny bucket summary is
+    ever single-partition; the per-point pass is parallel across
+    buckets — the classic partition-merge skyline."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part")
+    pts = p.groupBy("p_retailprice").agg(F.max("p_size").alias("p_size"))
+    bucketed = pts.withColumn(
+        "bkt", F.floor(F.col("p_retailprice") / F.lit(100.0))
+    )
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    carry = (
+        bucketed.groupBy("bkt")
+        .agg(F.max("p_size").alias("bmax"))
+        .withColumn("carry_in", F.max("bmax").over(wb))
+        .select("bkt", "carry_in")
+    )
+    win = Window.partitionBy("bkt").orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    flagged = (
+        bucketed.join(F.broadcast(carry), "bkt")
+        .withColumn("local_prev", F.max("p_size").over(win))
+        .withColumn(
+            "prev_best", F.greatest(F.coalesce("local_prev", F.lit(-1)),
+                                    F.coalesce("carry_in", F.lit(-1)))
+        )
+    )
+    frontier = flagged.filter(F.col("prev_best") < F.col("p_size")).select(
+        "p_retailprice", "p_size"
+    )
+    counts = p.groupBy("p_retailprice", "p_size").agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    return frontier.join(counts, ["p_retailprice", "p_size"]).orderBy(
+        "p_retailprice"
+    )
+
+
+_Q160_ORACLE = """
+WITH pts AS (
+  SELECT p_retailprice, max(p_size) AS p_size FROM part GROUP BY 1
+), fr AS (
+  SELECT * FROM pts p WHERE NOT EXISTS (
+    SELECT 1 FROM pts q
+    WHERE q.p_retailprice < p.p_retailprice AND q.p_size >= p.p_size)
+), counts AS (
+  SELECT p_retailprice, p_size, count(*) AS n_parts FROM part GROUP BY 1, 2
+)
+SELECT fr.p_retailprice, fr.p_size, n_parts
+FROM fr JOIN counts USING (p_retailprice, p_size)
+ORDER BY p_retailprice
+"""
+
+
+def q161_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion — the hybrid-retrieval merge every RAG
+    stack runs: fuse a lexical BM25 ranking (q130's scorer) with a
+    quality-prior ranking (q26's composite score) via
+    RRF = Σ 1/(60 + rank). The candidate set is docs matching ≥1
+    query term, so both rankings (and their windows) run over the
+    bounded candidate union, not the corpus — exactly how fusion
+    behaves at 100 TB, where the inputs are per-ranker top-k lists,
+    never full-corpus sorts."""
+    from pyspark.sql import Window
+
+    from ssb_coefficient_maker_spark.operators.text import q26_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "join", "vector"]
+    k1, b = 1.2, 0.75
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("ws")
+    ).select("doc_id", F.size("ws").alias("dl"), F.explode("ws").alias("w"))
+    n_docs = docs.count()
+    avgdl_df = toks.groupBy("doc_id").agg(F.first("dl").alias("dl")).agg(
+        F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("w").isin(terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl"))
+    )
+    idf = tf.groupBy("w").agg(F.countDistinct("doc_id").alias("df")).select(
+        "w",
+        F.log(
+            (F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        ).alias("idf"),
+    )
+    bm25 = (
+        tf.join(F.broadcast(idf), "w")
+        .crossJoin(F.broadcast(avgdl_df))
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (k1 + 1))
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("term_score"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 4).alias("bm25"))
+    )
+    quality = q26_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    cand = bm25.join(quality, "doc_id")
+    wb25 = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    wq = Window.orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    fused = cand.select(
+        "doc_id",
+        F.row_number().over(wb25).alias("r_bm25"),
+        F.row_number().over(wq).alias("r_quality"),
+    ).withColumn(
+        "rrf",
+        F.round(
+            1.0 / (60 + F.col("r_bm25")) + 1.0 / (60 + F.col("r_quality")), 6
+        ),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(10)
+
+
+# the quality CTEs mirror the q26 oracle exactly (same STOP_SQL family);
+# the BM25 CTEs mirror q130's oracle
+_Q161_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS dl,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), n AS (SELECT count(*) AS n_docs FROM documents),
+avgdl AS (SELECT avg(dl) AS avgdl
+          FROM (SELECT doc_id, any_value(dl) AS dl FROM toks GROUP BY 1)),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf, any_value(dl) AS dl FROM toks
+  WHERE w IN ('spark', 'join', 'vector') GROUP BY 1, 2
+), idf AS (
+  SELECT w, ln((CAST(n.n_docs AS DOUBLE) - df + 0.5) / (df + 0.5) + 1.0) AS idf
+  FROM (SELECT w, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1) CROSS JOIN n
+), bm25 AS (
+  SELECT doc_id,
+         round(sum(idf * (tf * 2.2)
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+  FROM tf JOIN idf USING (w) CROSS JOIN avgdl GROUP BY doc_id
+), words AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS words,
+         length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_nonspace
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         CASE WHEN len(words) < 5 THEN 0.0 ELSE
+           1.0 - abs(round(CAST(len(list_filter(words,
+                     x -> list_contains({STOP_SQL}, x))) AS DOUBLE)
+                     / len(words), 4) - 0.4)
+               - abs(round(CAST(n_nonspace AS DOUBLE) / len(words), 4) - 5.0)
+                 / 10.0
+         END AS quality_score
+  FROM words
+), cand AS (
+  SELECT b.doc_id, b.bm25, s.quality_score
+  FROM bm25 b JOIN scored s USING (doc_id)
+), ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER)
+           AS r_bm25,
+         CAST(row_number() OVER (ORDER BY quality_score DESC, doc_id) AS INTEGER)
+           AS r_quality
+  FROM cand
+)
+SELECT doc_id, r_bm25, r_quality,
+       round(1.0 / (60 + r_bm25) + 1.0 / (60 + r_quality), 6) AS rrf
+FROM ranked ORDER BY rrf DESC, doc_id LIMIT 10
+""".replace("{STOP_SQL}", STOP_SQL)
+
+
 def _lloyd_cte(k: int, iters: int, dim: int = 64) -> str:
     """Generated CTE chain replicating the engine's trained k-means
     (`operators/similarity.py: kmeans_centroids` + `assign_buckets`)
@@ -5735,6 +6187,16 @@ REGISTRY: dict[str, QuerySpec] = {
         q154_dup_ngram_coverage, _Q154_ORACLE, "dedup"
     ),
     "q155_unigram_xent": QuerySpec(q155_unigram_xent, _Q155_ORACLE, "text"),
+    "q156_market_basket": QuerySpec(q156_market_basket, _Q156_ORACLE, "aggregation"),
+    "q157_seasonality_index": QuerySpec(
+        q157_seasonality_index, _Q157_ORACLE, "aggregation"
+    ),
+    "q158_triangle_count": QuerySpec(q158_triangle_count, _Q158_ORACLE, "join"),
+    "q159_setsim_prefix_join": QuerySpec(
+        q159_setsim_prefix_join, _Q159_ORACLE, "dedup"
+    ),
+    "q160_skyline": QuerySpec(q160_skyline, _Q160_ORACLE, "aggregation"),
+    "q161_rrf_fusion": QuerySpec(q161_rrf_fusion, _Q161_ORACLE, "text"),
     "q150_media_dedup": QuerySpec(q150_media_dedup, _Q150_ORACLE, "multimodal"),
     "q151_top_decile_curation": QuerySpec(
         q151_top_decile_curation, _Q151_ORACLE, "text"
@@ -6178,6 +6640,12 @@ REGISTRY: dict[str, QuerySpec] = {
 # stragglers. Append NEW queries near the head — a new query is by
 # definition never-driver-checked.
 _DRIVER_PRIORITY = (
+    "q156_market_basket",
+    "q157_seasonality_index",
+    "q158_triangle_count",
+    "q159_setsim_prefix_join",
+    "q160_skyline",
+    "q161_rrf_fusion",
     "q152_boilerplate_detect",
     "q153_mix_rebalance",
     "q154_dup_ngram_coverage",

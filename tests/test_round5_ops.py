@@ -497,3 +497,130 @@ def test_q152_detects_planted_template(spark, tmp_path):
     out = q152_boilerplate_detect(spark, str(tmp_path)).toPandas()
     pre = out[(out["edge"] == "prefix") & (out["gram"] == header)]
     assert len(pre) == 1 and pre.iloc[0]["n_docs"] == 4
+
+def test_q156_rule_math_consistent(spark, sf_dir):
+    """Confidence and lift must re-derive from the raw basket counts:
+    confidence = support / n(part_a), lift = support * n_orders /
+    (n(part_a) * n(part_b)) — recomputed independently here."""
+    from pyspark.sql import functions as F
+
+    from ssb_coefficient_maker_spark.queries import q156_market_basket
+    from ssb_coefficient_maker_spark.sources.loaders import load_table
+
+    out = q156_market_basket(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["support"] >= 2).all()
+    assert ((out["confidence"] > 0) & (out["confidence"] <= 1)).all()
+
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = baskets.select("l_orderkey").distinct().count()
+    item = {
+        r["l_partkey"]: r["n"]
+        for r in baskets.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    top = out.iloc[0]
+    na, nb = item[top["part_a"]], item[top["part_b"]]
+    assert abs(top["confidence"] - round(top["support"] / na, 6)) < 1e-9
+    assert abs(top["lift"] - round(top["support"] * n_orders / (na * nb), 6)) < 1e-9
+
+
+def test_q157_index_means_to_one(spark, sf_dir):
+    from ssb_coefficient_maker_spark.queries import q157_seasonality_index
+
+    out = q157_seasonality_index(spark, sf_dir).toPandas()
+    assert list(out["month"]) == sorted(out["month"])
+    assert (out["avg_revenue"] > 0).all()
+    # idx = month_avg / grand_mean, so the idx mean is 1 by construction
+    assert abs(out["seasonality_idx"].mean() - 1.0) < 1e-3
+
+
+def test_q158_triangles_are_real(spark, sf_dir):
+    """Every reported part must sit on >=1 triangle of support-2 edges;
+    spot-verify the top part by checking a closing edge exists among
+    its co-purchase neighbours."""
+    from pyspark.sql import functions as F
+
+    from ssb_coefficient_maker_spark.queries import (
+        _basket_pairs,
+        q158_triangle_count,
+    )
+
+    out = q158_triangle_count(spark, sf_dir).toPandas()
+    assert len(out) > 0 and (out["n_triangles"] > 0).all()
+
+    _, pairs = _basket_pairs(spark, sf_dir, min_support=2)
+    edges = {
+        (r["part_a"], r["part_b"])
+        for r in pairs.select("part_a", "part_b").collect()
+    }
+    p = int(out.iloc[0]["part"])
+    nbrs = {b for (a, b) in edges if a == p} | {a for (a, b) in edges if b == p}
+    closed = any(
+        (min(x, y), max(x, y)) in edges
+        for x in nbrs
+        for y in nbrs
+        if x < y
+    )
+    assert closed, f"top part {p} has no closing edge among {len(nbrs)} nbrs"
+
+
+def test_q159_prefix_filter_finds_planted_dup(spark, tmp_path):
+    """Prefix-filter completeness: an exact duplicate pair (J = 1.0)
+    must collide in the prefix join and survive verification."""
+    import pandas as pd
+
+    from ssb_coefficient_maker_spark.queries import q159_setsim_prefix_join
+
+    dup = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(5)),
+            "text": [dup, dup]
+            + [
+                "one two three four five six seven",
+                "unrelated words entirely different here now",
+                "another separate document body text",
+            ],
+            "lang": ["en"] * 5,
+            "source": ["t"] * 5,
+            "n_chars": [40] * 5,
+        }
+    )
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = q159_setsim_prefix_join(spark, str(tmp_path)).toPandas()
+    row = out[out["doc_id"] == 0]
+    assert len(row) == 1 and row.iloc[0]["max_jaccard"] == 1.0
+
+
+def test_q160_frontier_is_undominated_and_monotone(spark, sf_dir):
+    """No frontier point may dominate another (checked pairwise on the
+    result), and along increasing price the size must strictly
+    increase — the signature shape of a min-price/max-size skyline."""
+    from ssb_coefficient_maker_spark.queries import q160_skyline
+
+    out = q160_skyline(spark, sf_dir).toPandas()
+    assert len(out) > 0 and (out["n_parts"] > 0).all()
+    prices = list(out["p_retailprice"])
+    sizes = list(out["p_size"])
+    assert prices == sorted(prices)
+    for i in range(1, len(out)):
+        assert sizes[i] > sizes[i - 1], "dominated point on the frontier"
+
+
+def test_q161_rrf_recomputes_from_ranks(spark, sf_dir):
+    from ssb_coefficient_maker_spark.queries import q161_rrf_fusion
+
+    out = q161_rrf_fusion(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["r_bm25"] >= 1).all() and (out["r_quality"] >= 1).all()
+    expect = (1.0 / (60 + out["r_bm25"]) + 1.0 / (60 + out["r_quality"])).round(6)
+    assert (out["rrf"] == expect).all()
+    assert list(out["rrf"]) == sorted(out["rrf"], reverse=True)
