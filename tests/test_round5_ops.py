@@ -624,3 +624,57 @@ def test_q161_rrf_recomputes_from_ranks(spark, sf_dir):
     expect = (1.0 / (60 + out["r_bm25"]) + 1.0 / (60 + out["r_quality"])).round(6)
     assert (out["rrf"] == expect).all()
     assert list(out["rrf"]) == sorted(out["rrf"], reverse=True)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q156_broadcasts_item_counts_no_cartesian(spark, sf_dir):
+    """The confidence/lift joins against the part-keyed item counts
+    must broadcast, and nothing in the pair-mining plan may fall back
+    to a cartesian/nested-loop product."""
+    from ssb_coefficient_maker_spark.queries import q156_market_basket
+
+    plan = _plan(q156_market_basket(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q158_triangle_joins_are_equi(spark, sf_dir):
+    """Both wedge-closing joins are equi-joins on edge endpoints —
+    no nested-loop anywhere despite the three-way self-join."""
+    from ssb_coefficient_maker_spark.queries import q158_triangle_count
+
+    plan = _plan(q158_triangle_count(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q159_candidate_join_is_equi(spark, sf_dir):
+    """The prefix-filter candidate join keys on the token — the whole
+    point is that no all-pairs (nested-loop) comparison ever runs."""
+    from ssb_coefficient_maker_spark.queries import q159_setsim_prefix_join
+
+    plan = _plan(q159_setsim_prefix_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q160_carry_in_is_broadcast(spark, sf_dir):
+    """The bucket carry-in summary (bucket-count-sized) joins back by
+    broadcast; the per-point frontier pass must stay parallel."""
+    from ssb_coefficient_maker_spark.queries import q160_skyline
+
+    plan = _plan(q160_skyline(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q161_two_rank_windows_only(spark, sf_dir):
+    """RRF needs exactly two ranking windows (BM25 order and quality
+    order) over the bounded candidate set — no extra sorts sneak in."""
+    from ssb_coefficient_maker_spark.queries import q161_rrf_fusion
+
+    plan = _plan(q161_rrf_fusion(spark, sf_dir))
+    assert plan.count("Window") == 2, plan
