@@ -5311,6 +5311,333 @@ FROM ranked ORDER BY rrf DESC, doc_id LIMIT 10
 """.replace("{STOP_SQL}", STOP_SQL)
 
 
+def q162_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual-information audit between two categorical columns
+    (lang × source) — the dataset-bias probe a curation pipeline runs
+    before mixing: per-cell PMI and MI contribution, so dominated or
+    entangled (lang, source) cells surface. ONE contingency
+    aggregation; margins come from two window sums over the tiny cell
+    table; every probability is a ratio of exact integer counts, so
+    the engines agree bit-for-bit before the final rounding."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n"))
+    w_all = Window.partitionBy()
+    total = F.sum("n").over(w_all)
+    nx = F.sum("n").over(Window.partitionBy("lang"))
+    ny = F.sum("n").over(Window.partitionBy("source"))
+    pxy = F.col("n") / total
+    pmi = F.log(pxy / ((nx / total) * (ny / total)))
+    return (
+        cells.select(
+            "lang",
+            "source",
+            "n",
+            F.round(pmi, 4).alias("pmi"),
+            F.round(pxy * pmi, 6).alias("mi_contrib"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+_Q162_ORACLE = """
+WITH cells AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+)
+SELECT lang, source, n,
+       round(ln((CAST(n AS DOUBLE) / sum(n) OVER ())
+             / ((CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE) / sum(n) OVER ())
+                * (CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE) / sum(n) OVER ()))), 4)
+         AS pmi,
+       round((CAST(n AS DOUBLE) / sum(n) OVER ())
+             * ln((CAST(n AS DOUBLE) / sum(n) OVER ())
+             / ((CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE) / sum(n) OVER ())
+                * (CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE) / sum(n) OVER ()))), 6)
+         AS mi_contrib
+FROM cells ORDER BY lang, source
+"""
+
+
+def q163_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over the daily revenue series: cumulative
+    sum of deviations from the (grid-snapped) grand daily mean peaks
+    exactly where the level shifts — the classic drift locator. Daily
+    revenue is ONE date-keyed agg snapped to 1e-4; the mean is snapped
+    before subtraction so both engines fold the SAME sequence, making
+    the running sum bit-identical; the scan itself is one ordered
+    window pass. Output: the 5 largest |CUSUM| days (the changepoint
+    candidates)."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.round(F.sum("o_totalprice"), 4).alias("rev")
+    )
+    mean_r = F.round(F.avg("rev").over(Window.partitionBy()), 4)
+    dev = daily.withColumn("dev", F.col("rev") - mean_r)
+    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    scanned = dev.withColumn("cusum", F.round(F.sum("dev").over(wc), 4))
+    return (
+        scanned.select(F.col("d").cast("string").alias("day"), "cusum")
+        .orderBy(F.abs("cusum").desc(), F.asc("day"))
+        .limit(5)
+    )
+
+
+_Q163_ORACLE = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, round(sum(o_totalprice), 4) AS rev
+  FROM orders GROUP BY 1
+), dev AS (
+  SELECT d, rev - round(avg(rev) OVER (), 4) AS dev FROM daily
+)
+SELECT CAST(d AS VARCHAR) AS day,
+       round(sum(dev) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cusum
+FROM dev
+ORDER BY abs(round(sum(dev) OVER (ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)) DESC, day
+LIMIT 5
+"""
+
+
+def q164_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (and p90) of unit price weighted by quantity,
+    per return flag — the inventory-weighted price statistic plain
+    percentiles mis-state. Exact cumulative-weight formulation: one
+    per-flag agg for the total weight, one ordered window pass for
+    the running weight, then the first row crossing τ·W is the
+    weighted quantile. Shuffles once on the flag; at 100 TB the same
+    pass runs per partition-range with a merged cut, like q139's
+    bucketize path."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    wflag = Window.partitionBy("l_returnflag")
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.sum("l_quantity").over(wcum).alias("cw"),
+        F.sum("l_quantity").over(wflag).alias("tw"),
+    )
+    med = (
+        cum.filter(F.col("cw") >= 0.5 * F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("weighted_median"))
+    )
+    p90 = (
+        cum.filter(F.col("cw") >= 0.9 * F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("l_extendedprice").alias("weighted_p90"))
+    )
+    return med.join(p90, "l_returnflag").orderBy("l_returnflag")
+
+
+_Q164_ORACLE = """
+WITH cum AS (
+  SELECT l_returnflag, l_extendedprice,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag
+             ORDER BY l_extendedprice, l_orderkey, l_linenumber
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+         sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+  FROM lineitem
+), med AS (
+  SELECT l_returnflag, min(l_extendedprice) AS weighted_median
+  FROM cum WHERE cw >= 0.5 * tw GROUP BY 1
+), p90 AS (
+  SELECT l_returnflag, min(l_extendedprice) AS weighted_p90
+  FROM cum WHERE cw >= 0.9 * tw GROUP BY 1
+)
+SELECT l_returnflag, weighted_median, weighted_p90
+FROM med JOIN p90 USING (l_returnflag) ORDER BY l_returnflag
+"""
+
+
+def q165_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution with a 7-day lookback window:
+    each purchase's value is split EVENLY across the user's
+    non-purchase touches in the prior 7 days (contrast q132's
+    winner-takes-all last-touch). The touch↔purchase pairing is a
+    per-user range join — shuffles once on user_id, and the 7-day
+    bound caps per-purchase fan-out regardless of corpus size (the
+    scale contract an unbounded lookback would break). Credit per
+    touch is value/n_touches, exact integer-ratio arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    paired = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    from pyspark.sql import Window
+
+    wp = Window.partitionBy("p_id")
+    credited = paired.withColumn(
+        "credit", F.col("p_value") / F.count(F.lit(1)).over(wp)
+    )
+    return (
+        credited.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum("credit"), 4).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
+
+
+_Q165_ORACLE = """
+WITH paired AS (
+  SELECT p.event_id AS p_id, p.value AS p_value, t.event_type AS channel
+  FROM events p
+  JOIN events t
+    ON t.user_id = p.user_id
+   AND t.event_type != 'purchase'
+   AND t.ts < p.ts
+   AND t.ts >= p.ts - INTERVAL 7 DAY
+  WHERE p.event_type = 'purchase'
+), credited AS (
+  SELECT channel, p_value / count(*) OVER (PARTITION BY p_id) AS credit
+  FROM paired
+)
+SELECT channel, count(*) AS n_touches,
+       round(sum(credit), 4) AS attributed_value
+FROM credited GROUP BY 1 ORDER BY 1
+"""
+
+
+def q166_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth curve: split the corpus (in doc_id
+    order) into deciles and report cumulative tokens vs cumulative
+    DISTINCT vocabulary — the diminishing-returns curve that prices
+    'how much new data buys how many new words'. First-seen rank per
+    word is ONE min-aggregate (the q129 cumulative-distinct trick:
+    a word joins the vocabulary in the decile of its first document,
+    so the cumulative count needs no distinct-per-prefix rescan);
+    deciles come from one ntile over the doc table."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    wd = Window.orderBy("doc_id")
+    ranked = docs.select(
+        "doc_id",
+        F.ntile(10).over(wd).alias("decile"),
+        F.split(F.trim("text"), r"\s+").alias("ws"),
+    )
+    tok_per_decile = ranked.groupBy("decile").agg(
+        F.sum(F.size("ws")).alias("n_tok")
+    )
+    first_seen = (
+        ranked.select("decile", F.explode(F.array_distinct("ws")).alias("w"))
+        .groupBy("w")
+        .agg(F.min("decile").alias("decile"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tok_per_decile.join(first_seen, "decile", "left")
+        .select(
+            "decile",
+            F.sum("n_tok").over(wcum).alias("cum_tokens"),
+            F.sum(F.coalesce("n_new", F.lit(0))).over(wcum).alias("cum_vocab"),
+        )
+        .orderBy("decile")
+    )
+
+
+_Q166_ORACLE = """
+WITH ranked AS (
+  SELECT doc_id, CAST(ntile(10) OVER (ORDER BY doc_id) AS INTEGER) AS decile,
+         regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents
+), tok AS (
+  SELECT decile, CAST(sum(len(ws)) AS BIGINT) AS n_tok FROM ranked GROUP BY 1
+), first_seen AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_new FROM (
+    SELECT min(decile) AS decile
+    FROM (SELECT decile, unnest(list_distinct(ws)) AS w FROM ranked)
+    GROUP BY w)
+  GROUP BY 1
+)
+SELECT decile,
+       CAST(sum(n_tok) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_tokens,
+       CAST(sum(coalesce(n_new, 0)) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_vocab
+FROM tok LEFT JOIN first_seen USING (decile) ORDER BY decile
+"""
+
+
+def q167_bot_rate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/abuse cohort audit — the traffic-hygiene pass run before
+    events feed a training mix: users whose busiest day reaches ≥8
+    events form the 'burst' cohort; report each cohort's size, event
+    volume, and rate profile. Two hash aggs (user-day, then user) and
+    a 2-row rollup — map-reduce shaped end to end, no windows, no
+    self-joins."""
+    ev = load_table(spark, sf_dir, "events")
+    per_day = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    per_user = per_day.groupBy("user_id").agg(
+        F.max("c").alias("max_daily"),
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    cohorts = per_user.withColumn("cohort", F.when(
+        F.col("max_daily") >= 8, F.lit("burst")).otherwise(F.lit("normal")))
+    return (
+        cohorts.groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").alias("n_events"),
+            F.round(F.avg(F.col("n_events") / F.col("n_days")), 4).alias(
+                "avg_daily_rate"
+            ),
+            F.max("max_daily").alias("peak_daily"),
+        )
+        .orderBy("cohort")
+    )
+
+
+_Q167_ORACLE = """
+WITH per_day AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS c
+  FROM events GROUP BY 1, 2
+), per_user AS (
+  SELECT user_id, max(c) AS max_daily, CAST(sum(c) AS BIGINT) AS n_events,
+         count(*) AS n_days
+  FROM per_day GROUP BY 1
+)
+SELECT CASE WHEN max_daily >= 8 THEN 'burst' ELSE 'normal' END AS cohort,
+       count(*) AS n_users,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       round(avg(CAST(n_events AS DOUBLE) / n_days), 4) AS avg_daily_rate,
+       CAST(max(max_daily) AS BIGINT) AS peak_daily
+FROM per_user GROUP BY 1 ORDER BY 1
+"""
+
+
 def _lloyd_cte(k: int, iters: int, dim: int = 64) -> str:
     """Generated CTE chain replicating the engine's trained k-means
     (`operators/similarity.py: kmeans_centroids` + `assign_buckets`)
@@ -6197,6 +6524,22 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "q160_skyline": QuerySpec(q160_skyline, _Q160_ORACLE, "aggregation"),
     "q161_rrf_fusion": QuerySpec(q161_rrf_fusion, _Q161_ORACLE, "text"),
+    "q162_mutual_information": QuerySpec(
+        q162_mutual_information, _Q162_ORACLE, "aggregation"
+    ),
+    "q163_cusum_changepoint": QuerySpec(
+        q163_cusum_changepoint, _Q163_ORACLE, "windows"
+    ),
+    "q164_weighted_median": QuerySpec(
+        q164_weighted_median, _Q164_ORACLE, "aggregation"
+    ),
+    "q165_linear_attribution": QuerySpec(
+        q165_linear_attribution, _Q165_ORACLE, "join"
+    ),
+    "q166_heaps_law": QuerySpec(q166_heaps_law, _Q166_ORACLE, "text"),
+    "q167_bot_rate_audit": QuerySpec(
+        q167_bot_rate_audit, _Q167_ORACLE, "aggregation"
+    ),
     "q150_media_dedup": QuerySpec(q150_media_dedup, _Q150_ORACLE, "multimodal"),
     "q151_top_decile_curation": QuerySpec(
         q151_top_decile_curation, _Q151_ORACLE, "text"
@@ -6640,6 +6983,12 @@ REGISTRY: dict[str, QuerySpec] = {
 # stragglers. Append NEW queries near the head — a new query is by
 # definition never-driver-checked.
 _DRIVER_PRIORITY = (
+    "q162_mutual_information",
+    "q163_cusum_changepoint",
+    "q164_weighted_median",
+    "q165_linear_attribution",
+    "q166_heaps_law",
+    "q167_bot_rate_audit",
     "q156_market_basket",
     "q157_seasonality_index",
     "q158_triangle_count",

@@ -678,3 +678,142 @@ def test_q161_two_rank_windows_only(spark, sf_dir):
 
     plan = _plan(q161_rrf_fusion(spark, sf_dir))
     assert plan.count("Window") == 2, plan
+
+
+def test_q162_mi_is_nonnegative_and_cells_recompute(spark, sf_dir):
+    """Total MI (the sum of cell contributions) is >= 0 by Gibbs'
+    inequality; spot-recompute one cell's PMI from raw counts."""
+    import math
+
+    from ssb_coefficient_maker_spark.queries import q162_mutual_information
+
+    out = q162_mutual_information(spark, sf_dir).toPandas()
+    assert out["mi_contrib"].sum() >= -1e-9
+    total = out["n"].sum()
+    cell = out.iloc[0]
+    nx = out[out["lang"] == cell["lang"]]["n"].sum()
+    ny = out[out["source"] == cell["source"]]["n"].sum()
+    pmi = math.log((cell["n"] / total) / ((nx / total) * (ny / total)))
+    assert abs(cell["pmi"] - round(pmi, 4)) < 1e-9
+
+
+def test_q163_cusum_peaks_at_planted_shift(spark, tmp_path):
+    """A series with a level shift must put its |CUSUM| peak exactly at
+    the last day of the low regime (the changepoint)."""
+    import datetime
+
+    import pandas as pd
+
+    from ssb_coefficient_maker_spark.queries import q163_cusum_changepoint
+
+    days = [datetime.datetime(2020, 1, 1) + datetime.timedelta(days=i) for i in range(20)]
+    rows = []
+    key = 0
+    for i, d in enumerate(days):
+        level = 100.0 if i < 10 else 300.0
+        rows.append((key, key, "O", level, d, "1-URGENT"))
+        key += 1
+    orders = pd.DataFrame(
+        rows,
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority",
+        ],
+    )
+    spark.createDataFrame(orders).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    out = q163_cusum_changepoint(spark, str(tmp_path)).toPandas()
+    assert out.iloc[0]["day"] == "2020-01-10"  # last low-regime day
+    assert out.iloc[0]["cusum"] < 0
+
+
+def test_q164_weighted_median_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    from ssb_coefficient_maker_spark.queries import q164_weighted_median
+    from ssb_coefficient_maker_spark.sources.loaders import load_table
+
+    out = (
+        q164_weighted_median(spark, sf_dir)
+        .toPandas()
+        .set_index("l_returnflag")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice", "l_quantity",
+                "l_orderkey", "l_linenumber")
+        .toPandas()
+    )
+    for flag, grp in li.groupby("l_returnflag"):
+        g = grp.sort_values(["l_extendedprice", "l_orderkey", "l_linenumber"])
+        cw = np.cumsum(g["l_quantity"].values)
+        tw = cw[-1]
+        med = g["l_extendedprice"].values[cw >= 0.5 * tw][0]
+        p90 = g["l_extendedprice"].values[cw >= 0.9 * tw][0]
+        assert out.loc[flag, "weighted_median"] == med
+        assert out.loc[flag, "weighted_p90"] == p90
+        assert med <= p90
+
+
+def test_q165_credit_is_conserved(spark, sf_dir):
+    """Linear attribution must conserve value: total attributed equals
+    the summed value of purchases that had >=1 in-window touch."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ssb_coefficient_maker_spark.queries import q165_linear_attribution
+    from ssb_coefficient_maker_spark.sources.loaders import load_table
+
+    out = q165_linear_attribution(spark, sf_dir).toPandas()
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"), "value",
+        F.col("event_id").alias("pid"),
+    )
+    t = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("tu"), F.col("ts").alias("tts")
+    )
+    attributed_purchases = (
+        p.join(
+            t,
+            (F.col("pu") == F.col("tu"))
+            & (F.col("tts") < F.col("pts"))
+            & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAYS")),
+            "leftsemi",
+        )
+        .agg(F.sum("value"))
+        .collect()[0][0]
+    )
+    assert abs(out["attributed_value"].sum() - attributed_purchases) < 0.01
+
+
+def test_q166_growth_curve_monotone(spark, sf_dir):
+    from ssb_coefficient_maker_spark.queries import q166_heaps_law
+
+    out = q166_heaps_law(spark, sf_dir).toPandas()
+    assert list(out["decile"]) == list(range(1, 11))
+    assert out["cum_tokens"].is_monotonic_increasing
+    assert out["cum_vocab"].is_monotonic_increasing
+    # vocabulary grows sublinearly vs tokens (Heaps): the last decile
+    # adds fewer new words than the first
+    first_new = out["cum_vocab"].iloc[0]
+    last_new = out["cum_vocab"].iloc[-1] - out["cum_vocab"].iloc[-2]
+    assert last_new <= first_new
+
+
+def test_q167_cohorts_partition_users(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ssb_coefficient_maker_spark.queries import q167_bot_rate_audit
+    from ssb_coefficient_maker_spark.sources.loaders import load_table
+
+    out = q167_bot_rate_audit(spark, sf_dir).toPandas()
+    assert set(out["cohort"]) <= {"burst", "normal"}
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .select(F.countDistinct("user_id"))
+        .collect()[0][0]
+    )
+    assert out["n_users"].sum() == n_users
+    assert (out["avg_daily_rate"] > 0).all()
