@@ -5638,6 +5638,230 @@ FROM per_user GROUP BY 1 ORDER BY 1
 """
 
 
+def q168_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency via the boundary sweep (+1 at interval start,
+    −1 at end, running sum = live count) — the interval-overlap
+    pattern behind 'max concurrent sessions/connections/jobs'.
+    Intervals are each user's daily activity span (first→last event);
+    the sweep partitions by day so every day's scan is independent —
+    an unbounded sweep would bucket the time axis and carry counts
+    across buckets exactly like q160's skyline carry-in. Starts sort
+    before ends at the same instant (end-inclusive), and user_id
+    breaks residual ties so both engines fold the same sequence."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+    starts = spans.select("d", F.col("s").alias("ts"), F.lit(1).alias("delta"), "user_id")
+    ends = spans.select("d", F.col("e").alias("ts"), F.lit(-1).alias("delta"), "user_id")
+    sweep = starts.unionAll(ends)
+    w = (
+        Window.partitionBy("d")
+        .orderBy(F.asc("ts"), F.desc("delta"), F.asc("user_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    live = sweep.withColumn("live", F.sum("delta").over(w))
+    return (
+        live.groupBy("d")
+        .agg(F.max("live").alias("peak_concurrency"))
+        .select(F.col("d").cast("string").alias("day"), "peak_concurrency")
+        .orderBy("day")
+    )
+
+
+_Q168_ORACLE = """
+WITH spans AS (
+  SELECT user_id, CAST(ts AS DATE) AS d, min(ts) AS s, max(ts) AS e
+  FROM events GROUP BY 1, 2
+), sweep AS (
+  SELECT d, s AS ts, 1 AS delta, user_id FROM spans
+  UNION ALL
+  SELECT d, e AS ts, -1 AS delta, user_id FROM spans
+), live AS (
+  SELECT d, sum(delta) OVER (PARTITION BY d
+           ORDER BY ts, delta DESC, user_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+  FROM sweep
+)
+SELECT CAST(d AS VARCHAR) AS day,
+       CAST(max(live) AS BIGINT) AS peak_concurrency
+FROM live GROUP BY d ORDER BY day
+"""
+
+
+def q169_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-constrained top-k — the retrieval-result shaping rule
+    every RAG stack applies ('at most 2 chunks per document'):
+    global top 10 parts by price, capped at 2 per brand. One per-brand
+    ranking window (parallel across brands) then an ordinary global
+    top-k on the survivors; the global sort only ever sees ≤2 rows
+    per brand, so the cap is also the scale bound."""
+    from pyspark.sql import Window
+
+    p = load_table(spark, sf_dir, "part")
+    wb = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    return (
+        p.withColumn("brand_rank", F.row_number().over(wb))
+        .filter(F.col("brand_rank") <= 2)
+        .select("p_partkey", "p_brand", "p_retailprice", "brand_rank")
+        .orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+        .limit(10)
+    )
+
+
+_Q169_ORACLE = """
+WITH ranked AS (
+  SELECT p_partkey, p_brand, p_retailprice,
+         CAST(row_number() OVER (PARTITION BY p_brand
+              ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS brand_rank
+  FROM part
+)
+SELECT p_partkey, p_brand, p_retailprice, brand_rank
+FROM ranked WHERE brand_rank <= 2
+ORDER BY p_retailprice DESC, p_partkey LIMIT 10
+"""
+
+
+def q170_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix — the QA rollup over q28's
+    heuristic classifier vs the declared label: per (predicted,
+    actual) cell count and row-normalized share. Composes the
+    per-doc classifier (map-only) with one cell aggregation and a
+    window margin — the audit that decides whether declared language
+    metadata can be trusted at ingest."""
+    from pyspark.sql import Window
+
+    from ssb_coefficient_maker_spark.operators.text import q28_lang_id
+
+    per_doc = q28_lang_id(spark, sf_dir).select("predicted_lang", "actual_lang")
+    cells = per_doc.groupBy("predicted_lang", "actual_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_total = F.sum("n").over(Window.partitionBy("predicted_lang"))
+    return (
+        cells.select(
+            "predicted_lang",
+            "actual_lang",
+            "n",
+            F.round(F.col("n") / row_total, 6).alias("row_share"),
+        )
+        .orderBy("predicted_lang", "actual_lang")
+    )
+
+
+_Q170_ORACLE = """
+WITH w AS (
+  SELECT doc_id, lang,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS words
+  FROM documents
+), per_doc AS (
+  SELECT CASE WHEN CAST(len(list_filter(words,
+                x -> list_contains({EN_MARKERS_SQL}, x))) AS DOUBLE)
+              / len(words) >= 0.05
+         THEN 'en' ELSE 'und' END AS predicted_lang,
+         lang AS actual_lang
+  FROM w
+), cells AS (
+  SELECT predicted_lang, actual_lang, CAST(count(*) AS BIGINT) AS n
+  FROM per_doc GROUP BY 1, 2
+)
+SELECT predicted_lang, actual_lang, n,
+       round(CAST(n AS DOUBLE)
+             / sum(n) OVER (PARTITION BY predicted_lang), 6) AS row_share
+FROM cells ORDER BY predicted_lang, actual_lang
+""".replace("{EN_MARKERS_SQL}", EN_MARKERS_SQL)
+
+
+def q171_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix — which ingest sources copy
+    each other, at two tiers per ordered source pair: exact payload
+    duplication (md5 of the text, q150's digest contract) and
+    template-family overlap (shared first-5-word edge gram, q152's
+    boilerplate key — catches sources syndicating the same page
+    chrome even when bodies differ). Only digests/5-word grams ever
+    shuffle; both joins are key-equi and the matrix is sources² rows
+    at any corpus size. share_of_a normalizes by A's distinct
+    template count."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "source",
+        F.md5(F.col("text")).alias("h"),
+        F.concat_ws(" ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 5)).alias(
+            "tmpl"
+        ),
+    )
+    tmpl = keyed.select("source", "tmpl").distinct()
+    exact = keyed.select("source", "h").distinct()
+    per_src = tmpl.groupBy("source").agg(F.count(F.lit(1)).alias("n_tmpl"))
+    t_shared = (
+        tmpl.select(F.col("source").alias("src_a"), "tmpl")
+        .join(tmpl.select(F.col("source").alias("src_b"), "tmpl"), "tmpl")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_template"))
+    )
+    e_shared = (
+        exact.select(F.col("source").alias("src_a"), "h")
+        .join(exact.select(F.col("source").alias("src_b"), "h"), "h")
+        .filter(F.col("src_a") != F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_exact"))
+    )
+    return (
+        t_shared.join(e_shared, ["src_a", "src_b"], "left")
+        .join(
+            F.broadcast(per_src.select(F.col("source").alias("src_a"), "n_tmpl")),
+            "src_a",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.coalesce("n_shared_exact", F.lit(0)).alias("n_shared_exact"),
+            "n_shared_template",
+            F.round(F.col("n_shared_template") / F.col("n_tmpl"), 6).alias(
+                "share_of_a"
+            ),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+_Q171_ORACLE = """
+WITH keyed AS (
+  SELECT source, md5(text) AS h,
+         array_to_string((regexp_split_to_array(trim(text), '\\s+'))[1:5], ' ')
+           AS tmpl
+  FROM documents
+), tmpl AS (SELECT DISTINCT source, tmpl FROM keyed),
+exact AS (SELECT DISTINCT source, h FROM keyed),
+per_src AS (SELECT source, count(*) AS n_tmpl FROM tmpl GROUP BY 1),
+t_shared AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS n_shared_template
+  FROM tmpl a JOIN tmpl b ON a.tmpl = b.tmpl AND a.source != b.source
+  GROUP BY 1, 2
+), e_shared AS (
+  SELECT a.source AS src_a, b.source AS src_b,
+         CAST(count(*) AS BIGINT) AS n_shared_exact
+  FROM exact a JOIN exact b ON a.h = b.h AND a.source != b.source
+  GROUP BY 1, 2
+)
+SELECT t.src_a, t.src_b,
+       coalesce(e.n_shared_exact, 0) AS n_shared_exact,
+       t.n_shared_template,
+       round(CAST(t.n_shared_template AS DOUBLE) / per_src.n_tmpl, 6)
+         AS share_of_a
+FROM t_shared t
+LEFT JOIN e_shared e ON t.src_a = e.src_a AND t.src_b = e.src_b
+JOIN per_src ON t.src_a = per_src.source
+ORDER BY t.src_a, t.src_b
+"""
+
+
 def _lloyd_cte(k: int, iters: int, dim: int = 64) -> str:
     """Generated CTE chain replicating the engine's trained k-means
     (`operators/similarity.py: kmeans_centroids` + `assign_buckets`)
@@ -6540,6 +6764,16 @@ REGISTRY: dict[str, QuerySpec] = {
     "q167_bot_rate_audit": QuerySpec(
         q167_bot_rate_audit, _Q167_ORACLE, "aggregation"
     ),
+    "q168_max_concurrency": QuerySpec(
+        q168_max_concurrency, _Q168_ORACLE, "windows"
+    ),
+    "q169_diverse_topk": QuerySpec(q169_diverse_topk, _Q169_ORACLE, "windows"),
+    "q170_langid_confusion": QuerySpec(
+        q170_langid_confusion, _Q170_ORACLE, "text"
+    ),
+    "q171_cross_source_overlap": QuerySpec(
+        q171_cross_source_overlap, _Q171_ORACLE, "dedup"
+    ),
     "q150_media_dedup": QuerySpec(q150_media_dedup, _Q150_ORACLE, "multimodal"),
     "q151_top_decile_curation": QuerySpec(
         q151_top_decile_curation, _Q151_ORACLE, "text"
@@ -6983,6 +7217,10 @@ REGISTRY: dict[str, QuerySpec] = {
 # stragglers. Append NEW queries near the head — a new query is by
 # definition never-driver-checked.
 _DRIVER_PRIORITY = (
+    "q168_max_concurrency",
+    "q169_diverse_topk",
+    "q170_langid_confusion",
+    "q171_cross_source_overlap",
     "q162_mutual_information",
     "q163_cusum_changepoint",
     "q164_weighted_median",

@@ -817,3 +817,86 @@ def test_q167_cohorts_partition_users(spark, sf_dir):
     )
     assert out["n_users"].sum() == n_users
     assert (out["avg_daily_rate"] > 0).all()
+
+
+def test_q168_sweep_matches_brute_force(spark, sf_dir):
+    """Recompute one day's peak concurrency by brute force (count
+    spans covering each boundary instant) and compare to the sweep."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from ssb_coefficient_maker_spark.queries import q168_max_concurrency
+    from ssb_coefficient_maker_spark.sources.loaders import load_table
+
+    out = q168_max_concurrency(spark, sf_dir).toPandas()
+    assert (out["peak_concurrency"] >= 1).all()
+    day = out.iloc[0]["day"]
+    spans = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", F.col("ts").cast("date").alias("d"))
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"))
+        .filter(F.col("d").cast("string") == day)
+        .toPandas()
+    )
+    instants = pd.concat([spans["s"], spans["e"]]).unique()
+    brute = max(
+        ((spans["s"] <= t) & (spans["e"] >= t)).sum() for t in instants
+    )
+    assert out.iloc[0]["peak_concurrency"] == brute
+
+
+def test_q169_cap_and_order_hold(spark, sf_dir):
+    from ssb_coefficient_maker_spark.queries import q169_diverse_topk
+
+    out = q169_diverse_topk(spark, sf_dir).toPandas()
+    assert len(out) == 10
+    assert out["p_brand"].value_counts().max() <= 2
+    prices = list(out["p_retailprice"])
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_q170_confusion_rows_normalize(spark, sf_dir):
+    from ssb_coefficient_maker_spark.queries import q170_langid_confusion
+
+    out = q170_langid_confusion(spark, sf_dir).toPandas()
+    for _, grp in out.groupby("predicted_lang"):
+        assert abs(grp["row_share"].sum() - 1.0) < 1e-4
+        assert grp["n"].sum() > 0
+
+
+def test_q171_overlap_is_symmetric_in_counts(spark, tmp_path):
+    """Planted syndication: two sources sharing one exact doc and one
+    template family must report n_shared_exact=1 both directions, and
+    a third unrelated source must not appear."""
+    import pandas as pd
+
+    from ssb_coefficient_maker_spark.queries import q171_cross_source_overlap
+
+    shared = "breaking news today from the wire service desk"
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(5)),
+            "text": [
+                shared,
+                shared,
+                "breaking news today from the other syndicate body",
+                "completely unrelated content lives here now",
+                "more unrelated prose that shares nothing at all",
+            ],
+            "lang": ["en"] * 5,
+            "source": ["wireA", "wireB", "wireA", "solo", "solo"],
+            "n_chars": [40] * 5,
+        }
+    )
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = q171_cross_source_overlap(spark, str(tmp_path)).toPandas()
+    ab = out[(out["src_a"] == "wireA") & (out["src_b"] == "wireB")]
+    ba = out[(out["src_a"] == "wireB") & (out["src_b"] == "wireA")]
+    assert len(ab) == 1 and len(ba) == 1
+    assert ab.iloc[0]["n_shared_exact"] == 1 == ba.iloc[0]["n_shared_exact"]
+    # template tier: wireA's 2 distinct templates both collide with wireB's 1
+    assert ab.iloc[0]["n_shared_template"] >= 1
+    assert "solo" not in set(out["src_a"]) | set(out["src_b"])
