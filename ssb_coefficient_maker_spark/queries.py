@@ -5862,6 +5862,139 @@ ORDER BY t.src_a, t.src_b
 """
 
 
+def q172_blob_chunk_digests(
+    spark: SparkSession, sf_dir: str, chunk: int = 1000
+) -> DataFrame:
+    """Sub-file dedup manifest — fixed-size chunking of blob payloads
+    (documents.text stands in for media bytes, q150's convention)
+    into 1000-char chunks, each digested, then a per-source audit of
+    chunk-level redundancy: the storage-dedup view that whole-file
+    hashing (q150) can't see. The chunk table is built by ONE
+    sequence+explode (no UDF), only (source, digest) pairs shuffle,
+    and the rollup is source-sized. At 100 TB the upgrade is
+    content-defined chunking (rolling-hash cut points) — same plan
+    shape, data-dependent boundaries."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    chunks = docs.select(
+        "source",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((n - 1) / chunk).cast("int"))
+        ).alias("i"),
+        F.col("text"),
+    ).select(
+        "source",
+        F.md5(F.expr(f"substring(text, i * {chunk} + 1, {chunk})")).alias("d"),
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("d").alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_distinct",
+            F.round(
+                (F.col("n_chunks") - F.col("n_distinct")) / F.col("n_chunks"), 6
+            ).alias("redundancy"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q172_ORACLE = """
+WITH exploded AS (
+  SELECT source, text,
+         unnest(range(0,
+           CAST(floor((length(text) - 1) / 1000) AS BIGINT) + 1)) AS i
+  FROM documents
+), chunks AS (
+  SELECT source, md5(substring(text, i * 1000 + 1, 1000)) AS d
+  FROM exploded
+)
+SELECT source, count(*) AS n_chunks,
+       CAST(count(DISTINCT d) AS BIGINT) AS n_distinct,
+       round(CAST(count(*) - count(DISTINCT d) AS DOUBLE) / count(*), 6)
+         AS redundancy
+FROM chunks GROUP BY 1 ORDER BY 1
+"""
+
+
+def q173_qq_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-quantile numeric drift — per source, compare the
+    document-length distribution against the corpus at the three
+    quartiles (the numeric sibling of q146's categorical KL drift):
+    ratio far from 1 at any quartile = that source's length profile
+    has drifted. Exact interpolated percentiles per source (one
+    agg) and one corpus-wide agg broadcast back; output is
+    sources × 3 rows."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", F.length("text").alias("len")
+    )
+    qs = [0.25, 0.5, 0.75]
+    per_src = docs.groupBy("source").agg(
+        *[
+            F.round(F.percentile("len", F.lit(q)), 4).alias(f"q{int(q * 100)}")
+            for q in qs
+        ]
+    )
+    corpus = docs.agg(
+        *[
+            F.round(F.percentile("len", F.lit(q)), 4).alias(f"c{int(q * 100)}")
+            for q in qs
+        ]
+    )
+    wide = per_src.crossJoin(F.broadcast(corpus))
+    stacked = wide.select(
+        "source",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f"p{int(q * 100)}").alias("quantile"),
+                        F.col(f"q{int(q * 100)}").alias("src_len"),
+                        F.col(f"c{int(q * 100)}").alias("corpus_len"),
+                    )
+                    for q in qs
+                ]
+            )
+        ).alias("s"),
+    ).select("source", "s.quantile", "s.src_len", "s.corpus_len")
+    return stacked.withColumn(
+        "ratio", F.round(F.col("src_len") / F.col("corpus_len"), 6)
+    ).orderBy("source", "quantile")
+
+
+_Q173_ORACLE = """
+WITH lens AS (
+  SELECT source, length(text) AS len FROM documents
+), per_src AS (
+  SELECT source,
+         round(quantile_cont(len, 0.25), 4) AS q25,
+         round(quantile_cont(len, 0.50), 4) AS q50,
+         round(quantile_cont(len, 0.75), 4) AS q75
+  FROM lens GROUP BY 1
+), corpus AS (
+  SELECT round(quantile_cont(len, 0.25), 4) AS c25,
+         round(quantile_cont(len, 0.50), 4) AS c50,
+         round(quantile_cont(len, 0.75), 4) AS c75
+  FROM lens
+), stacked AS (
+  SELECT source, 'p25' AS quantile, q25 AS src_len, c25 AS corpus_len
+  FROM per_src CROSS JOIN corpus
+  UNION ALL
+  SELECT source, 'p50', q50, c50 FROM per_src CROSS JOIN corpus
+  UNION ALL
+  SELECT source, 'p75', q75, c75 FROM per_src CROSS JOIN corpus
+)
+SELECT source, quantile, src_len, corpus_len,
+       round(src_len / corpus_len, 6) AS ratio
+FROM stacked ORDER BY source, quantile
+"""
+
+
 def _lloyd_cte(k: int, iters: int, dim: int = 64) -> str:
     """Generated CTE chain replicating the engine's trained k-means
     (`operators/similarity.py: kmeans_centroids` + `assign_buckets`)
@@ -6774,6 +6907,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "q171_cross_source_overlap": QuerySpec(
         q171_cross_source_overlap, _Q171_ORACLE, "dedup"
     ),
+    "q172_blob_chunk_digests": QuerySpec(
+        q172_blob_chunk_digests, _Q172_ORACLE, "multimodal"
+    ),
+    "q173_qq_drift": QuerySpec(q173_qq_drift, _Q173_ORACLE, "aggregation"),
     "q150_media_dedup": QuerySpec(q150_media_dedup, _Q150_ORACLE, "multimodal"),
     "q151_top_decile_curation": QuerySpec(
         q151_top_decile_curation, _Q151_ORACLE, "text"
@@ -7217,6 +7354,8 @@ REGISTRY: dict[str, QuerySpec] = {
 # stragglers. Append NEW queries near the head — a new query is by
 # definition never-driver-checked.
 _DRIVER_PRIORITY = (
+    "q172_blob_chunk_digests",
+    "q173_qq_drift",
     "q168_max_concurrency",
     "q169_diverse_topk",
     "q170_langid_confusion",

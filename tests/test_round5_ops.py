@@ -900,3 +900,47 @@ def test_q171_overlap_is_symmetric_in_counts(spark, tmp_path):
     # template tier: wireA's 2 distinct templates both collide with wireB's 1
     assert ab.iloc[0]["n_shared_template"] >= 1
     assert "solo" not in set(out["src_a"]) | set(out["src_b"])
+
+
+def test_q172_planted_repeated_chunk_detected(spark, tmp_path):
+    """A document made of the SAME 1000-char block repeated 3x must
+    show chunk-level redundancy that whole-file hashing can't see."""
+    import pandas as pd
+
+    from ssb_coefficient_maker_spark.queries import q172_blob_chunk_digests
+
+    block = ("x" * 999) + " "
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [block * 3, "short unique doc"],
+            "lang": ["en"] * 2,
+            "source": ["rep", "uniq"],
+            "n_chars": [3000, 16],
+        }
+    )
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = (
+        q172_blob_chunk_digests(spark, str(tmp_path))
+        .toPandas()
+        .set_index("source")
+    )
+    assert out.loc["rep", "n_chunks"] == 3
+    assert out.loc["rep", "n_distinct"] == 1
+    assert abs(out.loc["rep", "redundancy"] - round(2 / 3, 6)) < 1e-9
+    assert out.loc["uniq", "redundancy"] == 0.0
+
+
+def test_q173_corpus_row_is_self_ratio_one(spark, sf_dir):
+    """Quantile ratios are src/corpus; a source whose lengths equal the
+    corpus distribution has ratio 1, and every ratio is positive.
+    Also: the corpus quantile column must be constant."""
+    from ssb_coefficient_maker_spark.queries import q173_qq_drift
+
+    out = q173_qq_drift(spark, sf_dir).toPandas()
+    assert set(out["quantile"]) == {"p25", "p50", "p75"}
+    assert (out["ratio"] > 0).all()
+    for q, grp in out.groupby("quantile"):
+        assert grp["corpus_len"].nunique() == 1
