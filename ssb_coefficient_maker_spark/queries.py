@@ -5427,17 +5427,20 @@ def q164_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_quantity").over(wcum).alias("cw"),
         F.sum("l_quantity").over(wflag).alias("tw"),
     )
-    med = (
-        cum.filter(F.col("cw") >= 0.5 * F.col("tw"))
-        .groupBy("l_returnflag")
-        .agg(F.min("l_extendedprice").alias("weighted_median"))
+    # both quantiles fold out of ONE cumulative pass — no second
+    # window, no join (min over a conditional picks the crossing row)
+    return (
+        cum.groupBy("l_returnflag")
+        .agg(
+            F.min(
+                F.when(F.col("cw") >= 0.5 * F.col("tw"), F.col("l_extendedprice"))
+            ).alias("weighted_median"),
+            F.min(
+                F.when(F.col("cw") >= 0.9 * F.col("tw"), F.col("l_extendedprice"))
+            ).alias("weighted_p90"),
+        )
+        .orderBy("l_returnflag")
     )
-    p90 = (
-        cum.filter(F.col("cw") >= 0.9 * F.col("tw"))
-        .groupBy("l_returnflag")
-        .agg(F.min("l_extendedprice").alias("weighted_p90"))
-    )
-    return med.join(p90, "l_returnflag").orderBy("l_returnflag")
 
 
 _Q164_ORACLE = """
@@ -5448,15 +5451,13 @@ WITH cum AS (
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
          sum(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
   FROM lineitem
-), med AS (
-  SELECT l_returnflag, min(l_extendedprice) AS weighted_median
-  FROM cum WHERE cw >= 0.5 * tw GROUP BY 1
-), p90 AS (
-  SELECT l_returnflag, min(l_extendedprice) AS weighted_p90
-  FROM cum WHERE cw >= 0.9 * tw GROUP BY 1
 )
-SELECT l_returnflag, weighted_median, weighted_p90
-FROM med JOIN p90 USING (l_returnflag) ORDER BY l_returnflag
+SELECT l_returnflag,
+       min(CASE WHEN cw >= 0.5 * tw THEN l_extendedprice END)
+         AS weighted_median,
+       min(CASE WHEN cw >= 0.9 * tw THEN l_extendedprice END)
+         AS weighted_p90
+FROM cum GROUP BY 1 ORDER BY l_returnflag
 """
 
 
