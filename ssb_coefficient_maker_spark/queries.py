@@ -5996,6 +5996,321 @@ FROM stacked ORDER BY source, quantile
 """
 
 
+def q174_embedding_norm_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-QA gate before ANN indexing: per label, the L2-norm
+    distribution (median/p95), degenerate-vector count (norm ≈ 0,
+    which breaks cosine), and the norm spread. Norms fold dimensions
+    strictly left-to-right (functions/vectors.l2_norm ==
+    DuckDB's ordered list_sum — the q36 contract), so every percentile
+    input is bit-identical across engines. One map pass + one label
+    agg."""
+    from ssb_coefficient_maker_spark.functions.vectors import l2_norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select("label", l2_norm(F.col("embedding")).alias("nrm"))
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.percentile("nrm", F.lit(0.5)), 4).alias("p50_norm"),
+            F.round(F.percentile("nrm", F.lit(0.95)), 4).alias("p95_norm"),
+            F.sum((F.col("nrm") < 1e-12).cast("long")).alias("n_degenerate"),
+            F.round(F.max("nrm") - F.min("nrm"), 4).alias("norm_spread"),
+        )
+        .orderBy("label")
+    )
+
+
+_Q174_ORACLE = """
+WITH norms AS (
+  SELECT label,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+)
+SELECT label, count(*) AS n,
+       round(quantile_cont(nrm, 0.5), 4) AS p50_norm,
+       round(quantile_cont(nrm, 0.95), 4) AS p95_norm,
+       CAST(sum(CASE WHEN nrm < 1e-12 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_degenerate,
+       round(max(nrm) - min(nrm), 4) AS norm_spread
+FROM norms GROUP BY 1 ORDER BY label
+"""
+
+
+def q175_dim_variance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension activity profile — the dead-dimension audit run
+    before PCA/PQ subspace splits: mean and variance of every
+    embedding coordinate, flagging near-constant dims. ONE posexplode
+    + one dim-keyed agg (64 groups); variance is computed as
+    E[x²]−E[x]² with both moments rounded to the 1e-6 grid so the
+    engines' different fold orders cannot surface (the magnitudes
+    here are O(1))."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        F.posexplode("embedding").alias("dim", "x")
+    ).select("dim", F.col("x").cast("double").alias("x"))
+    return (
+        dims.groupBy("dim")
+        .agg(
+            F.round(F.avg("x"), 6).alias("mean"),
+            F.round(F.avg(F.col("x") * F.col("x")), 6).alias("m2"),
+        )
+        .select(
+            "dim",
+            "mean",
+            F.round(F.col("m2") - F.col("mean") * F.col("mean"), 6).alias(
+                "variance"
+            ),
+            (
+                F.round(F.col("m2") - F.col("mean") * F.col("mean"), 6) < 1e-4
+            ).alias("near_constant"),
+        )
+        .orderBy("dim")
+    )
+
+
+_Q175_ORACLE = """
+WITH exploded AS (
+  SELECT embedding, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings
+), dims AS (
+  SELECT CAST(i - 1 AS INTEGER) AS dim, CAST(embedding[i] AS DOUBLE) AS x
+  FROM exploded
+)
+SELECT dim, round(avg(x), 6) AS mean,
+       round(round(avg(x * x), 6) - round(avg(x), 6) * round(avg(x), 6), 6)
+         AS variance,
+       (round(round(avg(x * x), 6) - round(avg(x), 6) * round(avg(x), 6), 6)
+         < 1e-4) AS near_constant
+FROM dims GROUP BY 1 ORDER BY dim
+"""
+
+
+def q176_packing_efficiency_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length packing tradeoff — q68's deterministic running-
+    total packing evaluated at 256/512/1024-token capacities in ONE
+    pass: the distributed two-stage prefix sum is computed once
+    (capacity-independent), then each capacity derives its bins from
+    the same cumulative count. The curve every trainer consults when
+    picking sequence length: bins needed and fill rate per capacity.
+    fill_rate = tokens/(bins·capacity) and can exceed 1: documents are
+    never split, so a doc longer than the capacity overflows its bin
+    (and skips the ids its overflow covers) — the small-capacity end
+    of the curve surfaces exactly that truncation pressure."""
+    from pyspark.sql import Window
+
+    from ssb_coefficient_maker_spark.operators.text import words_col
+
+    group = 1000
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(words_col(F.col("text"))).cast("long").alias("n_tok"),
+        (F.col("doc_id") / group).cast("long").alias("grp"),
+    )
+    local_win = Window.partitionBy("grp").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    grp_totals = toks.groupBy("grp").agg(F.sum("n_tok").alias("grp_tok"))
+    offset_win = Window.orderBy("grp").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = grp_totals.withColumn(
+        "grp_offset", F.coalesce(F.sum("grp_tok").over(offset_win), F.lit(0))
+    ).select("grp", "grp_offset")
+    cum = (
+        toks.join(F.broadcast(offsets), "grp")
+        .withColumn(
+            "cum_before",
+            F.col("grp_offset")
+            + F.coalesce(F.sum("n_tok").over(local_win), F.lit(0)),
+        )
+    )
+    fanned = cum.select(
+        "n_tok",
+        "cum_before",
+        F.explode(F.array(F.lit(256), F.lit(512), F.lit(1024))).alias("capacity"),
+    ).withColumn("bin_id", F.floor(F.col("cum_before") / F.col("capacity")))
+    return (
+        fanned.groupBy("capacity")
+        .agg(
+            F.countDistinct("bin_id").alias("n_bins"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+        .select(
+            "capacity",
+            "n_bins",
+            F.round(
+                F.col("n_tokens") / (F.col("n_bins") * F.col("capacity")), 6
+            ).alias("fill_rate"),
+        )
+        .orderBy("capacity")
+    )
+
+
+_Q176_ORACLE = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tok
+  FROM documents
+), cum AS (
+  SELECT n_tok,
+         coalesce(sum(n_tok) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM toks
+), fanned AS (
+  SELECT n_tok, cum_before, capacity,
+         CAST(floor(CAST(cum_before AS DOUBLE) / capacity) AS BIGINT) AS bin_id
+  FROM cum CROSS JOIN (VALUES (256), (512), (1024)) AS caps(capacity)
+)
+SELECT CAST(capacity AS INTEGER) AS capacity,
+       CAST(count(DISTINCT bin_id) AS BIGINT) AS n_bins,
+       round(CAST(sum(n_tok) AS DOUBLE)
+             / (count(DISTINCT bin_id) * capacity), 6) AS fill_rate
+FROM fanned GROUP BY capacity ORDER BY capacity
+"""
+
+
+def q177_top_gram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-gram candidate table: the corpus's 20 most frequent word
+    trigrams with each gram's share of all trigram occurrences and
+    the running cumulative coverage — how much of the corpus a
+    boilerplate-strip list of the top-k grams would touch. One
+    explode + one gram agg; the top-20 + window run over 20 rows."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select(F.split(F.trim("text"), r"\s+").alias("w")).filter(
+        F.size("w") >= 3
+    )
+    grams = ws.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 2), "
+                "i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"
+            )
+        ).alias("g")
+    )
+    counts = grams.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    total = counts.agg(F.sum("c").alias("tot"))
+    top = (
+        counts.crossJoin(F.broadcast(total))
+        .select("g", "c", F.round(F.col("c") / F.col("tot"), 6).alias("share"))
+        .orderBy(F.desc("c"), F.asc("g"))
+        .limit(20)
+    )
+    wcum = Window.orderBy(F.desc("c"), F.asc("g")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return top.withColumn(
+        "cum_coverage", F.round(F.sum("share").over(wcum), 6)
+    ).orderBy(F.desc("c"), F.asc("g"))
+
+
+_Q177_ORACLE = """
+WITH ws AS (
+  SELECT regexp_split_to_array(trim(text), '\\s+') AS w FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+), exploded AS (
+  SELECT w, unnest(range(1, len(w) - 1)) AS i FROM ws
+), grams AS (
+  SELECT w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g FROM exploded
+), counts AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY 1
+), total AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM counts),
+top AS (
+  SELECT g, c, round(CAST(c AS DOUBLE) / tot, 6) AS share
+  FROM counts CROSS JOIN total
+  ORDER BY c DESC, g LIMIT 20
+)
+SELECT g, c, share,
+       round(sum(share) OVER (ORDER BY c DESC, g
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS cum_coverage
+FROM top ORDER BY c DESC, g
+"""
+
+
+def q178_token_budget_fill(
+    spark: SparkSession, sf_dir: str, budget: int = 5000
+) -> DataFrame:
+    """Quality-greedy token-budget curation — the mix planner's final
+    step: per source, take documents in descending q26 quality order
+    until the source's token budget (5000 here) is exhausted; report
+    kept docs/tokens and budget utilization. One per-source window
+    (parallel across sources) over quality-ranked docs; the running
+    token total decides the cut — deterministic because the rank
+    breaks ties by doc_id."""
+    from pyspark.sql import Window
+
+    from ssb_coefficient_maker_spark.operators.text import q26_quality_score
+
+    scored = q26_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = docs.join(scored, "doc_id").withColumn(
+        "cum_tok", F.sum("n_tok").over(w)
+    )
+    kept = cum.withColumn("keep", F.col("cum_tok") <= budget)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(0)).alias(
+                "kept_tokens"
+            ),
+            F.round(
+                F.sum(F.when(F.col("keep"), F.col("n_tok")).otherwise(0))
+                / F.lit(float(budget)),
+                6,
+            ).alias("budget_used"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q178_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS words,
+         length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_nonspace
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         CASE WHEN len(words) < 5 THEN 0.0 ELSE
+           1.0 - abs(round(CAST(len(list_filter(words,
+                     x -> list_contains({STOP_SQL}, x))) AS DOUBLE)
+                     / len(words), 4) - 0.4)
+               - abs(round(CAST(n_nonspace AS DOUBLE) / len(words), 4) - 5.0)
+                 / 10.0
+         END AS quality_score,
+         CAST(len(words) AS BIGINT) AS n_tok
+  FROM w
+), cum AS (
+  SELECT d.source, s.n_tok,
+         sum(s.n_tok) OVER (PARTITION BY d.source
+             ORDER BY s.quality_score DESC, s.doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN cum_tok <= 5000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept,
+       CAST(sum(CASE WHEN cum_tok <= 5000 THEN n_tok ELSE 0 END) AS BIGINT)
+         AS kept_tokens,
+       round(CAST(sum(CASE WHEN cum_tok <= 5000 THEN n_tok ELSE 0 END)
+             AS DOUBLE) / 5000, 6) AS budget_used
+FROM cum GROUP BY 1 ORDER BY source
+""".replace("{STOP_SQL}", STOP_SQL)
+
+
 def _lloyd_cte(k: int, iters: int, dim: int = 64) -> str:
     """Generated CTE chain replicating the engine's trained k-means
     (`operators/similarity.py: kmeans_centroids` + `assign_buckets`)
@@ -6912,6 +7227,21 @@ REGISTRY: dict[str, QuerySpec] = {
         q172_blob_chunk_digests, _Q172_ORACLE, "multimodal"
     ),
     "q173_qq_drift": QuerySpec(q173_qq_drift, _Q173_ORACLE, "aggregation"),
+    "q174_embedding_norm_qa": QuerySpec(
+        q174_embedding_norm_qa, _Q174_ORACLE, "similarity"
+    ),
+    "q175_dim_variance_profile": QuerySpec(
+        q175_dim_variance_profile, _Q175_ORACLE, "similarity"
+    ),
+    "q176_packing_efficiency_curve": QuerySpec(
+        q176_packing_efficiency_curve, _Q176_ORACLE, "text"
+    ),
+    "q177_top_gram_coverage": QuerySpec(
+        q177_top_gram_coverage, _Q177_ORACLE, "text"
+    ),
+    "q178_token_budget_fill": QuerySpec(
+        q178_token_budget_fill, _Q178_ORACLE, "text"
+    ),
     "q150_media_dedup": QuerySpec(q150_media_dedup, _Q150_ORACLE, "multimodal"),
     "q151_top_decile_curation": QuerySpec(
         q151_top_decile_curation, _Q151_ORACLE, "text"
@@ -7355,6 +7685,11 @@ REGISTRY: dict[str, QuerySpec] = {
 # stragglers. Append NEW queries near the head — a new query is by
 # definition never-driver-checked.
 _DRIVER_PRIORITY = (
+    "q174_embedding_norm_qa",
+    "q175_dim_variance_profile",
+    "q176_packing_efficiency_curve",
+    "q177_top_gram_coverage",
+    "q178_token_budget_fill",
     "q172_blob_chunk_digests",
     "q173_qq_drift",
     "q168_max_concurrency",

@@ -944,3 +944,64 @@ def test_q173_corpus_row_is_self_ratio_one(spark, sf_dir):
     assert (out["ratio"] > 0).all()
     for q, grp in out.groupby("quantile"):
         assert grp["corpus_len"].nunique() == 1
+
+
+def test_q174_norm_qa_bounds(spark, sf_dir):
+    from ssb_coefficient_maker_spark.queries import q174_embedding_norm_qa
+
+    out = q174_embedding_norm_qa(spark, sf_dir).toPandas()
+    assert (out["p50_norm"] <= out["p95_norm"]).all()
+    assert (out["n_degenerate"] >= 0).all()
+    assert (out["norm_spread"] >= 0).all()
+
+
+def test_q175_variance_recomputes_from_raw(spark, sf_dir):
+    """Spot-check dim 0 against a numpy recompute on the same snapped
+    grid (round-6 moments, as the query defines variance)."""
+    import numpy as np
+
+    from ssb_coefficient_maker_spark.queries import q175_dim_variance_profile
+    from ssb_coefficient_maker_spark.sources.loaders import load_table
+
+    out = (
+        q175_dim_variance_profile(spark, sf_dir).toPandas().set_index("dim")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").toPandas()
+    x0 = np.array([v[0] for v in emb["embedding"]], dtype=np.float64)
+    mean = round(float(x0.mean()), 6)
+    m2 = round(float((x0 * x0).mean()), 6)
+    assert abs(out.loc[0, "mean"] - mean) < 1e-9
+    assert abs(out.loc[0, "variance"] - round(m2 - mean * mean, 6)) < 1e-9
+    assert (out["variance"] >= -1e-6).all()
+
+
+def test_q176_curve_is_monotone_in_capacity(spark, sf_dir):
+    """Bigger bins => fewer of them; fill rate stays near 1 (docs are
+    never split, so long docs can overflow a small capacity and push
+    it slightly above 1 — see the q176 docstring)."""
+    from ssb_coefficient_maker_spark.queries import q176_packing_efficiency_curve
+
+    out = q176_packing_efficiency_curve(spark, sf_dir).toPandas()
+    assert list(out["capacity"]) == [256, 512, 1024]
+    assert out["n_bins"].is_monotonic_decreasing
+    assert ((out["fill_rate"] > 0) & (out["fill_rate"] < 1.5)).all()
+
+
+def test_q177_coverage_accumulates(spark, sf_dir):
+    from ssb_coefficient_maker_spark.queries import q177_top_gram_coverage
+
+    out = q177_top_gram_coverage(spark, sf_dir).toPandas()
+    assert len(out) == 20
+    assert out["c"].is_monotonic_decreasing
+    assert out["cum_coverage"].is_monotonic_increasing
+    assert out["cum_coverage"].iloc[-1] <= 1.0 + 1e-9
+
+
+def test_q178_budget_never_exceeded(spark, sf_dir):
+    from ssb_coefficient_maker_spark.queries import q178_token_budget_fill
+
+    out = q178_token_budget_fill(spark, sf_dir).toPandas()
+    assert (out["kept_tokens"] <= 5000).all()
+    assert (out["n_kept"] <= out["n_docs"]).all()
+    assert (out["budget_used"] <= 1.0 + 1e-9).all()
+    assert (out["n_kept"] > 0).any()
