@@ -4866,7 +4866,17 @@ def _basket_pairs(spark: SparkSession, sf_dir: str, min_support: int = 2):
     are bounded (the max basket in the testdata is 13 parts), so the
     per-key pair fan-out is a small constant — the whole stage is
     linear in lineitem, the classic scalable shape for a-priori pair
-    counting."""
+    counting. The mined (baskets, edges) tables are build-once
+    artifacts shared by both consumers — cached per corpus like the
+    LSH/IVF indexes (in production: a materialized co-occurrence
+    table)."""
+    from ssb_coefficient_maker_spark.cachereg import corpus_key_for, get_cache
+
+    cache = get_cache("basket_pairs")
+    params = (min_support,)
+    hit = cache.lookup(corpus_key_for(sf_dir), params)
+    if hit is not None:
+        return hit
     li = load_table(spark, sf_dir, "lineitem")
     baskets = li.select("l_orderkey", "l_partkey").distinct()
     a = baskets.alias("a")
@@ -4884,7 +4894,14 @@ def _basket_pairs(spark: SparkSession, sf_dir: str, min_support: int = 2):
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= min_support)
     )
-    return baskets, pairs
+    baskets_chk = baskets.localCheckpoint(eager=True)
+    pairs_chk = pairs.localCheckpoint(eager=True)
+    return cache.store(
+        corpus_key_for(sf_dir),
+        params,
+        (baskets_chk, pairs_chk),
+        pinned=[baskets_chk, pairs_chk],
+    )
 
 
 def q156_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
