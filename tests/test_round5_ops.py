@@ -1005,3 +1005,44 @@ def test_q178_budget_never_exceeded(spark, sf_dir):
     assert (out["n_kept"] <= out["n_docs"]).all()
     assert (out["budget_used"] <= 1.0 + 1e-9).all()
     assert (out["n_kept"] > 0).any()
+
+
+def test_q165_lookback_join_is_equi_on_user(spark, sf_dir):
+    """The touch<->purchase pairing must hash-join on user_id (range
+    predicates as join filters) — never a nested-loop over all
+    event pairs."""
+    from ssb_coefficient_maker_spark.queries import q165_linear_attribution
+
+    plan = _plan(q165_linear_attribution(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q172_chunking_stays_jvm_side(spark, sf_dir):
+    """Chunk digesting is sequence+explode+md5 — no Python evaluation
+    anywhere in the plan, one parquet scan."""
+    from ssb_coefficient_maker_spark.queries import q172_blob_chunk_digests
+
+    plan = _plan(q172_blob_chunk_digests(spark, sf_dir))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_q176_single_prefix_sum_serves_all_capacities(spark, sf_dir):
+    """The capacity fan-out must come AFTER the prefix sum: exactly the
+    two prefix-sum windows (local + offset), no per-capacity extras."""
+    from ssb_coefficient_maker_spark.queries import q176_packing_efficiency_curve
+
+    plan = _plan(q176_packing_efficiency_curve(spark, sf_dir))
+    assert plan.count("Window") == 2, plan
+
+
+def test_q164_big_sort_is_bucket_scoped(spark, sf_dir):
+    """The crossing-bucket join must broadcast (flags×2 rows) and the
+    only big-side window partitions by (flag, tau) on the candidate
+    slice — the full-table 3-partition sort is gone."""
+    from ssb_coefficient_maker_spark.queries import q164_weighted_median
+
+    plan = _plan(q164_weighted_median(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
