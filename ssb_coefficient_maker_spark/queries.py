@@ -6352,6 +6352,202 @@ FROM cum GROUP BY 1 ORDER BY source
 """.replace("{STOP_SQL}", STOP_SQL)
 
 
+def q179_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source scan — the third columnar format in the source
+    matrix (parquet q02, CSV q60, JSON q61): supplier round-tripped
+    through Spark's native vectorized ORC reader
+    (sources/derived.py: supplier_orc_path), then a per-nation
+    account rollup. Binary columnar round-trip is bit-exact, so the
+    oracle runs on the ORIGINAL parquet."""
+    from ssb_coefficient_maker_spark.sources.derived import supplier_orc_path
+
+    sup = spark.read.orc(supplier_orc_path(spark, sf_dir))
+    return (
+        sup.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 4).alias("sum_acctbal"),
+            F.round(F.avg("s_acctbal"), 4).alias("avg_acctbal"),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+_Q179_ORACLE = """
+SELECT s_nationkey, count(*) AS n_suppliers,
+       round(sum(s_acctbal), 4) AS sum_acctbal,
+       round(avg(s_acctbal), 4) AS avg_acctbal
+FROM supplier GROUP BY 1 ORDER BY s_nationkey
+"""
+
+
+def q180_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto concentration audit per brand: how many of the
+    brand's parts carry 80% of its revenue, and what share the top
+    20% of parts hold — the 'is this catalog long-tailed?' question.
+    Per-part revenue is ONE lineitem⋈part agg snapped to 1e-4; the
+    ranking windows partition by brand (bounded fan-in, parallel),
+    folding the same snapped sequence on both engines."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_partkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("rev")
+        )
+    )
+    wb = Window.partitionBy("p_brand")
+    worder = Window.partitionBy("p_brand").orderBy(
+        F.desc("rev"), F.asc("p_partkey")
+    )
+    wcum = worder.rowsBetween(Window.unboundedPreceding, -1)
+    flagged = (
+        rev.withColumn("tot", F.sum("rev").over(wb))
+        .withColumn("n_parts", F.count(F.lit(1)).over(wb))
+        .withColumn("rnk", F.row_number().over(worder))
+        .withColumn("cum_before", F.coalesce(F.sum("rev").over(wcum), F.lit(0.0)))
+    )
+    return (
+        flagged.groupBy("p_brand")
+        .agg(
+            F.first("n_parts").alias("n_parts"),
+            (
+                F.sum((F.col("cum_before") < 0.8 * F.col("tot")).cast("long"))
+            ).alias("n_parts_to_80pct"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("rnk") <= F.ceil(0.2 * F.col("n_parts")),
+                        F.col("rev"),
+                    ).otherwise(0.0)
+                )
+                / F.first("tot"),
+                6,
+            ).alias("share_top20pct"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+_Q180_ORACLE = """
+WITH rev AS (
+  SELECT p.p_brand, p.p_partkey,
+         round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+), flagged AS (
+  SELECT p_brand, rev,
+         sum(rev) OVER (PARTITION BY p_brand) AS tot,
+         count(*) OVER (PARTITION BY p_brand) AS n_parts,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY rev DESC, p_partkey) AS rnk,
+         coalesce(sum(rev) OVER (PARTITION BY p_brand
+                    ORDER BY rev DESC, p_partkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS cum_before
+  FROM rev
+)
+SELECT p_brand,
+       CAST(any_value(n_parts) AS BIGINT) AS n_parts,
+       CAST(sum(CASE WHEN cum_before < 0.8 * tot THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_parts_to_80pct,
+       round(sum(CASE WHEN rnk <= ceil(0.2 * n_parts) THEN rev ELSE 0 END)
+             / any_value(tot), 6) AS share_top20pct
+FROM flagged GROUP BY 1 ORDER BY p_brand
+"""
+
+
+def q181_spearman_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bias audit of the quality scorer — Spearman rank
+    correlation between the q26 composite score and raw document
+    length, per language: |ρ| near 1 means the 'quality' signal is
+    mostly length. Both rank inputs are EXACT (the score is a closed
+    deterministic expression, length an integer), ranks break ties by
+    doc_id, and ρ = 1 − 6Σd²/(n(n²−1)) is integer arithmetic until
+    the final division — bit-identical across engines. Two per-lang
+    ranking windows + one lang-sized agg."""
+    from pyspark.sql import Window
+
+    from ssb_coefficient_maker_spark.operators.text import q26_quality_score
+
+    scored = q26_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.length("text").alias("len")
+    )
+    joined = docs.join(scored, "doc_id")
+    wq = Window.partitionBy("lang").orderBy(
+        F.desc("quality_score"), F.asc("doc_id")
+    )
+    wl = Window.partitionBy("lang").orderBy(F.desc("len"), F.asc("doc_id"))
+    ranked = joined.select(
+        "lang",
+        F.row_number().over(wq).cast("long").alias("rq"),
+        F.row_number().over(wl).cast("long").alias("rl"),
+    )
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("rq") - F.col("rl")) * (F.col("rq") - F.col("rl"))).alias(
+                "sum_d2"
+            ),
+        )
+        .select(
+            "lang",
+            "n",
+            F.when(
+                F.col("n") > 1,
+                F.round(
+                    1
+                    - 6.0
+                    * F.col("sum_d2")
+                    / (F.col("n") * (F.col("n") * F.col("n") - 1)),
+                    6,
+                ),
+            ).alias("spearman_rho"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q181_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS words,
+         length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_nonspace
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         CASE WHEN len(words) < 5 THEN 0.0 ELSE
+           1.0 - abs(round(CAST(len(list_filter(words,
+                     x -> list_contains({STOP_SQL}, x))) AS DOUBLE)
+                     / len(words), 4) - 0.4)
+               - abs(round(CAST(n_nonspace AS DOUBLE) / len(words), 4) - 5.0)
+                 / 10.0
+         END AS quality_score
+  FROM w
+), ranked AS (
+  SELECT d.lang,
+         CAST(row_number() OVER (PARTITION BY d.lang
+              ORDER BY s.quality_score DESC, s.doc_id) AS BIGINT) AS rq,
+         CAST(row_number() OVER (PARTITION BY d.lang
+              ORDER BY length(d.text) DESC, s.doc_id) AS BIGINT) AS rl
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT lang, count(*) AS n,
+       CASE WHEN count(*) > 1 THEN
+         round(1 - 6.0 * sum((rq - rl) * (rq - rl))
+               / (count(*) * (count(*) * count(*) - 1)), 6)
+       END AS spearman_rho
+FROM ranked GROUP BY 1 ORDER BY lang
+""".replace("{STOP_SQL}", STOP_SQL)
+
+
 def _lloyd_cte(k: int, iters: int, dim: int = 64) -> str:
     """Generated CTE chain replicating the engine's trained k-means
     (`operators/similarity.py: kmeans_centroids` + `assign_buckets`)
@@ -7283,6 +7479,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "q178_token_budget_fill": QuerySpec(
         q178_token_budget_fill, _Q178_ORACLE, "text"
     ),
+    "q179_orc_scan": QuerySpec(q179_orc_scan, _Q179_ORACLE, "source"),
+    "q180_abc_analysis": QuerySpec(
+        q180_abc_analysis, _Q180_ORACLE, "aggregation"
+    ),
+    "q181_spearman_length_bias": QuerySpec(
+        q181_spearman_length_bias, _Q181_ORACLE, "text"
+    ),
     "q150_media_dedup": QuerySpec(q150_media_dedup, _Q150_ORACLE, "multimodal"),
     "q151_top_decile_curation": QuerySpec(
         q151_top_decile_curation, _Q151_ORACLE, "text"
@@ -7726,6 +7929,9 @@ REGISTRY: dict[str, QuerySpec] = {
 # stragglers. Append NEW queries near the head — a new query is by
 # definition never-driver-checked.
 _DRIVER_PRIORITY = (
+    "q179_orc_scan",
+    "q180_abc_analysis",
+    "q181_spearman_length_bias",
     "q174_embedding_norm_qa",
     "q175_dim_variance_profile",
     "q176_packing_efficiency_curve",

@@ -138,6 +138,17 @@ def part_json_path(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+def supplier_orc_path(spark: SparkSession, sf_dir: str) -> str:
+    """supplier round-tripped through ORC (the third columnar format
+    Spark ships a native vectorized reader for): binary format, so
+    doubles survive bit-exact and the DuckDB oracle on the original
+    parquet hash-matches."""
+    path = _derived_root(sf_dir, "supplier_orc")
+    if not _is_done(path):
+        load_table(spark, sf_dir, "supplier").write.mode("overwrite").orc(path)
+    return path
+
+
 def read_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(partitioned_events_path(spark, sf_dir))
 

