@@ -721,3 +721,19 @@ def test_every_registry_query_documented_in_coverage():
         if int(n.split("_")[0][1:]) not in documented
     )
     assert not missing, f"queries without a COVERAGE.md row: {missing}"
+
+
+def test_registry_wide_plan_audit(spark, sf_dir):
+    """Every registry query's physical plan is free of unwhitelisted
+    distributed anti-patterns (cartesian products, nested-loop joins
+    beyond justified 1-row broadcasts, row-at-a-time Python UDFs).
+    The whitelist in tools/plan_audit.py names the bounded operand
+    that makes each exception safe."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import plan_audit
+
+    bad = plan_audit.audit(spark, sf_dir)
+    assert not bad, f"unexpected plan patterns: {bad}"

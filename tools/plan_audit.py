@@ -1,0 +1,86 @@
+"""Registry-wide physical-plan audit: sweep every query's executed
+plan for distributed anti-patterns and fail on anything not
+explicitly whitelisted with a justification.
+
+Patterns flagged:
+- CartesianProduct          — an unbounded all-pairs join
+- BroadcastNestedLoopJoin   — acceptable ONLY for 1-row broadcast
+                              scalar joins (avgdl / corpus totals)
+- BatchEvalPython           — row-at-a-time Python UDF in the plan
+
+Run:  python tools/plan_audit.py [sf_dir]
+Exits non-zero and prints the offending queries if any UNEXPECTED
+flag appears. tests/test_operators.py runs the same audit in CI.
+"""
+
+from __future__ import annotations
+
+import sys
+
+# name -> (pattern, justification). Every entry must name the 1-row
+# (or otherwise bounded) operand that makes the pattern safe.
+WHITELIST: dict[str, tuple[str, str]] = {
+    "q100_temperature_mixing": ("bnlj", "1-row source-total broadcast"),
+    "q111_constraint_audit": ("bnlj", "1-row expected-count broadcast"),
+    "q124_bigram_pmi": ("bnlj", "1-row corpus-total broadcast"),
+    "q130_bm25_topk": ("bnlj", "1-row avgdl broadcast"),
+    "q142_benford_digits": ("bnlj", "1-row digit-total broadcast"),
+    "q155_unigram_xent": ("bnlj", "1-row LM-total broadcast"),
+    "q161_rrf_fusion": ("bnlj", "1-row avgdl broadcast (BM25 stage)"),
+    "q173_qq_drift": ("bnlj", "1-row corpus-quartile broadcast"),
+    "q177_top_gram_coverage": ("bnlj", "1-row gram-total broadcast"),
+    "q50_embedding_neardup": ("bnlj", "block-pair driver table (n_blocks², bounded)"),
+    "q66_tfidf_top_terms": ("bnlj", "1-row doc-count broadcast"),
+    "q72_batch_topk": ("bnlj", "query-set literal table broadcast"),
+    "q95_histogram": ("bnlj", "1-row min/max bounds broadcast"),
+    "q75_udtf_rle": ("py-row-udf", "deliberate UDTF extension-point showcase"),
+}
+
+PATTERNS = {
+    "cartesian": "CartesianProduct",
+    "bnlj": "BroadcastNestedLoopJoin",
+    "py-row-udf": "BatchEvalPython",
+}
+
+
+def audit(spark, sf_dir: str) -> dict[str, list[str]]:
+    """Return {query_name: [unexpected flags]} — empty dict = clean."""
+    from ssb_coefficient_maker_spark import queries as Q
+
+    unexpected: dict[str, list[str]] = {}
+    for name, spec in Q.REGISTRY.items():
+        plan = spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        flags = [key for key, marker in PATTERNS.items() if marker in plan]
+        allowed = WHITELIST.get(name, (None, None))[0]
+        bad = [f for f in flags if f != allowed]
+        if bad:
+            unexpected[name] = bad
+    return unexpected
+
+
+def main() -> int:
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from ssb_coefficient_maker_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark(app_name="plan-audit")
+    bad = audit(spark, sf_dir)
+    if bad:
+        print(f"PLAN AUDIT FAILED — {len(bad)} queries with unexpected patterns:")
+        for name, flags in sorted(bad.items()):
+            print(f"  {name}: {', '.join(flags)}")
+        return 1
+    from ssb_coefficient_maker_spark import queries as Q
+
+    print(
+        f"plan audit clean: {len(Q.REGISTRY)} queries, "
+        f"{len(WHITELIST)} whitelisted exceptions (all justified 1-row/"
+        f"bounded broadcasts or the UDTF showcase)"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
