@@ -6548,6 +6548,160 @@ FROM ranked GROUP BY 1 ORDER BY lang
 """.replace("{STOP_SQL}", STOP_SQL)
 
 
+def q182_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-in-time join — the bidirectional sibling of the as-of
+    join (q38 looks strictly backward; this pairs each error event
+    with the same user's CLOSEST click within ±1 h, either side):
+    how training pipelines align logs to the nearest snapshot. One
+    user-keyed equi join bounded by the ±window (fan-out capped like
+    q165's lookback), then a per-error ranking window picks the
+    minimum |gap| with deterministic ties (earlier click, then
+    event_id). Gaps are exact integer microseconds — no float drift
+    anywhere. Output: per-user error-coverage audit."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("eu"),
+        F.col("event_id").alias("err_id"),
+        F.unix_micros("ts").alias("err_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"),
+        F.col("event_id").alias("click_id"),
+        F.unix_micros("ts").alias("click_us"),
+    )
+    window_us = 3600 * 1_000_000
+    paired = errors.join(
+        clicks,
+        (F.col("eu") == F.col("cu"))
+        & (F.abs(F.col("click_us") - F.col("err_us")) <= window_us),
+    ).withColumn("gap_us", F.abs(F.col("click_us") - F.col("err_us")))
+    w = Window.partitionBy("err_id").orderBy(
+        F.asc("gap_us"), F.asc("click_us"), F.asc("click_id")
+    )
+    nearest = paired.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    n_err = errors.groupBy(F.col("eu").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_errors")
+    )
+    # median over integer microsecond gaps is an exact double (k or
+    # k + 0.5); truncating to BIGINT keeps it bit-deterministic —
+    # dividing into seconds first would reintroduce a float-rounding
+    # boundary between the engines
+    matched = nearest.groupBy(F.col("eu").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.floor(F.percentile("gap_us", F.lit(0.5))).cast("long").alias(
+            "med_gap_us"
+        ),
+    )
+    return (
+        n_err.join(matched, "user_id", "left")
+        .select(
+            "user_id",
+            "n_errors",
+            F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+            "med_gap_us",
+        )
+        .orderBy("user_id")
+    )
+
+
+_Q182_ORACLE = """
+WITH errors AS (
+  SELECT user_id AS eu, event_id AS err_id, epoch_us(ts) AS err_us
+  FROM events WHERE event_type = 'error'
+), clicks AS (
+  SELECT user_id AS cu, event_id AS click_id, epoch_us(ts) AS click_us
+  FROM events WHERE event_type = 'click'
+), paired AS (
+  SELECT eu, err_id, click_us, click_id,
+         abs(click_us - err_us) AS gap_us,
+         row_number() OVER (PARTITION BY err_id
+             ORDER BY abs(click_us - err_us), click_us, click_id) AS rn
+  FROM errors JOIN clicks
+    ON eu = cu AND abs(click_us - err_us) <= CAST(3600 AS BIGINT) * 1000000
+), n_err AS (
+  SELECT eu AS user_id, count(*) AS n_errors FROM errors GROUP BY 1
+), matched AS (
+  SELECT eu AS user_id, count(*) AS n_matched,
+         CAST(floor(quantile_cont(gap_us, 0.5)) AS BIGINT) AS med_gap_us
+  FROM paired WHERE rn = 1 GROUP BY 1
+)
+SELECT user_id, n_errors,
+       CAST(coalesce(n_matched, 0) AS BIGINT) AS n_matched, med_gap_us
+FROM n_err LEFT JOIN matched USING (user_id)
+ORDER BY user_id
+"""
+
+
+def q183_symspell_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance ≤ 1 similarity join via deletion neighborhoods
+    (the SymSpell trick): every name emits itself plus each
+    1-character-deleted variant as join keys; any two strings within
+    one edit (substitution, insertion, or deletion) provably share a
+    key, so the equi-join finds ALL candidates without an n² compare
+    — the scalable exact fuzzy join for typo dedup / entity
+    resolution. Exact levenshtein verifies candidates (JVM-side).
+    Bounded to s_suppkey < 200 so the brute-force oracle stays
+    constant-cost; the plan itself is corpus-size-agnostic. Output:
+    per-supplier typo-neighbor counts."""
+    sup = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_suppkey") < 200
+    ).select("s_suppkey", F.col("s_name").alias("nm"))
+    variants = sup.select(
+        "s_suppkey",
+        "nm",
+        F.explode(
+            F.expr(
+                "array_union(array(nm), transform(sequence(1, length(nm)), "
+                "i -> concat(substring(nm, 1, i - 1), substring(nm, i + 1, length(nm)))))"
+            )
+        ).alias("v"),
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.s_suppkey") < F.col("b.s_suppkey")),
+        )
+        .select(
+            F.col("a.s_suppkey").alias("ka"),
+            F.col("a.nm").alias("na"),
+            F.col("b.s_suppkey").alias("kb"),
+            F.col("b.nm").alias("nb"),
+        )
+        .distinct()
+    )
+    verified = cand.filter(F.levenshtein("na", "nb") <= 1)
+    pairs = verified.select(F.col("ka").alias("k")).unionAll(
+        verified.select(F.col("kb").alias("k"))
+    )
+    return (
+        pairs.groupBy(F.col("k").alias("s_suppkey"))
+        .agg(F.count(F.lit(1)).alias("n_neighbors"))
+        .orderBy("s_suppkey")
+    )
+
+
+_Q183_ORACLE = """
+WITH sup AS (
+  SELECT s_suppkey, s_name AS nm FROM supplier WHERE s_suppkey < 200
+), verified AS (
+  SELECT a.s_suppkey AS ka, b.s_suppkey AS kb
+  FROM sup a JOIN sup b ON a.s_suppkey < b.s_suppkey
+  WHERE levenshtein(a.nm, b.nm) <= 1
+), pairs AS (
+  SELECT ka AS k FROM verified UNION ALL SELECT kb FROM verified
+)
+SELECT k AS s_suppkey, count(*) AS n_neighbors
+FROM pairs GROUP BY 1 ORDER BY s_suppkey
+"""
+
+
 def _lloyd_cte(k: int, iters: int, dim: int = 64) -> str:
     """Generated CTE chain replicating the engine's trained k-means
     (`operators/similarity.py: kmeans_centroids` + `assign_buckets`)
@@ -7486,6 +7640,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "q181_spearman_length_bias": QuerySpec(
         q181_spearman_length_bias, _Q181_ORACLE, "text"
     ),
+    "q182_nearest_event_join": QuerySpec(
+        q182_nearest_event_join, _Q182_ORACLE, "join"
+    ),
+    "q183_symspell_join": QuerySpec(q183_symspell_join, _Q183_ORACLE, "dedup"),
     "q150_media_dedup": QuerySpec(q150_media_dedup, _Q150_ORACLE, "multimodal"),
     "q151_top_decile_curation": QuerySpec(
         q151_top_decile_curation, _Q151_ORACLE, "text"
@@ -7929,6 +8087,8 @@ REGISTRY: dict[str, QuerySpec] = {
 # stragglers. Append NEW queries near the head — a new query is by
 # definition never-driver-checked.
 _DRIVER_PRIORITY = (
+    "q182_nearest_event_join",
+    "q183_symspell_join",
     "q179_orc_scan",
     "q180_abc_analysis",
     "q181_spearman_length_bias",

@@ -1108,3 +1108,46 @@ def test_q181_rho_bounds_and_planted_perfect(spark, tmp_path):
     assert len(out) == 1
     rho = out.iloc[0]["spearman_rho"]
     assert -1.0 - 1e-9 <= rho <= 1.0 + 1e-9
+
+
+def test_q182_nearest_beats_or_equals_asof_gap(spark, sf_dir):
+    """The bidirectional nearest gap can never exceed the backward-only
+    gap; matched counts never exceed error counts; gaps within window."""
+    from ssb_coefficient_maker_spark.queries import q182_nearest_event_join
+
+    out = q182_nearest_event_join(spark, sf_dir).toPandas()
+    assert (out["n_matched"] <= out["n_errors"]).all()
+    matched = out[out["n_matched"] > 0]
+    assert (matched["med_gap_us"] >= 0).all()
+    assert (matched["med_gap_us"] <= 3600 * 1_000_000).all()
+
+
+def test_q183_deletion_neighborhood_is_complete(spark, tmp_path):
+    """SymSpell completeness: substitution, insertion, and deletion
+    variants of a planted name must all be found as ED<=1 neighbors."""
+    import pandas as pd
+
+    from ssb_coefficient_maker_spark.queries import q183_symspell_join
+
+    sup = pd.DataFrame(
+        {
+            "s_suppkey": [1, 2, 3, 4, 5],
+            "s_name": [
+                "acme corp",   # base
+                "acmo corp",   # substitution
+                "acmee corp",  # insertion
+                "ae corp",     # ED 2 from base (two deletes) — excluded
+                "zzz totally different",
+            ],
+            "s_nationkey": [0] * 5,
+            "s_acctbal": [0.0] * 5,
+        }
+    )
+    spark.createDataFrame(sup).write.mode("overwrite").parquet(
+        str(tmp_path / "supplier.parquet")
+    )
+    out = q183_symspell_join(spark, str(tmp_path)).toPandas().set_index("s_suppkey")
+    # base matches substitution + insertion (2 neighbors); the ED-2
+    # name and the unrelated name match nothing
+    assert out.loc[1, "n_neighbors"] == 2
+    assert 4 not in out.index and 5 not in out.index
