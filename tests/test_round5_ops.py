@@ -1151,3 +1151,16 @@ def test_q183_deletion_neighborhood_is_complete(spark, tmp_path):
     # name and the unrelated name match nothing
     assert out.loc[1, "n_neighbors"] == 2
     assert 4 not in out.index and 5 not in out.index
+
+
+def test_q184_bfs_levels_are_sane(spark, sf_dir):
+    """Hop 0 is exactly the source; counts are positive; hops are
+    contiguous from 0; the cache-hit path returns identical results."""
+    from ssb_coefficient_maker_spark.queries import q184_bfs_reach
+
+    a = q184_bfs_reach(spark, sf_dir).toPandas()
+    b = q184_bfs_reach(spark, sf_dir).toPandas()
+    assert a.equals(b)
+    assert a.iloc[0]["hop"] == 0 and a.iloc[0]["n_reached"] == 1
+    assert list(a["hop"]) == list(range(len(a)))
+    assert (a["n_reached"] > 0).all()
