@@ -176,29 +176,39 @@ class FormulaEvaluator:
             self.last_invalid_count = count
             return df
 
-        if self.adp_enabled and not any(
-            isinstance(self.datasets[n], Vector) for n in names
+        if self.adp_enabled and all(
+            isinstance(self.datasets[n], (int, float)) for n in names
         ):
-            # Literal/scalar-only ADP formula (no Matrix — handled
-            # above — and no Vector operand). The float fallthrough
-            # would silently produce inf for '(2 / (2 - 2))'
-            # (numpy errstate ignores the divide); the reference's ADP
-            # mode raises its zero-division diagnostic for ANY operand
-            # shape (coeff_maker.py ADP guard; reference
-            # tests/test_FormulaEvaluator_pt2.py:470-488), so route
-            # through _mp_eval which carries the guard.
-            return adp_mod.adp_eval_scalar(
-                expr,
-                {
-                    n: float(self.datasets[n])
-                    for n in names
-                    if isinstance(self.datasets[n], (int, float))
-                },
-                self.decimal_precision,
+            # Literal/scalar-only ADP formula (every operand int/float;
+            # Matrix handled above). The guard must be "all scalars",
+            # not "no Vector": a TripletMatrix operand is neither
+            # Matrix nor Vector and must fall through to the triplet
+            # path below, not into the scalar resolver (which only
+            # holds int/float and would KeyError). The float
+            # fallthrough would silently produce inf for
+            # '(2 / (2 - 2))' (numpy errstate ignores the divide); the
+            # reference's ADP mode raises its zero-division diagnostic
+            # for ANY operand shape (coeff_maker.py ADP guard;
+            # reference tests/test_FormulaEvaluator_pt2.py:470-488),
+            # so route through _mp_eval which carries the guard. The
+            # mpf result is coerced to float AFTER the guard ran, to
+            # honour this method's "float for scalar-only" contract
+            # regardless of adp_enabled.
+            return float(
+                adp_mod.adp_eval_scalar(
+                    expr,
+                    {n: float(self.datasets[n]) for n in names},
+                    self.decimal_precision,
+                )
             )
 
-        if self.adp_enabled and any(
-            isinstance(self.datasets[n], Vector) for n in names
+        if (
+            self.adp_enabled
+            and any(isinstance(self.datasets[n], Vector) for n in names)
+            and all(
+                isinstance(self.datasets[n], (Vector, int, float))
+                for n in names
+            )
         ):
             # Series-only (or Series∘scalar) ADP formula: the operands
             # were registered as string-carried ADP Vectors, so the
@@ -225,6 +235,22 @@ class FormulaEvaluator:
         )
 
         if any(isinstance(self.datasets[n], TripletMatrix) for n in names):
+            if self.adp_enabled and any(
+                isinstance(self.datasets[n], Vector) for n in names
+            ):
+                # The Vector was registered string-carried for ADP;
+                # feeding it into the float64 triplet plan would
+                # silently yield all-NaN. Same deliberate refusal as
+                # the ADP-fusion guard: never demote precision
+                # silently.
+                raise NotImplementedError(
+                    "ADP formulas mixing a TripletMatrix with a Series "
+                    "operand are not supported: triplet plans compute "
+                    "in float64, which would silently demote the ADP "
+                    "Series. Re-register the Series with "
+                    "adp_enabled=False or convert the triplet operand "
+                    "to a pandas DataFrame."
+                )
             tdf = compile_formula_triplet(expr, self.datasets)
             if self.validation == "defer":
                 # same contract as the wide path below: no eager audit

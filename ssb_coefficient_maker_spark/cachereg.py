@@ -63,17 +63,25 @@ class PinnedCache:
         if self._corpus != corpus_key:
             self.release()
             self._corpus = corpus_key
+        pinned_list = list(pinned)
         prev = self._entries.pop(param_key, None)
         if prev is not None:
             # same-corpus overwrite: free the replaced entry's frames
             # (callers usually lookup-miss first, but the class
-            # contract must not leak executor memory if they don't)
+            # contract must not leak executor memory if they don't).
+            # Skip any frame the caller is re-storing under this very
+            # key (identity match) — unpersisting those would strip
+            # the cached state off the frames we are about to record
+            # as pinned.
+            incoming_ids = {id(df) for df in pinned_list}
             for df in prev[1]:
+                if id(df) in incoming_ids:
+                    continue
                 try:
                     df.unpersist(blocking=True)
                 except Exception:
                     pass
-        self._entries[param_key] = (value, list(pinned))
+        self._entries[param_key] = (value, pinned_list)
         return value
 
     def release(self) -> None:

@@ -30,12 +30,12 @@ def cosine_const(a: Column, q: Column, q_norm: float) -> Column:
     once driver-side: higher-order functions are not constant-folded,
     so ``cosine(a, lit_q)`` re-aggregates the literal's norm on every
     row. The driver-side norm must be accumulated strictly
-    sequentially (see ``seq_sq_norm``) to stay bit-identical to the
+    sequentially (see ``seq_l2_norm``) to stay bit-identical to the
     engines' ordered list reductions."""
     return dot(a, q) / (l2_norm(a) * F.lit(q_norm))
 
 
-def seq_sq_norm(vals) -> float:
+def seq_l2_norm(vals) -> float:
     """L2 norm with strictly sequential left-to-right accumulation —
     bit-identical to Spark's ``F.aggregate`` and DuckDB's
     ``list_sum`` evaluation order (numpy's pairwise summation is

@@ -367,14 +367,40 @@ def q23_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q44_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approximate distinct — no oracle (estimator differs by
-    engine); the driver records a rows-only check."""
+    """HLL approximate distinct, made exactly oracle-checkable.
+
+    The raw HLL estimate differs by engine, so the output pairs each
+    estimate with an exact ``countDistinct`` twin (oracled exactly)
+    and asserts the documented error bound in-query: with the default
+    rsd=0.05, |approx - exact| / exact <= 0.25 (5 sigma) is emitted as
+    an int flag. The HLL sketch still runs in the plan — the flag is
+    deterministic because Spark's HLL is deterministic for fixed data
+    — and the oracle pins the flag to 1, so a broken estimator or a
+    violated bound fails the driver hash instead of hiding behind a
+    rows-only check.
+
+    100 TB: one hash-partitioned agg on l_returnflag (3 groups); both
+    the exact distinct and the HLL run map-side partials. At true
+    scale you would drop the exact twin and keep the sketch — here the
+    twin IS the correctness instrument.
+    """
     li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.approx_count_distinct("l_partkey").alias("_approx_parts"),
+        F.approx_count_distinct("l_orderkey").alias("_approx_orders"),
+    )
+    within = lambda a, e: (  # noqa: E731
+        F.abs(F.col(a) - F.col(e)) / F.col(e) <= F.lit(0.25)
+    ).cast("int")
     return (
-        li.groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey").alias("approx_parts"),
-            F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        agg.select(
+            "l_returnflag",
+            "exact_parts",
+            "exact_orders",
+            within("_approx_parts", "exact_parts").alias("parts_within_bound"),
+            within("_approx_orders", "exact_orders").alias("orders_within_bound"),
         )
         .orderBy("l_returnflag")
     )

@@ -50,7 +50,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ssb_coefficient_maker_spark.functions.vectors import cosine, cosine_const, l2_norm, seq_sq_norm
+from ssb_coefficient_maker_spark.functions.vectors import cosine, cosine_const, l2_norm, seq_l2_norm
 from ssb_coefficient_maker_spark.sources.loaders import load_table
 
 
@@ -74,7 +74,7 @@ def q34_cosine_topk(spark: SparkSession, sf_dir: str, k: int = 10, query_id: int
         .select(
             "vec_id",
             "label",
-            F.round(cosine_const(F.col("embedding"), q, seq_sq_norm(qvals)), 4).alias("cos_sim"),
+            F.round(cosine_const(F.col("embedding"), q, seq_l2_norm(qvals)), 4).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)
@@ -254,16 +254,16 @@ def q35_ivf_topk(
     acc = np.zeros(len(cmat))
     for d in range(cmat.shape[1]):
         acc += cmat[:, d] * qvals[d]
-    from ssb_coefficient_maker_spark.functions.vectors import seq_sq_norm
+    from ssb_coefficient_maker_spark.functions.vectors import seq_l2_norm
 
-    sims = acc / (_seq_norms(cmat) * seq_sq_norm(qvals))
+    sims = acc / (_seq_norms(cmat) * seq_l2_norm(qvals))
     probes = [int(b) for b in np.argsort(-sims, kind="stable")[:nprobe]]
     return (
         bucketed.filter(F.col("bucket").isin(probes) & (F.col("vec_id") != query_id))
         .select(
             "vec_id",
             "label",
-            F.round(cosine_const(F.col("embedding"), q, seq_sq_norm(qvals)), 4).alias("cos_sim"),
+            F.round(cosine_const(F.col("embedding"), q, seq_l2_norm(qvals)), 4).alias("cos_sim"),
         )
         .orderBy(F.desc("cos_sim"), "vec_id")
         .limit(k)
@@ -1009,11 +1009,11 @@ def q81_pq_topk(
     is data-dependent; asserted ≥0.8 vs exact top-k in tests)."""
     books, codes = pq_index(spark, sf_dir)
     q, qvals = _query_vector(spark, sf_dir, query_id)
-    from ssb_coefficient_maker_spark.functions.vectors import seq_sq_norm
+    from ssb_coefficient_maker_spark.functions.vectors import seq_l2_norm
 
     # codes are over unit vectors; sequential norm + per-element
     # division so qn is bit-identical to the oracle's normalization
-    qn = qvals / seq_sq_norm(qvals)
+    qn = qvals / seq_l2_norm(qvals)
     n_sub = len(books)
     sub = len(books[0][0])
     # distance tables: ||q_s - c||² per subspace per centroid —

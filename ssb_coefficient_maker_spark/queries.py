@@ -7852,7 +7852,20 @@ REGISTRY: dict[str, QuerySpec] = {
         "multimodal",
     ),
     "q38_asof_join": QuerySpec(q38_asof_join, _Q38_ORACLE, "join"),
-    "q44_approx_distinct": QuerySpec(relational.q44_approx_distinct, None, "aggregation"),
+    "q44_approx_distinct": QuerySpec(
+        relational.q44_approx_distinct,
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+               CAST(1 AS INTEGER) AS parts_within_bound,
+               CAST(1 AS INTEGER) AS orders_within_bound
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """,
+        "aggregation",
+    ),
     "q39_percentiles": QuerySpec(
         relational.q39_percentiles,
         """
@@ -8152,14 +8165,37 @@ REGISTRY: dict[str, QuerySpec] = {
 
 
 # Driver-coverage rotation (see `queries()` docstring for the
-# ordering contract): round-5 head = the two names NEVER sampled in
-# four driver rounds (q90/q91), then the six round-4 hash-fail fixes
-# (oracle BIGINT casts) that need fresh driver evidence, then the
-# queries whose oracles were added after their last sample
-# (q31/q33/q35/q56/q81), then the round-4/3 names, then round-1/2
-# stragglers. Append NEW queries near the head — a new query is by
-# definition never-driver-checked.
+# ordering contract): round-6 head = the 19 names VERDICT r5 flagged
+# as stale/never-sampled (exact order from VERDICT "Next round" item
+# 1): q90/q91 never sampled, the six round-4 hash-fail fixes whose
+# BIGINT-cast oracles need fresh driver evidence, the five whose
+# oracles were added after their last sample, q133-q137 which missed
+# round 5's 50-slot cut, and q44 (now carrying an exactly-oracled
+# twin). NEW round-6 queries go right AFTER this head (capped ~30 so
+# a 50-slot sample covers both), then prior rounds' names.
 _DRIVER_PRIORITY = (
+    # -- VERDICT r5 item 1: stale/never-sampled head (do not reorder) --
+    "q90_repetition_filter",
+    "q91_decontamination",
+    "q101_pii_redaction",
+    "q111_constraint_audit",
+    "q122_join_skew_diagnostics",
+    "q123_winsorize",
+    "q126_scd2_build",
+    "q129_cumulative_distinct_users",
+    "q81_pq_topk",
+    "q35_ivf_topk",
+    "q56_kmeans_ivf",
+    "q31_minhash_neardup",
+    "q33_simhash",
+    "q133_equal_freq_binning",
+    "q134_mad_outliers",
+    "q135_nation_pagerank",
+    "q136_streaming_sliding",
+    "q137_grouped_ols",
+    "q44_approx_distinct",
+    # -- new round-6 queries insert here --
+    # -- round-5 names (all pass(r5)) --
     "q184_bfs_reach",
     "q182_nearest_event_join",
     "q183_symspell_join",
@@ -8210,24 +8246,6 @@ _DRIVER_PRIORITY = (
     "q130_bm25_topk",
     "q131_salted_skew_join",
     "q132_last_touch_attribution",
-    "q133_equal_freq_binning",
-    "q134_mad_outliers",
-    "q135_nation_pagerank",
-    "q136_streaming_sliding",
-    "q137_grouped_ols",
-    "q90_repetition_filter",
-    "q91_decontamination",
-    "q101_pii_redaction",
-    "q111_constraint_audit",
-    "q122_join_skew_diagnostics",
-    "q123_winsorize",
-    "q126_scd2_build",
-    "q129_cumulative_distinct_users",
-    "q81_pq_topk",
-    "q35_ivf_topk",
-    "q56_kmeans_ivf",
-    "q31_minhash_neardup",
-    "q33_simhash",
     "q124_bigram_pmi",
     "q128_hierarchy_shares",
     "q127_point_in_time_join",

@@ -1,0 +1,98 @@
+"""Round-6 regression tests: the round-5 ADVICE items.
+
+1. (medium) ADP scalar-branch routing: a TripletMatrix operand is
+   neither Matrix nor Vector, so the old 'no Vector operand' guard
+   routed it into adp_eval_scalar's int/float-only resolver
+   (KeyError). It must fall through to the triplet path.
+2. (low) evaluate_formula returns a native float for scalar-only
+   formulas in BOTH modes (the ADP path used to leak an mpmath.mpf).
+3. (low) PinnedCache.store must not unpersist a frame the caller is
+   re-storing under the same key (identity match).
+"""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ssb_coefficient_maker_spark import FormulaEvaluator
+
+
+def _triplet_df(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "__row_id__": ["0", "0", "1", "1"],
+                "__col_id__": ["x", "y", "x", "y"],
+                "value": [1.0, 2.0, 3.0, 4.0],
+            }
+        )
+    )
+
+
+def test_adp_triplet_operand_routes_to_triplet_path(spark):
+    """adp_enabled=True + TripletMatrix operand: must evaluate via the
+    triplet plan (documented float64 demotion for triplet inputs), not
+    KeyError inside adp_eval_scalar (round-5 ADVICE, api.py:179)."""
+    fe = FormulaEvaluator(
+        {"t": _triplet_df(spark), "k": 2.0},
+        adp_enabled=True,
+        spark=spark,
+    )
+    res = fe.evaluate_formula("t * k")
+    got = {
+        (r["__row_id__"], r["__col_id__"]): r["value"] for r in res.collect()
+    }
+    assert got[("1", "y")] == 8.0
+
+
+def test_adp_triplet_plus_vector_refused_loudly(spark):
+    """Same hazard in the Vector branch: TripletMatrix + Vector under
+    ADP must not reach adp_eval_vectors' Vector-only resolver
+    (KeyError) nor the float64 triplet plan (silent all-NaN from the
+    string-carried ADP Series) — it is refused with a clear error,
+    the same pattern as the ADP-fusion guard."""
+    fe = FormulaEvaluator(
+        {"t": _triplet_df(spark), "u": pd.Series([10.0, 20.0])},
+        adp_enabled=True,
+        spark=spark,
+    )
+    with pytest.raises(NotImplementedError, match="TripletMatrix"):
+        fe.evaluate_formula("t + u")
+
+
+def test_adp_scalar_only_returns_native_float(spark):
+    """evaluate_formula's contract: 'a float for scalar-only formulas'
+    — in ADP mode too (the mpf is coerced after the zero-div guard)."""
+    fe = FormulaEvaluator(
+        {"k": 3.0}, adp_enabled=True, decimal_precision=30, spark=spark
+    )
+    got = fe.evaluate_formula("k * 2 + 1")
+    assert type(got) is float and got == 7.0
+    fe_off = FormulaEvaluator({"k": 3.0}, spark=spark)
+    assert type(fe_off.evaluate_formula("k * 2 + 1")) is float
+    # the zero-division guard still fires before the coercion
+    with pytest.raises(ZeroDivisionError):
+        fe.evaluate_formula("k / (k - 3)")
+
+
+def test_pinned_cache_restore_same_frames_keeps_persistence(spark):
+    """Re-storing the very frames already pinned under a key must not
+    strip their cached state (round-5 ADVICE, cachereg.py:66)."""
+    from ssb_coefficient_maker_spark.cachereg import PinnedCache
+
+    cache = PinnedCache("test_identity_restore")
+    df = spark.range(5).persist()
+    df.count()
+    try:
+        cache.store("corpus", "p", "v1", pinned=[df])
+        cache.store("corpus", "p", "v2", pinned=[df])  # same frame object
+        assert df.storageLevel.useMemory  # NOT unpersisted
+        assert cache.lookup("corpus", "p") == "v2"
+        # a genuinely replaced frame is still freed
+        df2 = spark.range(7).persist()
+        df2.count()
+        cache.store("corpus", "p", "v3", pinned=[df2])
+        assert not df.storageLevel.useMemory
+        assert df2.storageLevel.useMemory
+    finally:
+        cache.release()
