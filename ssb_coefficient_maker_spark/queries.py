@@ -3771,21 +3771,51 @@ GROUP BY 1 ORDER BY 1
 
 
 def q133_equal_freq_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Equal-frequency (decile) binning of order totals — NTILE over a
-    deterministic total order (price, then key to break ties), then
-    per-bin stats: the feature-engineering discretization that equal-
-    WIDTH histograms (q95) can't provide on skewed money columns.
-    NOTE the scale contract: a global NTILE is a total sort; at 100 TB
-    you'd compute approx percentile cut points (q62's sketch) and
-    bucketize by range instead — this query is the EXACT small-to-
-    medium-scale tool, and the per-bin rollup after it is an ordinary
-    hash agg."""
+    """Equal-frequency (decile) binning of order totals, EXACT and
+    scale-safe: identical output to NTILE(10) over (price, key) — the
+    oracle IS that global-window SQL — but computed without a global
+    total sort (round-5 VERDICT item 4, generalizing q164's bucketed
+    two-phase crossing from quantiles to full rank assignment):
+    (1) bucket the price axis (width 1000; at 100 TB derive from a
+    q62 sketch), (2) ONE tiny (bucket → count) agg gives each bucket
+    a carry-in rank offset and the global N via an unpartitioned
+    window over the aggregate-sized bucket table, (3) each row's
+    global rank = carry + row_number within its OWN bucket (a
+    PARTITIONED window — every sort is n/#buckets), (4) the NTILE bin
+    is a closed-form function of (rank, N): the first N%10 bins hold
+    ceil(N/10) rows, the rest floor(N/10). Buckets partition the
+    price axis, so per-bucket (price, key) order concatenated in
+    bucket order IS the global order — bit-identical bins, no stage
+    sorts more than one bucket."""
     from pyspark.sql import Window
 
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    width = 1000.0
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice",
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") / width).alias("bkt"),
+    )
+    bcnt = orders.groupBy("bkt").agg(F.count(F.lit(1)).alias("c"))
+    wcarry = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # tiny table (~#buckets rows): unpartitioned window is justified
+    b = bcnt.withColumn(
+        "carry", F.coalesce(F.sum("c").over(wcarry), F.lit(0))
+    ).withColumn("n_total", F.sum("c").over(Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)))
+    wloc = Window.partitionBy("bkt").orderBy("o_totalprice", "o_orderkey")
+    ranked = (
+        orders.join(F.broadcast(b), "bkt")
+        .withColumn("r", F.col("carry") + F.row_number().over(wloc))
+    )
+    q, rem = F.floor(F.col("n_total") / 10), F.col("n_total") % 10
+    big_span = rem * (q + 1)  # ranks covered by the (q+1)-sized bins
+    bin_expr = F.when(
+        F.col("r") <= big_span, F.ceil(F.col("r") / (q + 1))
+    ).otherwise(rem + F.ceil((F.col("r") - big_span) / q))
     return (
-        orders.withColumn("bin", F.ntile(10).over(w))
+        ranked.withColumn("bin", bin_expr.cast("int"))
         .groupBy("bin")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -5573,14 +5603,30 @@ def q166_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     word is ONE min-aggregate (the q129 cumulative-distinct trick:
     a word joins the vocabulary in the decile of its first document,
     so the cumulative count needs no distinct-per-prefix rescan);
-    deciles come from one ntile over the doc table."""
+    deciles come from doc_id cut points (the q139 range-bucketize
+    path: one tiny exact-percentile agg on the doc_id column ALONE —
+    at 100 TB an approx_percentile sketch — broadcast back as
+    literals, then a map-only bin expression), so the text column
+    never rides a global single-partition WindowExec sort. The only
+    remaining unpartitioned window is the final cumulative sum over
+    the 10-row decile table. Cuts snap to 1e-4 so both engines bin
+    identically; the oracle is pinned to the same cut construction
+    (round-5 VERDICT item 2)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    wd = Window.orderBy("doc_id")
+    cut_row = docs.select(
+        F.expr(
+            "percentile(doc_id, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))"
+        ).alias("cuts")
+    ).head()
+    cuts = [round(float(c), 4) for c in cut_row["cuts"]]
+    decile_expr = F.lit(1)
+    for c in cuts:
+        decile_expr = decile_expr + (F.col("doc_id") > F.lit(c)).cast("int")
     ranked = docs.select(
         "doc_id",
-        F.ntile(10).over(wd).alias("decile"),
+        decile_expr.alias("decile"),
         F.split(F.trim("text"), r"\s+").alias("ws"),
     )
     tok_per_decile = ranked.groupBy("decile").agg(
@@ -5606,10 +5652,17 @@ def q166_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q166_ORACLE = """
-WITH ranked AS (
-  SELECT doc_id, CAST(ntile(10) OVER (ORDER BY doc_id) AS INTEGER) AS decile,
-         regexp_split_to_array(trim(text), '\\s+') AS ws
+WITH cuts AS (
+  SELECT list_transform(
+           percentile_cont([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+             WITHIN GROUP (ORDER BY doc_id),
+           x -> round(x, 4)) AS cs
   FROM documents
+), ranked AS (
+  SELECT doc_id,
+         CAST(1 + len(list_filter(cs, c -> doc_id > c)) AS INTEGER) AS decile,
+         regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents CROSS JOIN cuts
 ), tok AS (
   SELECT decile, CAST(sum(len(ws)) AS BIGINT) AS n_tok FROM ranked GROUP BY 1
 ), first_seen AS (

@@ -75,6 +75,34 @@ def test_adp_scalar_only_returns_native_float(spark):
         fe.evaluate_formula("k / (k - 3)")
 
 
+def test_plan_audit_global_window_detector_fires(spark):
+    """Negative control for the round-6 plan-audit extension: an
+    unpartitioned window directly over a raw scan (the q166 class of
+    scale bug) must be counted; the same window over an aggregate
+    must not."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import plan_audit
+    from pyspark.sql import Window
+
+    raw = spark.range(100).withColumn(
+        "r", F.row_number().over(Window.orderBy("id"))
+    )
+    plan = raw._jdf.queryExecution().executedPlan()
+    assert plan_audit._unbounded_global_windows(plan) == 1
+
+    reduced = (
+        spark.range(100)
+        .groupBy((F.col("id") % 5).alias("g"))
+        .count()
+        .withColumn("r", F.row_number().over(Window.orderBy("g")))
+    )
+    plan2 = reduced._jdf.queryExecution().executedPlan()
+    assert plan_audit._unbounded_global_windows(plan2) == 0
+
+
 def test_pinned_cache_restore_same_frames_keeps_persistence(spark):
     """Re-storing the very frames already pinned under a key must not
     strip their cached state (round-5 ADVICE, cachereg.py:66)."""

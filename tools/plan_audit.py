@@ -7,6 +7,12 @@ Patterns flagged:
 - BroadcastNestedLoopJoin   — acceptable ONLY for 1-row broadcast
                               scalar joins (avgdl / corpus totals)
 - BatchEvalPython           — row-at-a-time Python UDF in the plan
+- global-window             — a WindowExec with an EMPTY partition
+  spec whose input subtree is NOT provably reduced (no aggregate /
+  limit on some path to a leaf). An unpartitioned window moves its
+  whole input to ONE partition; that is only acceptable over
+  aggregate-sized tables (decile/bucket rollups), never over raw
+  scans — the q166 class of scale bug (round-5 VERDICT item 3).
 
 Run:  python tools/plan_audit.py [sf_dir]
 Exits non-zero and prints the offending queries if any UNEXPECTED
@@ -36,11 +42,98 @@ WHITELIST: dict[str, tuple[str, str]] = {
     "q75_udtf_rle": ("py-row-udf", "deliberate UDTF extension-point showcase"),
 }
 
+# name -> justification. Queries allowed an unpartitioned WindowExec
+# over an input the reducedness heuristic can't prove bounded. Every
+# entry must name the bounded operand (cardinality argument), exactly
+# like the BNLJ whitelist.
+GLOBAL_WINDOW_WHITELIST: dict[str, str] = {
+    "q161_rrf_fusion": (
+        "fusion ranks run over the candidate union: an INNER join on "
+        "unique doc_id whose BM25 side is a term-filtered aggregate, "
+        "so the window input is bounded by that aggregate-sized "
+        "operand (the all-paths heuristic can't see join-key "
+        "uniqueness); at 100 TB the inputs are per-ranker top-k lists"
+    ),
+}
+
 PATTERNS = {
     "cartesian": "CartesianProduct",
     "bnlj": "BroadcastNestedLoopJoin",
     "py-row-udf": "BatchEvalPython",
 }
+
+# Nodes that reduce (or hard-bound) the cardinality flowing up a plan
+# branch. An aggregate's output is group-cardinality-sized — the
+# audit's proxy for "aggregate-sized table"; limits are exact bounds.
+_REDUCING = (
+    "HashAggregate",
+    "SortAggregate",
+    "ObjectHashAggregate",
+    "GlobalLimit",
+    "LocalLimit",
+    "CollectLimit",
+    "TakeOrderedAndProject",
+    "WindowGroupLimit",
+)
+
+
+def _children(node):
+    """All sub-plans of a JVM SparkPlan node: regular children, the
+    AQE wrapper's input plan, and subquery plans."""
+    out = []
+    if node.nodeName() == "AdaptiveSparkPlan":
+        try:
+            out.append(node.inputPlan())
+        except Exception:
+            try:
+                out.append(node.initialPlan())
+            except Exception:
+                pass
+    ch = node.children()
+    for i in range(ch.length()):
+        out.append(ch.apply(i))
+    try:
+        sq = node.subqueries()
+        for i in range(sq.length()):
+            out.append(sq.apply(i))
+    except Exception:
+        pass
+    return out
+
+
+def _walk(node):
+    yield node
+    for c in _children(node):
+        yield from _walk(c)
+
+
+def _is_reduced(node) -> bool:
+    """True iff EVERY path from this node down to a leaf passes
+    through a reducing node — i.e. the subtree's output cardinality is
+    aggregate/limit-bounded, so a single-partition window over it is
+    safe."""
+    if node.nodeName() in _REDUCING:
+        return True
+    kids = _children(node)
+    if not kids:
+        return False  # raw leaf (scan / in-memory relation)
+    return all(_is_reduced(c) for c in kids)
+
+
+def _unbounded_global_windows(plan) -> int:
+    """Count WindowExec nodes with an empty partition spec whose input
+    is not provably reduced."""
+    n = 0
+    for node in _walk(plan):
+        if node.nodeName() != "Window":
+            continue
+        try:
+            unpartitioned = node.partitionSpec().isEmpty()
+        except Exception:
+            continue
+        if unpartitioned and not all(_is_reduced(c) for c in _children(node)):
+            n += 1
+    return n
 
 
 def audit(spark, sf_dir: str) -> dict[str, list[str]]:
@@ -49,8 +142,14 @@ def audit(spark, sf_dir: str) -> dict[str, list[str]]:
 
     unexpected: dict[str, list[str]] = {}
     for name, spec in Q.REGISTRY.items():
-        plan = spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
-        flags = [key for key, marker in PATTERNS.items() if marker in plan]
+        plan = spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan()
+        plan_str = plan.toString()
+        flags = [key for key, marker in PATTERNS.items() if marker in plan_str]
+        if (
+            _unbounded_global_windows(plan) > 0
+            and name not in GLOBAL_WINDOW_WHITELIST
+        ):
+            flags.append("global-window")
         allowed = WHITELIST.get(name, (None, None))[0]
         bad = [f for f in flags if f != allowed]
         if bad:
@@ -77,7 +176,8 @@ def main() -> int:
     print(
         f"plan audit clean: {len(Q.REGISTRY)} queries, "
         f"{len(WHITELIST)} whitelisted exceptions (all justified 1-row/"
-        f"bounded broadcasts or the UDTF showcase)"
+        f"bounded broadcasts or the UDTF showcase), "
+        f"{len(GLOBAL_WINDOW_WHITELIST)} justified unpartitioned windows"
     )
     return 0
 
