@@ -78,6 +78,16 @@ class FormulaEvaluator:
         self.datasets: dict[str, Matrix | Vector | float] = {}
         for name, value in data_dict.items():
             self._register(name, value)
+        if self.verbose:
+            # reference trace shapes, coeff_maker.py:640-645
+            print(
+                f"FormulaEvaluator initialized with {len(data_dict)} variables"
+            )
+            print(
+                f"Settings: precision_mode="
+                f"{'mpmath' if adp_enabled else 'numpy'}, "
+                f"fill_invalid={fill_invalid}"
+            )
 
     def _register(self, name: str, value: Any) -> None:
         if not str(name).isidentifier():
@@ -130,19 +140,55 @@ class FormulaEvaluator:
     # -- parity surface (reference coeff_maker.py:673, :700, :800) --------
 
     def parse_formula(self, formula: str) -> FormulaExpr:
+        if self.verbose:
+            print(f"Parsing formula: {formula}")
         expr = parse_formula(formula)
         if self.verbose:
-            print(f"[parse] {formula!r} -> {expr}")
+            print(f"Parsed expression: {expr}")
         return expr
 
     def extract_variables(self, expr: FormulaExpr | str) -> list[str]:
-        return extract_variables(expr)
+        variables = extract_variables(expr)
+        if self.verbose:
+            print(f"Variables in expression: {variables}")
+        return variables
 
     def evaluate_formula(self, formula: str | FormulaExpr) -> Any:
         """Evaluate a formula; returns a lazy Spark DataFrame for matrix
         results, a pandas Series for vector-only results, a float for
         scalar-only formulas.
+
+        Verbose traces mirror the reference's message shapes
+        (coeff_maker.py:812-841): the evaluation banner, the division
+        note, and the completion line. One documented deviation: a
+        lazy Spark result prints ``lazy (Spark DataFrame)`` where the
+        reference prints the pandas shape — forcing a count() to
+        report a shape would defeat the lazy contract.
         """
+        if self.verbose:
+            shown = formula if isinstance(formula, str) else "<parsed>"
+            print(f"Evaluating formula: {shown}")
+            if "/" in str(shown):
+                print(
+                    "Note: Formula contains division. Invalid values will "
+                    + (
+                        "be replaced with zeros."
+                        if self.fill_invalid
+                        else "trigger warnings or errors."
+                    )
+                )
+        result = self._evaluate_formula(formula)
+        if self.verbose:
+            if isinstance(result, DataFrame):
+                shape: Any = "lazy (Spark DataFrame)"
+            elif hasattr(result, "shape"):
+                shape = result.shape
+            else:
+                shape = "scalar"
+            print(f"Formula evaluation complete. Result shape: {shape}")
+        return result
+
+    def _evaluate_formula(self, formula: str | FormulaExpr) -> Any:
         if isinstance(formula, FormulaExpr):
             expr = formula
             formula_str = "<parsed>"
@@ -494,23 +540,34 @@ class CoefficientCalculator:
         for _, row in self.coefficient_map.iterrows():
             name = row[self.result_name_col]
             formula = row[self.formula_name_col]
-            if formula is None or (isinstance(formula, float) and np.isnan(formula)):
-                continue
-            if not str(formula).strip():
+            if (
+                formula is None
+                or (isinstance(formula, float) and np.isnan(formula))
+                or not str(formula).strip()
+            ):
+                if self.verbose:
+                    # reference shape, coeff_maker.py:994 (the reference
+                    # prints unconditionally; gating on verbose is the
+                    # documented deviation — batch runs must not spam)
+                    print(f"Skipping coefficient {name}: No formula provided")
                 continue
             try:
                 expr = self.evaluator.parse_formula(str(formula))
             except Exception as exc:
                 if self.verbose:
-                    print(f"[skip] {name}: unparseable formula {formula!r}: {exc}")
+                    print(f"Skipping coefficient {name}: unparseable formula {formula!r}: {exc}")
                 continue
             variables = self.evaluator.extract_variables(expr)
             unknown = [v for v in variables if v not in self.evaluator.datasets]
             if unknown:
                 if self.verbose:
-                    print(f"[skip] {name}: missing variable(s) {unknown}")
+                    # reference shape, coeff_maker.py:1005
+                    print(f"Skipping coefficient {name}: Missing variables {unknown}")
                 continue
             results[name] = self.evaluator.evaluate_formula(str(formula))
+            if self.verbose:
+                # reference shape, coeff_maker.py:1014
+                print(f"Successfully computed coefficient: {name}")
         return results
 
     def compute_coefficients_fused(
@@ -563,13 +620,13 @@ class CoefficientCalculator:
                 expr = self.evaluator.parse_formula(str(formula))
             except Exception as exc:
                 if self.verbose:
-                    print(f"[skip] {name}: unparseable formula {formula!r}: {exc}")
+                    print(f"Skipping coefficient {name}: unparseable formula {formula!r}: {exc}")
                 continue
             variables = self.evaluator.extract_variables(expr)
             unknown = [v for v in variables if v not in self.evaluator.datasets]
             if unknown:
                 if self.verbose:
-                    print(f"[skip] {name}: missing variable(s) {unknown}")
+                    print(f"Skipping coefficient {name}: Missing variables {unknown}")
                 continue
             frame_names = frozenset(
                 v

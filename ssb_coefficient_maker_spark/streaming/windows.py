@@ -234,7 +234,20 @@ def state_sized_session(spark: SparkSession, partitions: int = STATE_PARTITIONS)
     — and for checkpointed queries Spark pins it at first run, so
     restarts keep the original partitioning regardless of conf.
     newSession shares the JVM and catalog but isolates conf, so the
-    caller's batch plans are untouched."""
+    caller's batch plans are untouched.
+
+    The clone is memoized per (parent session, partitions): all
+    streaming queries in a run share ONE state-sized session (round-4
+    advisory), so repeated invocations don't accumulate session
+    state or re-pay conf propagation."""
+    key = (id(spark), partitions)
+    cached = _STATE_SESSIONS.get(key)
+    if cached is not None:
+        return cached
     s2 = spark.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    _STATE_SESSIONS[key] = s2
     return s2
+
+
+_STATE_SESSIONS: dict[tuple[int, int], SparkSession] = {}

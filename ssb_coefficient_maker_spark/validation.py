@@ -118,11 +118,29 @@ def validate(
     ``validate`` (coeff_maker.py:68-141).
     """
     status = invalid_status(df, value_cols)
-    if verbose:
-        print(
-            f"[validate] formula={formula_str!r} cells={status.n_cells} "
-            f"invalid={status.n_invalid} nan={status.n_nan} inf={status.n_inf}"
-        )
+    if verbose and status.n_invalid > 0:
+        # reference trace shapes (_log_invalid_details,
+        # coeff_maker.py:385-415)
+        if status.all_invalid:
+            print("WARNING: Result contains all invalid values")
+        else:
+            pct_v = (
+                100.0 * status.n_invalid / status.n_cells
+                if status.n_cells
+                else 0.0
+            )
+            print(
+                f"WARNING: Result contains {status.n_invalid}/"
+                f"{status.n_cells} ({pct_v:.2f}%) invalid values"
+            )
+            if status.has_nan and status.has_inf:
+                print(" - Result contains both NaN and Inf values")
+            elif status.has_nan:
+                print(" - Result contains NaN values")
+            elif status.has_inf:
+                print(" - Result contains Inf values (division by zero)")
+        if fill:
+            print("Invalid values will be replaced with zeros")
     if status.n_invalid == 0:
         return df, 0
     if fill:
@@ -132,8 +150,8 @@ def validate(
         # unconditionally would spam every normal evaluation.
         if verbose:
             print(
-                f"Filled {status.n_invalid} invalid value(s) with 0 in "
-                f"result of formula '{formula_str}'"
+                f"Replaced {status.n_invalid} invalid values (NaN/Inf) "
+                f"with zeros"
             )
         return fill_invalid(df, value_cols), status.n_invalid
     if status.all_invalid:

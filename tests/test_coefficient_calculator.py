@@ -400,9 +400,10 @@ def test_verbose_tracing_surfaces(spark, capsys):
     results = calc.compute_coefficients()
     out = capsys.readouterr().out
     assert set(results) == {"ok"}
-    assert "[parse]" in out and "'a + b'" in out
-    assert "[skip] bad_parse" in out and "unparseable" in out
-    assert "[skip] missing_var" in out and "nosuch" in out
+    assert "Parsing formula: a + b" in out
+    assert "Successfully computed coefficient: ok" in out
+    assert "Skipping coefficient bad_parse" in out and "unparseable" in out
+    assert "Skipping coefficient missing_var: Missing variables" in out
 
     # silent when verbose=False
     calc_quiet = CoefficientCalculator(
@@ -412,7 +413,9 @@ def test_verbose_tracing_surfaces(spark, capsys):
         formula_name_col="formula",
     )
     calc_quiet.compute_coefficients()
-    assert "[parse]" not in capsys.readouterr().out
+    quiet_out = capsys.readouterr().out
+    assert "Parsing formula" not in quiet_out
+    assert "Skipping coefficient" not in quiet_out
 
 
 @st.composite

@@ -75,6 +75,107 @@ def test_adp_scalar_only_returns_native_float(spark):
         fe.evaluate_formula("k / (k - 3)")
 
 
+def test_a18_verbose_trace_message_shapes(spark, capsys):
+    """A18 parity: verbose traces mirror the reference's message
+    shapes (coeff_maker.py:640-645 init banner, :686-716 parse/var
+    traces, :812-841 evaluation banner + division note + completion
+    line, :385-415 validation warnings, :994-1014 calculator skip/
+    success lines). Documented deviations: traces are verbose-gated
+    (the reference's calculator prints unconditionally) and a lazy
+    Spark result reports 'lazy (Spark DataFrame)' instead of a
+    pandas shape."""
+    import warnings
+
+    from ssb_coefficient_maker_spark import CoefficientCalculator
+
+    fe = FormulaEvaluator(
+        {"a": pd.DataFrame({"x": [1.0, 2.0]}), "k": 2.0},
+        verbose=True,
+        spark=spark,
+    )
+    out = capsys.readouterr().out
+    assert "FormulaEvaluator initialized with 2 variables" in out
+    assert "Settings: precision_mode=numpy, fill_invalid=False" in out
+
+    fe.evaluate_formula("a * k")
+    out = capsys.readouterr().out
+    assert "Evaluating formula: a * k" in out
+    assert "Parsing formula: a * k" in out
+    assert "Parsed expression:" in out
+    assert "Variables in expression:" in out
+    assert (
+        "Formula evaluation complete. Result shape: lazy (Spark DataFrame)"
+        in out
+    )
+    assert "Note: Formula contains division" not in out
+
+    # division note, fill branch, and the validation fill trace
+    fe_fill = FormulaEvaluator(
+        {
+            "a": pd.DataFrame({"x": [1.0, 2.0]}),
+            "b": pd.DataFrame({"x": [0.0, 1.0]}),
+        },
+        fill_invalid=True,
+        verbose=True,
+        spark=spark,
+    )
+    capsys.readouterr()
+    fe_fill.evaluate_formula("a / b")
+    out = capsys.readouterr().out
+    assert (
+        "Note: Formula contains division. Invalid values will be "
+        "replaced with zeros." in out
+    )
+    assert "WARNING: Result contains 1/2 (50.00%) invalid values" in out
+    assert " - Result contains Inf values (division by zero)" in out
+    assert "Invalid values will be replaced with zeros" in out
+    assert "Replaced 1 invalid values (NaN/Inf) with zeros" in out
+
+    # warn path (no fill): division note names the warning branch
+    fe_warn = FormulaEvaluator(
+        {
+            "a": pd.DataFrame({"x": [1.0, 2.0]}),
+            "b": pd.DataFrame({"x": [0.0, 1.0]}),
+        },
+        verbose=True,
+        spark=spark,
+    )
+    capsys.readouterr()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        fe_warn.evaluate_formula("a / b")
+    out = capsys.readouterr().out
+    assert (
+        "Note: Formula contains division. Invalid values will "
+        "trigger warnings or errors." in out
+    )
+
+    # calculator skip/success shapes
+    cmap = pd.DataFrame(
+        {
+            "name": ["good", "no_formula", "missing_var"],
+            "formula": ["a * 2", "", "a + zz"],
+        }
+    )
+    calc = CoefficientCalculator(
+        {"a": pd.DataFrame({"x": [1.0]})},
+        cmap,
+        result_name_col="name",
+        formula_name_col="formula",
+        verbose=True,
+        spark=spark,
+    )
+    capsys.readouterr()
+    res = calc.compute_coefficients()
+    out = capsys.readouterr().out
+    assert "Successfully computed coefficient: good" in out
+    assert "Skipping coefficient no_formula: No formula provided" in out
+    assert (
+        "Skipping coefficient missing_var: Missing variables ['zz']" in out
+    )
+    assert set(res) == {"good"}
+
+
 def test_plan_audit_global_window_detector_fires(spark):
     """Negative control for the round-6 plan-audit extension: an
     unpartitioned window directly over a raw scan (the q166 class of
@@ -101,6 +202,32 @@ def test_plan_audit_global_window_detector_fires(spark):
     )
     plan2 = reduced._jdf.queryExecution().executedPlan()
     assert plan_audit._unbounded_global_windows(plan2) == 0
+
+
+def test_oracle_types_portable(sf_dir):
+    """Hard CI gate (round-5 VERDICT item 9): every registry oracle
+    must BIND (DuckDB DESCRIBE — no execution) without HUGEINT /
+    unsigned / DECIMAL columns, the type class whose pandas rendering
+    diverges from Spark's and breaks the driver's type-sensitive
+    hash. New oracles must cast from day one."""
+    import sys
+    from pathlib import Path
+
+    import duckdb
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import check_oracles
+
+    from ssb_coefficient_maker_spark.queries import REGISTRY
+    from ssb_coefficient_maker_spark.sources.loaders import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    bad = check_oracles.oracle_type_violations(con, REGISTRY)
+    assert not bad, f"oracles binding banned types: {bad}"
 
 
 def test_pinned_cache_restore_same_frames_keeps_persistence(spark):

@@ -90,7 +90,9 @@ def test_validate_fill_path(mixed, recwarn, capsys):
     assert status.n_invalid == 0
     # verbose prints the fill count
     validate(mixed.df, mixed.value_cols, "a + b", fill=True, verbose=True)
-    assert "Filled 3" in capsys.readouterr().out
+    out = capsys.readouterr().out
+    assert "Replaced 3 invalid values (NaN/Inf) with zeros" in out
+    assert "WARNING: Result contains 3/6 (50.00%) invalid values" in out
 
 
 def test_validate_clean_no_warning(all_good, recwarn):

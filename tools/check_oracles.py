@@ -85,9 +85,60 @@ def compare(name: str, sdf: pd.DataFrame, ddf: pd.DataFrame) -> list[str]:
     return problems
 
 
+# DuckDB SQL types whose pandas rendering diverges from Spark's and
+# breaks the driver's type-sensitive value hash: HUGEINT (an integer
+# SUM left uncast — lands in pandas as float64 '123.0' where Spark's
+# BIGINT prints '123'; the round-4 q101/q111/... class), unsigned
+# ints, and DECIMAL (object-of-Decimal vs float64).
+BANNED_ORACLE_TYPES = (
+    "HUGEINT",
+    "UHUGEINT",
+    "DECIMAL",
+    "UBIGINT",
+    "UINTEGER",
+    "USMALLINT",
+    "UTINYINT",
+)
+
+
+def oracle_type_violations(con, registry) -> list[tuple[str, str, str]]:
+    """DESCRIBE every oracle (binds, no execution) and return
+    (query, column, type) for any column binding to a banned type.
+    The cheap CI gate (round-5 VERDICT item 9) that stops the HUGEINT
+    class of driver-hash bug at commit time."""
+    out = []
+    for name, spec in registry.items():
+        if not spec.oracle:
+            continue
+        desc = con.execute(f"DESCRIBE {spec.oracle}").fetchall()
+        for col, typ, *_ in desc:
+            if typ.upper().startswith(BANNED_ORACLE_TYPES):
+                out.append((name, col, typ))
+    return out
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--types"]
+    types_only = "--types" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
+
+    if types_only:
+        from ssb_coefficient_maker_spark.queries import REGISTRY
+        from ssb_coefficient_maker_spark.sources.loaders import TABLES
+
+        con = duckdb.connect()
+        for t in TABLES:
+            path = f"{sf_dir}/{t}.parquet"
+            src = f"{path}/*.parquet" if os.path.isdir(path) else path
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+        bad = oracle_type_violations(con, REGISTRY)
+        for name, col, typ in bad:
+            print(f"FAIL {name}: column {col} binds to {typ} — cast it "
+                  f"(e.g. CAST(... AS BIGINT)) or the driver hash diverges")
+        n = sum(1 for s in REGISTRY.values() if s.oracle)
+        print(f"\n{len(bad)} banned-type columns across {n} oracles")
+        return 1 if bad else 0
 
     from ssb_coefficient_maker_spark.queries import REGISTRY
     from ssb_coefficient_maker_spark.session import get_spark
