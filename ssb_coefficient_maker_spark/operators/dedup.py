@@ -488,3 +488,72 @@ def q91_decontamination(
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (round-5 VERDICT item 5 — q172's own
+# docstring named CDC "the 100 TB upgrade, same plan")
+# ---------------------------------------------------------------------------
+
+CDC_WINDOW = 16
+CDC_MASK = "07"  # cut iff md5(window)[:2] <= mask: p = 8/256 = 1/32
+
+
+def cdc_bounds_expr(
+    text_col: str, window: int = CDC_WINDOW, mask: str = CDC_MASK
+) -> Column:
+    """Sorted content-defined boundary array [0, cut_1, ..., len] of
+    ``text_col``.
+
+    A position p (1-based, p >= window) is a cut point iff the md5 of
+    the window ENDING at p satisfies the mask:
+    ``md5(substring(text, p-window+1, window))[:2] <= mask`` — a pure
+    per-position predicate, so boundaries depend only on LOCAL
+    content. An insertion shifts every fixed-size chunk boundary
+    after it (q172's fixed-size manifest misses the duplicate); CDC
+    boundaries re-align within ~window chars, so the shared suffix
+    chunks identically (the rsync/LBFS/FastCDC property).
+
+    One JVM expression (sequence → filter → sort/distinct): no Python
+    in the path, and md5-on-window is deliberately engine-portable so
+    the DuckDB oracle replicates the boundaries bit-for-bit. At
+    100 TB swap the per-position md5 for an O(1)-per-byte gear
+    rolling hash (a native expression or a mapInPandas seam like the
+    multimodal decode stub); the plan around it — explode digests,
+    shuffle digests only — is unchanged. Statelessness is the point:
+    no min/max chunk clamps, which would make cut points depend on
+    PRIOR cuts and serialize the scan.
+
+    The guard ``length >= window`` matters: Spark's ``sequence(a, b)``
+    generates DESCENDING steps when b < a, so short docs must yield
+    array() rather than a reversed range. Short docs become one
+    whole-text chunk ([0, len] bounds).
+    """
+    t, w = text_col, window
+    return F.expr(
+        f"""
+        array_sort(array_distinct(concat(
+          array(0),
+          CASE WHEN length({t}) >= {w} THEN
+            filter(sequence({w}, length({t})),
+                   p -> substring(md5(substring({t}, p - {w - 1}, {w})), 1, 2) <= '{mask}')
+          ELSE array() END,
+          array(length({t})))))
+        """
+    )
+
+
+def cdc_digests_expr(text_col: str, bounds_col: str = "bounds") -> Column:
+    """md5 digest per content-defined chunk, from a materialized
+    ``cdc_bounds_expr`` column (materialize bounds ONCE — the
+    per-position window hashing is the expensive part)."""
+    t, b = text_col, bounds_col
+    return F.expr(
+        f"""
+        zip_with(
+          slice({b}, 1, size({b}) - 1),
+          slice({b}, 2, size({b}) - 1),
+          (a, c) -> md5(substring({t}, a + 1, c - a))
+        )
+        """
+    )

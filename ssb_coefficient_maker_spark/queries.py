@@ -7029,6 +7029,95 @@ ORDER BY cos_sim DESC, e.vec_id LIMIT {topk}
 _Q81_ORACLE = _pq_oracle()
 
 
+# --------------------------------------------------------- round-6 additions
+
+
+def q185_cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking manifest — the declared 100 TB upgrade
+    of q172's fixed-size chunking (its own docstring): chunk
+    boundaries come from a per-position rolling-window digest
+    predicate (operators/dedup.cdc_bounds_expr), so an INSERTION only
+    shifts boundaries locally — the shared remainder of two
+    near-identical blobs still chunks to identical digests, which
+    fixed-size chunking misses entirely (pinned by
+    tests/test_round6_ops.py::test_cdc_survives_shifted_insertion).
+
+    Plan shape is q172's: bounds materialize ONCE per doc (one
+    map-only projection, all JVM higher-order functions), digests
+    explode, and ONLY (source, digest, chunk_len) triples shuffle —
+    blobs never move. The rollup is source-sized. At 100 TB the
+    per-position md5 window hash becomes a gear rolling hash (native
+    expression or mapInPandas seam); everything downstream is
+    unchanged. Oracle replicates the boundary algorithm bit-for-bit
+    in DuckDB (md5 is engine-portable)."""
+    from ssb_coefficient_maker_spark.operators.dedup import (
+        cdc_bounds_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = (
+        docs.select("source", "text", cdc_bounds_expr("text").alias("b"))
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "zip_with(slice(b, 1, size(b) - 1),"
+                    "         slice(b, 2, size(b) - 1),"
+                    "  (a, c) -> named_struct("
+                    "    'd', md5(substring(text, a + 1, c - a)),"
+                    "    'clen', c - a))"
+                )
+            ).alias("ch"),
+        )
+        .select("source", F.col("ch.d").alias("d"), F.col("ch.clen").alias("clen"))
+    )
+    return (
+        chunks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.countDistinct("d").alias("n_distinct"),
+            F.round(F.avg("clen"), 4).alias("avg_chunk_len"),
+        )
+        .select(
+            "source",
+            "n_chunks",
+            "n_distinct",
+            F.round(
+                (F.col("n_chunks") - F.col("n_distinct")) / F.col("n_chunks"), 6
+            ).alias("redundancy"),
+            "avg_chunk_len",
+        )
+        .orderBy("source")
+    )
+
+
+_Q185_ORACLE = """
+WITH b AS (
+  SELECT source, text,
+    list_sort(list_distinct(list_concat(list_concat([0],
+      CASE WHEN length(text) >= 16 THEN
+        list_filter(range(16, length(text) + 1),
+          p -> substring(md5(substring(text, p - 15, 16)), 1, 2) <= '07')
+      ELSE [] END),
+      [length(text)]))) AS bounds
+  FROM documents
+), chunks AS (
+  SELECT source,
+         unnest(list_transform(range(2, len(bounds) + 1),
+           j -> md5(substring(text, bounds[j-1] + 1, bounds[j] - bounds[j-1])))) AS d,
+         unnest(list_transform(range(2, len(bounds) + 1),
+           j -> bounds[j] - bounds[j-1])) AS clen
+  FROM b
+)
+SELECT source, count(*) AS n_chunks,
+       CAST(count(DISTINCT d) AS BIGINT) AS n_distinct,
+       round(CAST(count(*) - count(DISTINCT d) AS DOUBLE) / count(*), 6)
+         AS redundancy,
+       round(avg(clen), 4) AS avg_chunk_len
+FROM chunks GROUP BY 1 ORDER BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(
         relational.q01_pricing_summary,
@@ -7770,6 +7859,7 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "q183_symspell_join": QuerySpec(q183_symspell_join, _Q183_ORACLE, "dedup"),
     "q184_bfs_reach": QuerySpec(q184_bfs_reach, _Q184_ORACLE, "join"),
+    "q185_cdc_chunking": QuerySpec(q185_cdc_chunking, _Q185_ORACLE, "dedup"),
     "q150_media_dedup": QuerySpec(q150_media_dedup, _Q150_ORACLE, "multimodal"),
     "q151_top_decile_curation": QuerySpec(
         q151_top_decile_curation, _Q151_ORACLE, "text"
@@ -8248,6 +8338,7 @@ _DRIVER_PRIORITY = (
     "q137_grouped_ols",
     "q44_approx_distinct",
     # -- new round-6 queries insert here --
+    "q185_cdc_chunking",
     # -- round-5 names (all pass(r5)) --
     "q184_bfs_reach",
     "q182_nearest_event_join",

@@ -204,6 +204,56 @@ def test_plan_audit_global_window_detector_fires(spark):
     assert plan_audit._unbounded_global_windows(plan2) == 0
 
 
+def test_cdc_survives_shifted_insertion(spark):
+    """The property that motivates q185 over q172: insert a prefix
+    into a copy of a document and the FIXED-size chunk digests share
+    (almost) nothing, while the CDC digests still overlap heavily —
+    boundaries re-align after the insertion because they depend only
+    on local content."""
+    import hashlib
+    import random
+
+    from ssb_coefficient_maker_spark.operators.dedup import (
+        cdc_bounds_expr,
+    )
+
+    rng = random.Random(42)
+    base = " ".join(
+        "".join(rng.choice("abcdefghijklmnop ") for _ in range(8))
+        for _ in range(400)
+    )
+    shifted = "INSERTED-PREFIX-OF-ODD-LENGTH-37b " + base
+    df = spark.createDataFrame(
+        [("orig", base), ("shifted", shifted)], ["doc", "text"]
+    )
+    out = (
+        df.withColumn("b", cdc_bounds_expr("text"))
+        .selectExpr(
+            "doc",
+            "zip_with(slice(b, 1, size(b) - 1), slice(b, 2, size(b) - 1),"
+            " (a, c) -> md5(substring(text, a + 1, c - a))) AS ds",
+        )
+        .collect()
+    )
+    cdc = {r["doc"]: set(r["ds"]) for r in out}
+    assert len(cdc["orig"]) > 10  # enough chunks to be meaningful
+    cdc_overlap = len(cdc["orig"] & cdc["shifted"]) / len(cdc["orig"])
+    assert cdc_overlap > 0.8, f"CDC overlap only {cdc_overlap:.2f}"
+
+    def fixed_digests(text: str, chunk: int = 64) -> set:
+        return {
+            hashlib.md5(text[i : i + chunk].encode()).hexdigest()
+            for i in range(0, len(text), chunk)
+        }
+
+    fx_orig, fx_shift = fixed_digests(base), fixed_digests(shifted)
+    fixed_overlap = len(fx_orig & fx_shift) / len(fx_orig)
+    assert fixed_overlap < 0.1, (
+        f"fixed-size unexpectedly robust: {fixed_overlap:.2f}"
+    )
+    assert cdc_overlap > fixed_overlap + 0.5
+
+
 def test_oracle_types_portable(sf_dir):
     """Hard CI gate (round-5 VERDICT item 9): every registry oracle
     must BIND (DuckDB DESCRIBE — no execution) without HUGEINT /
