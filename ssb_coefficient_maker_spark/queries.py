@@ -7118,6 +7118,281 @@ FROM chunks GROUP BY 1 ORDER BY 1
 """
 
 
+def q186_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone PIVOT coverage (q24 uses pivot internally for the
+    formula engine; this is the user-facing cross-tab): order counts
+    and total value as a (year × priority) matrix. Spark's
+    ``groupBy().pivot(col, values)`` with an EXPLICIT value list
+    compiles to one hash aggregate with conditional aggregation — no
+    second pass to discover pivot keys, no extra shuffle vs a plain
+    groupBy. The oracle uses the same conditional-aggregation form
+    (engine-portable; DuckDB's PIVOT syntax is sugar over it).
+    At 100 TB: identical cost to a groupBy on the row key — the pivot
+    width (5 priorities) is a literal constant."""
+    orders = load_table(spark, sf_dir, "orders")
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    piv = (
+        orders.select(
+            F.year("o_orderdate").alias("yr"), "o_orderpriority"
+        )
+        .groupBy("yr")
+        .pivot("o_orderpriority", prios)
+        .count()
+    )
+    cols = [F.col("yr").cast("int").alias("yr")] + [
+        F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(f"p{i+1}")
+        for i, p in enumerate(prios)
+    ]
+    return piv.select(*cols).orderBy("yr")
+
+
+_Q186_ORACLE = """
+SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(count(*) FILTER (o_orderpriority = '1-URGENT') AS BIGINT) AS p1,
+       CAST(count(*) FILTER (o_orderpriority = '2-HIGH') AS BIGINT) AS p2,
+       CAST(count(*) FILTER (o_orderpriority = '3-MEDIUM') AS BIGINT) AS p3,
+       CAST(count(*) FILTER (o_orderpriority = '4-NOT SPECIFIED') AS BIGINT) AS p4,
+       CAST(count(*) FILTER (o_orderpriority = '5-LOW') AS BIGINT) AS p5
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def q187_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt coverage — the wide→long reshape every metrics
+    store needs: one hash aggregate computes three metrics per return
+    flag, then ``stack()`` melts the 3-wide row into (flag, metric,
+    value) triples. stack is a PROJECTION (generator over literals):
+    zero extra shuffles, output is 3× the aggregate's row count — the
+    aggregate-then-melt order matters at 100 TB (melting raw rows
+    first would triple the shuffle volume). Oracle uses the portable
+    UNION ALL form."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+    )
+    return (
+        wide.selectExpr(
+            "l_returnflag",
+            "stack(3, 'sum_qty', sum_qty, 'sum_price', sum_price,"
+            " 'avg_disc', avg_disc) AS (metric, value)",
+        )
+        .orderBy("l_returnflag", "metric")
+    )
+
+
+_Q187_ORACLE = """
+WITH wide AS (
+  SELECT l_returnflag,
+         round(sum(l_quantity), 4) AS sum_qty,
+         round(sum(l_extendedprice), 4) AS sum_price,
+         round(avg(l_discount), 6) AS avg_disc
+  FROM lineitem GROUP BY 1
+)
+SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+UNION ALL
+SELECT l_returnflag, 'sum_price', sum_price FROM wide
+UNION ALL
+SELECT l_returnflag, 'avg_disc', avg_disc FROM wide
+ORDER BY l_returnflag, metric
+"""
+
+
+def q188_window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic rank-function family in one partitioned pass:
+    percent_rank, cume_dist, and quartile (ntile) of customer account
+    balance WITHIN market segment, reporting the top 3 balances per
+    segment. ONE window spec serves all three functions (one sort per
+    partition, functions share the frame); the partition key is the
+    segment, so no global sort exists and partitions scale with the
+    segment count × customers-per-segment. Tie-break on custkey makes
+    every rank deterministic."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return (
+        cust.select(
+            "c_mktsegment",
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+        .orderBy("c_mktsegment", F.desc("acctbal"), "c_custkey")
+    )
+
+
+_Q188_ORACLE = """
+WITH ranked AS (
+  SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal,
+         round(percent_rank() OVER w, 6) AS pct_rank,
+         round(cume_dist() OVER w, 6) AS cume,
+         CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+         row_number() OVER w AS rn
+  FROM customer
+  WINDOW w AS (PARTITION BY c_mktsegment
+               ORDER BY c_acctbal DESC, c_custkey ASC)
+)
+SELECT c_mktsegment, c_custkey, acctbal, pct_rank, cume, quartile
+FROM ranked WHERE rn <= 3
+ORDER BY c_mktsegment, acctbal DESC, c_custkey
+"""
+
+
+def q189_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — INTERSECT ALL / EXCEPT ALL,
+    the multiplicity-preserving variants q14-q16 don't cover: compare
+    the bag of customers-with-an-order between 1995 and 1996
+    (a customer ordering 3× in both years contributes 3 to the
+    intersection, not 1). Spark's intersectAll/exceptAll compile to a
+    count-aggregate + generate (no quadratic join); output is the
+    per-customer multiplicity rollup of each result, capped to the
+    20 busiest. At 100 TB both inputs reduce to (key, count) before
+    comparing — shuffle carries keys, not order rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    by_year = lambda y: orders.filter(  # noqa: E731
+        F.year("o_orderdate") == y
+    ).select("o_custkey")
+    a, b = by_year(1995), by_year(1996)
+    both = (
+        a.intersectAll(b)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    only95 = (
+        a.exceptAll(b)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_only95"))
+    )
+    return (
+        both.join(only95, "o_custkey", "full")
+        .select(
+            "o_custkey",
+            F.coalesce("n_both", F.lit(0)).alias("n_both"),
+            F.coalesce("n_only95", F.lit(0)).alias("n_only95"),
+        )
+        .orderBy(F.desc("n_both"), F.desc("n_only95"), "o_custkey")
+        .limit(20)
+    )
+
+
+_Q189_ORACLE = """
+WITH a AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+     b AS (SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996),
+     both_ms AS (
+       SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_both
+       FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 1
+     ),
+     only95_ms AS (
+       SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_only95
+       FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 1
+     )
+SELECT o_custkey,
+       coalesce(n_both, 0) AS n_both,
+       coalesce(n_only95, 0) AS n_only95
+FROM both_ms FULL JOIN only95_ms USING (o_custkey)
+ORDER BY n_both DESC, n_only95 DESC, o_custkey LIMIT 20
+"""
+
+
+def q190_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization — the canonical event-analytics
+    operator: a session breaks after 30 min of inactivity; a session
+    id is the running count of breaks (lag + cumulative sum, BOTH over
+    the per-user window — no global sort anywhere). Output is the
+    session-quality profile per user cohort (user_id % 10): session
+    counts, events per session, and median session duration. At
+    100 TB the only shuffle is the user_id hash partition; every
+    window sorts one user's events. (Streaming twin: session windows
+    in streaming/windows.py — this is the batch replay shape.)
+    Engine pin: Spark's ``cast(ts AS long)`` TRUNCATES sub-second
+    parts, so the oracle uses ``floor(epoch(ts))`` — DuckDB's bare
+    ``epoch()`` keeps fractions and drifts the averages."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            (
+                F.col("ts").cast("long")
+                - F.lag(F.col("ts").cast("long"), 1).over(wu)
+            ).alias("gap_s"),
+        )
+        .withColumn(
+            "is_new",
+            F.when(
+                F.col("gap_s").isNull() | (F.col("gap_s") > 1800), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "session_no",
+            F.sum("is_new").over(
+                wu.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    per_session = sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))
+        ).alias("dur_s"),
+    )
+    return (
+        per_session.groupBy((F.col("user_id") % 10).alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.round(F.avg("n_events"), 4).alias("avg_events"),
+            F.round(F.avg("dur_s"), 4).alias("avg_dur_s"),
+            F.max("n_events").alias("max_events"),
+        )
+        .orderBy("cohort")
+    )
+
+
+_Q190_ORACLE = """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events
+), marked AS (
+  SELECT user_id, ts,
+         CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS is_new,
+         event_id
+  FROM gaps
+), numbered AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM marked
+), per_session AS (
+  SELECT user_id, session_no, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(max(CAST(floor(epoch(ts)) AS BIGINT))
+              - min(CAST(floor(epoch(ts)) AS BIGINT)) AS BIGINT) AS dur_s
+  FROM numbered GROUP BY 1, 2
+)
+SELECT user_id % 10 AS cohort,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       round(avg(n_events), 4) AS avg_events,
+       round(avg(dur_s), 4) AS avg_dur_s,
+       CAST(max(n_events) AS BIGINT) AS max_events
+FROM per_session GROUP BY 1 ORDER BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(
         relational.q01_pricing_summary,
@@ -7860,6 +8135,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "q183_symspell_join": QuerySpec(q183_symspell_join, _Q183_ORACLE, "dedup"),
     "q184_bfs_reach": QuerySpec(q184_bfs_reach, _Q184_ORACLE, "join"),
     "q185_cdc_chunking": QuerySpec(q185_cdc_chunking, _Q185_ORACLE, "dedup"),
+    "q186_pivot_matrix": QuerySpec(q186_pivot_matrix, _Q186_ORACLE, "aggregation"),
+    "q187_unpivot_metrics": QuerySpec(q187_unpivot_metrics, _Q187_ORACLE, "aggregation"),
+    "q188_window_rank_family": QuerySpec(q188_window_rank_family, _Q188_ORACLE, "window"),
+    "q189_multiset_ops": QuerySpec(q189_multiset_ops, _Q189_ORACLE, "setop"),
+    "q190_sessionization": QuerySpec(q190_sessionization, _Q190_ORACLE, "window"),
     "q150_media_dedup": QuerySpec(q150_media_dedup, _Q150_ORACLE, "multimodal"),
     "q151_top_decile_curation": QuerySpec(
         q151_top_decile_curation, _Q151_ORACLE, "text"
@@ -8339,6 +8619,11 @@ _DRIVER_PRIORITY = (
     "q44_approx_distinct",
     # -- new round-6 queries insert here --
     "q185_cdc_chunking",
+    "q186_pivot_matrix",
+    "q187_unpivot_metrics",
+    "q188_window_rank_family",
+    "q189_multiset_ops",
+    "q190_sessionization",
     # -- round-5 names (all pass(r5)) --
     "q184_bfs_reach",
     "q182_nearest_event_join",
