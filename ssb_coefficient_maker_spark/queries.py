@@ -7393,6 +7393,292 @@ FROM per_session GROUP BY 1 ORDER BY 1
 """
 
 
+def q191_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day active users and DAU/WAU stickiness — the
+    engagement ratio every growth dashboard tracks. Sliding DISTINCT
+    is the hard part (a user active twice in a window counts once):
+    reduce events to the (user, day) distinct table FIRST, then
+    explode each activity day to the 7 target days it supports — a
+    bounded ×7 fan-out of the already-reduced table — and
+    countDistinct per target day. No window function touches raw
+    events; shuffles carry (user, day) pairs only. At 100 TB the
+    fan-out factor is the window length — constant — and the final
+    agg is calendar-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    span = ud.select(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    fan = ud.select(
+        "user_id",
+        F.explode(
+            F.expr("sequence(day, date_add(day, 6))")
+        ).alias("tday"),
+    )
+    wau = fan.groupBy("tday").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    dau = ud.groupBy("day").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    return (
+        dau.join(wau, dau["day"] == wau["tday"])
+        .crossJoin(F.broadcast(span))
+        .filter(F.col("day") <= F.col("hi"))
+        .select(
+            F.col("day").cast("string").alias("day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
+
+
+_Q191_ORACLE = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), fan AS (
+  SELECT user_id, day + CAST(o.x AS INTEGER) AS tday
+  FROM ud, (SELECT unnest(range(0, 7)) AS x) o
+), wau AS (
+  SELECT tday, CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+  FROM fan GROUP BY 1
+), dau AS (
+  SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+  FROM ud GROUP BY 1
+)
+SELECT CAST(day AS VARCHAR) AS day, dau, wau,
+       round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
+FROM dau JOIN wau ON day = tday
+WHERE day <= (SELECT max(day) FROM ud)
+ORDER BY day
+"""
+
+
+def q192_ewma_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily event volume
+    (alpha=0.3) — the classic smoother for noisy operational series.
+    The raw table reduces to ONE calendar-sized day aggregate first;
+    the EWMA is then an explicit triangular join of that tiny table
+    to itself (i <= t, weight (1-alpha)^(t-i)) — day-count², trivially
+    bounded, and engine-portable where a running recursive form is
+    not (no closed-form window sum survives both engines' float
+    evaluation orders without the pow() weights being EXPLICIT).
+    At 100 TB the day table is still calendar-sized: the heavy stage
+    remains the single events→day aggregate."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    days = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(Window.orderBy("day")))
+    )
+    t = days.select(
+        F.col("day").alias("tday"), F.col("rn").alias("trn")
+    )
+    i = days.select(F.col("n").alias("xi"), F.col("rn").alias("irn"))
+    return (
+        t.join(i, F.col("irn") <= F.col("trn"))
+        .groupBy("tday")
+        .agg(
+            F.round(
+                F.lit(0.3)
+                * F.sum(
+                    F.col("xi") * F.pow(F.lit(0.7), F.col("trn") - F.col("irn"))
+                ),
+                4,
+            ).alias("ewma")
+        )
+        .select(F.col("tday").cast("string").alias("day"), "ewma")
+        .orderBy("day")
+    )
+
+
+_Q192_ORACLE = """
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n,
+         row_number() OVER (ORDER BY CAST(ts AS DATE)) AS rn
+  FROM events GROUP BY 1
+)
+SELECT CAST(t.day AS VARCHAR) AS day,
+       round(0.3 * sum(i.n * pow(0.7, t.rn - i.rn)), 4) AS ewma
+FROM days t JOIN days i ON i.rn <= t.rn
+GROUP BY t.day ORDER BY day
+"""
+
+
+def q193_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection on daily revenue: each day is
+    scored against the TRAILING 7 days (excluding itself — the
+    detector must not contaminate its own baseline), flagging
+    |z| > 2. Raw orders reduce to a day aggregate first; the rolling
+    mean/std windows run over that calendar-sized table (unpartitioned
+    window over an aggregate — the plan-audit-safe shape). Moments
+    snap to 1e-6 before the z so both engines' float accumulation
+    orders agree. Output: the anomalous days only."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 4).alias("rev")
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    scored = daily.select(
+        "day",
+        "rev",
+        F.round(F.avg("rev").over(w), 6).alias("mu"),
+        F.round(F.stddev_samp("rev").over(w), 6).alias("sd"),
+        F.count("rev").over(w).alias("n_base"),
+    ).withColumn(
+        "z",
+        F.round(
+            (F.col("rev") - F.col("mu"))
+            / F.when(F.col("sd") > 0, F.col("sd")),
+            4,
+        ),
+    )
+    return (
+        scored.filter((F.abs("z") > 2) & (F.col("n_base") == 7))
+        .select(
+            F.col("day").cast("string").alias("day"), "rev", "mu", "sd", "z"
+        )
+        .orderBy("day")
+    )
+
+
+_Q193_ORACLE = """
+WITH daily AS (
+  SELECT o_orderdate AS day, round(sum(o_totalprice), 4) AS rev
+  FROM orders GROUP BY 1
+), scored AS (
+  SELECT day, rev,
+         round(avg(rev) OVER w, 6) AS mu,
+         round(stddev_samp(rev) OVER w, 6) AS sd,
+         count(rev) OVER w AS n_base
+  FROM daily
+  WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT CAST(day AS VARCHAR) AS day, rev, mu, sd,
+       round((rev - mu) / CASE WHEN sd > 0 THEN sd END, 4) AS z
+FROM scored
+WHERE abs((rev - mu) / CASE WHEN sd > 0 THEN sd END) > 2 AND n_base = 7
+ORDER BY day
+"""
+
+
+def q194_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching via edit distance — the record-linkage
+    primitive when q183's SymSpell (ED<=1, deletion keys) is too
+    strict: closest part-name pairs WITHIN a brand block by full
+    levenshtein. Blocking is the scale contract: the quadratic
+    verify runs per brand (n/25 per block here; at 100 TB you block
+    on (brand, length-band, first-token) so blocks stay thousands,
+    never the catalog). levenshtein() is a JVM builtin on both
+    engines. Deterministic output: top 15 by (distance, keys)."""
+    part = load_table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("k1"),
+        F.col("p_name").alias("n1"),
+    )
+    b = part.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_partkey").alias("k2"),
+        F.col("p_name").alias("n2"),
+    )
+    return (
+        a.join(b, "brand")
+        .filter(F.col("k1") < F.col("k2"))
+        .select(
+            "brand",
+            "k1",
+            "k2",
+            F.levenshtein("n1", "n2").alias("dist"),
+        )
+        .orderBy("dist", "k1", "k2")
+        .limit(15)
+    )
+
+
+_Q194_ORACLE = """
+SELECT a.p_brand AS brand, a.p_partkey AS k1, b.p_partkey AS k2,
+       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+FROM part a JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+ORDER BY dist, k1, k2 LIMIT 15
+"""
+
+
+def q195_partial_reaggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Algebraic re-aggregation — THE pattern that makes 100 TB
+    rollups incremental: persistable per-day PARTIALS (count, sum —
+    the decomposable pieces; avg is derived, never stored) merge into
+    month totals, and the query PROVES the merge equals a direct
+    month aggregate in-plan (match flag pinned to 1 by the oracle).
+    Two cheap aggregates replace re-scanning raw data on every
+    reporting run; the partial table is day×priority-sized.
+    (Same law the streaming incremental MV q105 relies on.)"""
+    orders = load_table(spark, sf_dir, "orders")
+    partials = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        F.to_date("o_orderdate").alias("day"),
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("o_totalprice").alias("s"),
+    )
+    merged = partials.groupBy("month", "o_orderpriority").agg(
+        F.sum("c").alias("n_orders"),
+        F.round(F.sum("s"), 4).alias("total"),
+    )
+    direct = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("month"),
+        "o_orderpriority",
+    ).agg(
+        F.count(F.lit(1)).alias("n_direct"),
+        F.round(F.sum("o_totalprice"), 4).alias("t_direct"),
+    )
+    return (
+        merged.join(direct, ["month", "o_orderpriority"])
+        .select(
+            F.date_format("month", "yyyy-MM").alias("month"),
+            "o_orderpriority",
+            "n_orders",
+            "total",
+            F.round(F.col("total") / F.col("n_orders"), 4).alias("avg_price"),
+            (
+                (F.col("n_orders") == F.col("n_direct"))
+                & (F.col("total") == F.col("t_direct"))
+            ).cast("int").alias("merge_exact"),
+        )
+        .orderBy("month", "o_orderpriority")
+    )
+
+
+_Q195_ORACLE = """
+WITH partials AS (
+  SELECT date_trunc('month', o_orderdate) AS month,
+         CAST(o_orderdate AS DATE) AS day, o_orderpriority,
+         count(*) AS c, sum(o_totalprice) AS s
+  FROM orders GROUP BY 1, 2, 3
+), merged AS (
+  SELECT month, o_orderpriority,
+         CAST(sum(c) AS BIGINT) AS n_orders,
+         round(sum(s), 4) AS total
+  FROM partials GROUP BY 1, 2
+)
+SELECT strftime(month, '%Y-%m') AS month, o_orderpriority, n_orders,
+       total,
+       round(total / n_orders, 4) AS avg_price,
+       CAST(1 AS INTEGER) AS merge_exact
+FROM merged ORDER BY month, o_orderpriority
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(
         relational.q01_pricing_summary,
@@ -8140,6 +8426,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "q188_window_rank_family": QuerySpec(q188_window_rank_family, _Q188_ORACLE, "window"),
     "q189_multiset_ops": QuerySpec(q189_multiset_ops, _Q189_ORACLE, "setop"),
     "q190_sessionization": QuerySpec(q190_sessionization, _Q190_ORACLE, "window"),
+    "q191_dau_wau_stickiness": QuerySpec(q191_dau_wau_stickiness, _Q191_ORACLE, "aggregation"),
+    "q192_ewma_volume": QuerySpec(q192_ewma_volume, _Q192_ORACLE, "window"),
+    "q193_rolling_zscore_anomaly": QuerySpec(q193_rolling_zscore_anomaly, _Q193_ORACLE, "window"),
+    "q194_fuzzy_name_join": QuerySpec(q194_fuzzy_name_join, _Q194_ORACLE, "join"),
+    "q195_partial_reaggregation": QuerySpec(q195_partial_reaggregation, _Q195_ORACLE, "aggregation"),
     "q150_media_dedup": QuerySpec(q150_media_dedup, _Q150_ORACLE, "multimodal"),
     "q151_top_decile_curation": QuerySpec(
         q151_top_decile_curation, _Q151_ORACLE, "text"
@@ -8624,6 +8915,11 @@ _DRIVER_PRIORITY = (
     "q188_window_rank_family",
     "q189_multiset_ops",
     "q190_sessionization",
+    "q191_dau_wau_stickiness",
+    "q192_ewma_volume",
+    "q193_rolling_zscore_anomaly",
+    "q194_fuzzy_name_join",
+    "q195_partial_reaggregation",
     # -- round-5 names (all pass(r5)) --
     "q184_bfs_reach",
     "q182_nearest_event_join",
