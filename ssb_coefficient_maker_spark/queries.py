@@ -7679,6 +7679,344 @@ FROM merged ORDER BY month, o_orderpriority
 """
 
 
+def q196_token_class_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex token-class profiling per source — the corpus-hygiene
+    sweep that decides cleaning rules before training: numeric-token,
+    capitalized-word and long-word densities via
+    ``regexp_extract_all`` (one map-only projection; the only shuffle
+    is the source rollup). Patterns stay in the POSIX-class subset
+    that Java regex (Spark) and RE2 (DuckDB) evaluate identically —
+    the engine-portability contract for every regex query here."""
+    docs = load_table(spark, sf_dir, "documents")
+    counted = docs.select(
+        "source",
+        F.size(F.expr(r"regexp_extract_all(text, '[0-9]+', 0)")).alias("n_num"),
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[A-Z][a-z]+', 0)")
+        ).alias("n_cap"),
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[a-z]{10,}', 0)")
+        ).alias("n_long"),
+    )
+    return (
+        counted.groupBy("source")
+        .agg(
+            F.sum("n_num").alias("num_tokens"),
+            F.sum("n_cap").alias("cap_tokens"),
+            F.sum("n_long").alias("long_tokens"),
+            F.sum((F.col("n_num") > 0).cast("int")).alias("docs_with_num"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q196_ORACLE = """
+SELECT source,
+       CAST(sum(len(regexp_extract_all(text, '[0-9]+'))) AS BIGINT)
+         AS num_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[A-Z][a-z]+'))) AS BIGINT)
+         AS cap_tokens,
+       CAST(sum(len(regexp_extract_all(text, '[a-z]{10,}'))) AS BIGINT)
+         AS long_tokens,
+       CAST(sum(CASE WHEN len(regexp_extract_all(text, '[0-9]+')) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_num
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+def q197_sketch_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch accuracy audit — the q44 pattern applied to
+    approx_percentile: the sketch estimate runs IN the plan next to
+    the exact percentile, and the output carries the exact values
+    plus an in-query flag that the sketch landed within its
+    documented error (relative 1% here, generous for accuracy=10000).
+    The oracle pins the exact values and flag=1, so a regressed
+    estimator fails the driver hash. At 100 TB you keep ONLY the
+    sketch (mergeable, bounded memory); the exact twin is the
+    correctness instrument at test scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    agg = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile(l_extendedprice, array(0.5, 0.9))"
+        ).alias("exact"),
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9), 10000)"
+        ).alias("approx"),
+    )
+    within = lambda i: (  # noqa: E731
+        F.abs(F.col("approx")[i] - F.col("exact")[i]) / F.col("exact")[i]
+        <= 0.01
+    ).cast("int")
+    return agg.select(
+        "l_returnflag",
+        F.round(F.col("exact")[0], 4).alias("exact_p50"),
+        F.round(F.col("exact")[1], 4).alias("exact_p90"),
+        within(0).alias("p50_within_bound"),
+        within(1).alias("p90_within_bound"),
+    ).orderBy("l_returnflag")
+
+
+_Q197_ORACLE = """
+SELECT l_returnflag,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice), 4)
+         AS exact_p50,
+       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice), 4)
+         AS exact_p90,
+       CAST(1 AS INTEGER) AS p50_within_bound,
+       CAST(1 AS INTEGER) AS p90_within_bound
+FROM lineitem GROUP BY 1 ORDER BY 1
+"""
+
+
+def q198_bigram_xent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source bigram cross-entropy under the corpus bigram LM with
+    add-1 smoothing — the sequence-aware upgrade of q155's unigram
+    xent (a scrambled document fools a unigram scorer; bigram xent
+    catches it). Three aggregates build the LM — unigram counts
+    c(w1), bigram counts c(w1,w2), vocab size V — then doc bigrams
+    join the LM on the bigram key: p = (c12 + 1) / (c1 + V), xent =
+    avg(-log2 p). Every join is bigram/unigram-keyed (vocabulary-
+    sized right sides — broadcastable); the text column never
+    shuffles. Deterministic: all counts, one log per bigram, avg
+    rounded after."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.split(F.trim("text"), r"\s+").alias("ws"),
+    )
+    bg = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "zip_with(slice(ws, 1, size(ws) - 1),"
+                "         slice(ws, 2, size(ws) - 1),"
+                "  (a, b) -> named_struct('w1', a, 'w2', b))"
+            )
+        ).alias("g"),
+    ).select("doc_id", "source", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2"))
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    v = toks.select(F.explode("ws").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "source",
+            (-F.log2(
+                (F.col("c12") + 1) / (F.col("c1") + F.col("v"))
+            )).alias("nll"),
+        )
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.round(F.avg("nll"), 4).alias("bigram_xent"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q198_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS ws
+  FROM documents
+), bg AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+         unnest(list_transform(range(1, len(ws)), i -> ws[i + 1])) AS w2
+  FROM toks
+), c12 AS (
+  SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+), c1 AS (
+  SELECT w1, count(*) AS c1 FROM bg GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT unnest(ws) AS w FROM toks)
+)
+SELECT source,
+       round(avg(-log2(CAST(c12.c12 + 1 AS DOUBLE) / (c1.c1 + v.v))), 4)
+         AS bigram_xent,
+       CAST(count(*) AS BIGINT) AS n_bigrams
+FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+GROUP BY source ORDER BY source
+"""
+
+
+def q199_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign-projection audit: project the 64-d
+    embeddings to 16 dims with a ±1 matrix derived from md5(i_j)
+    parity (engine-portable pseudo-randomness — both engines derive
+    the SAME matrix, no literals shipped), then report how well
+    cosine survives for every pair in a deterministic 1-in-97 vector
+    sample. The inner fold is ``aggregate`` over the dim sequence —
+    strictly sequential, bit-identical to DuckDB's ordered list_sum
+    (the q56/q81 technique). At 100 TB the projection is the point:
+    16-d codes are 4× cheaper to pair-join than 64-d vectors, and
+    this audit is the acceptance gate for that swap."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 97 == 0
+    )
+    sign = (
+        "CASE WHEN substring(md5(concat(CAST(i AS STRING), '_', "
+        "CAST(j AS STRING))), 1, 1) < '8' THEN 1.0D ELSE -1.0D END"
+    )
+    proj = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(
+            f"""
+            transform(sequence(0, 15), j ->
+              aggregate(sequence(1, 64), 0.0D,
+                (acc, i) -> acc + CAST(embedding[i - 1] AS DOUBLE)
+                            * ({sign})))
+            """
+        ).alias("p"),
+    )
+    a = proj.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("ea"),
+        F.col("p").alias("pa"),
+    )
+    b = proj.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+        F.col("p").alias("pb"),
+    )
+    dot = (
+        lambda x, y, n: F.expr(  # noqa: E731
+            f"aggregate(sequence(1, {n}), 0.0D,"
+            f" (acc, i) -> acc + CAST({x}[i - 1] AS DOUBLE)"
+            f" * CAST({y}[i - 1] AS DOUBLE))"
+        )
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        F.round(
+            dot("ea", "eb", 64)
+            / F.sqrt(dot("ea", "ea", 64) * dot("eb", "eb", 64)),
+            4,
+        ).alias("cos_orig"),
+        F.round(
+            dot("pa", "pb", 16)
+            / F.sqrt(dot("pa", "pa", 16) * dot("pb", "pb", 16)),
+            4,
+        ).alias("cos_proj"),
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        "cos_orig",
+        "cos_proj",
+        F.round(F.abs(F.col("cos_orig") - F.col("cos_proj")), 4).alias(
+            "abs_err"
+        ),
+    ).orderBy("id_a", "id_b")
+
+
+_Q199_ORACLE = """
+WITH sample AS (
+  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0
+), proj AS (
+  SELECT vec_id, embedding,
+    list_transform(range(0, 16), j ->
+      list_sum(list_transform(range(1, 65), i ->
+        CAST(embedding[i] AS DOUBLE) *
+        CASE WHEN substring(md5(CAST(i AS VARCHAR) || '_' ||
+                  CAST(j AS VARCHAR)), 1, 1) < '8'
+             THEN 1.0 ELSE -1.0 END))) AS p
+  FROM sample
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(
+    list_sum(list_transform(range(1, 65),
+      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+    / sqrt(
+        list_sum(list_transform(range(1, 65),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+      * list_sum(list_transform(range(1, 65),
+          i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))),
+    4) AS cos_orig,
+  round(
+    list_sum(list_transform(range(1, 17), i -> a.p[i] * b.p[i]))
+    / sqrt(list_sum(list_transform(range(1, 17), i -> a.p[i] * a.p[i]))
+         * list_sum(list_transform(range(1, 17), i -> b.p[i] * b.p[i]))),
+    4) AS cos_proj,
+  round(abs(
+    round(
+      list_sum(list_transform(range(1, 65),
+        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / sqrt(
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+        * list_sum(list_transform(range(1, 65),
+            i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))),
+      4)
+    - round(
+        list_sum(list_transform(range(1, 17), i -> a.p[i] * b.p[i]))
+        / sqrt(list_sum(list_transform(range(1, 17), i -> a.p[i] * a.p[i]))
+             * list_sum(list_transform(range(1, 17), i -> b.p[i] * b.p[i]))),
+        4)), 4) AS abs_err
+FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+ORDER BY id_a, id_b
+"""
+
+
+def q200_group_minmax_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature scaling — the feature-store transform
+    q102's quantile normalization doesn't cover (rank-free, preserves
+    shape): scale account balance to [0,1] WITHIN market segment and
+    report the per-segment calibration profile. Two aggregates: the
+    (min, max) per segment (segment-sized, broadcast back via an
+    equi-join AQE turns into a broadcast), then the scaled rollup.
+    Each scaled value snaps to 1e-6 BEFORE averaging so both engines
+    aggregate identical summands."""
+    cust = load_table(spark, sf_dir, "customer")
+    rng = cust.groupBy("c_mktsegment").agg(
+        F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi")
+    )
+    scaled = cust.join(rng, "c_mktsegment").select(
+        "c_mktsegment",
+        F.round(
+            (F.col("c_acctbal") - F.col("lo")) / (F.col("hi") - F.col("lo")),
+            6,
+        ).alias("s"),
+    )
+    return (
+        scaled.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("s"), 6).alias("avg_scaled"),
+            F.sum((F.col("s") == 0).cast("int")).alias("n_at_min"),
+            F.sum((F.col("s") == 1).cast("int")).alias("n_at_max"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+_Q200_ORACLE = """
+WITH rng AS (
+  SELECT c_mktsegment, min(c_acctbal) AS lo, max(c_acctbal) AS hi
+  FROM customer GROUP BY 1
+), scaled AS (
+  SELECT c.c_mktsegment,
+         round((c_acctbal - lo) / (hi - lo), 6) AS s
+  FROM customer c JOIN rng USING (c_mktsegment)
+)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+       round(avg(s), 6) AS avg_scaled,
+       CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_min,
+       CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_at_max
+FROM scaled GROUP BY 1 ORDER BY 1
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(
         relational.q01_pricing_summary,
@@ -8431,6 +8769,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "q193_rolling_zscore_anomaly": QuerySpec(q193_rolling_zscore_anomaly, _Q193_ORACLE, "window"),
     "q194_fuzzy_name_join": QuerySpec(q194_fuzzy_name_join, _Q194_ORACLE, "join"),
     "q195_partial_reaggregation": QuerySpec(q195_partial_reaggregation, _Q195_ORACLE, "aggregation"),
+    "q196_token_class_audit": QuerySpec(q196_token_class_audit, _Q196_ORACLE, "text"),
+    "q197_sketch_accuracy_audit": QuerySpec(q197_sketch_accuracy_audit, _Q197_ORACLE, "aggregation"),
+    "q198_bigram_xent": QuerySpec(q198_bigram_xent, _Q198_ORACLE, "text"),
+    "q199_jl_projection_audit": QuerySpec(q199_jl_projection_audit, _Q199_ORACLE, "similarity"),
+    "q200_group_minmax_scaling": QuerySpec(q200_group_minmax_scaling, _Q200_ORACLE, "aggregation"),
     "q150_media_dedup": QuerySpec(q150_media_dedup, _Q150_ORACLE, "multimodal"),
     "q151_top_decile_curation": QuerySpec(
         q151_top_decile_curation, _Q151_ORACLE, "text"
@@ -8920,6 +9263,11 @@ _DRIVER_PRIORITY = (
     "q193_rolling_zscore_anomaly",
     "q194_fuzzy_name_join",
     "q195_partial_reaggregation",
+    "q196_token_class_audit",
+    "q197_sketch_accuracy_audit",
+    "q198_bigram_xent",
+    "q199_jl_projection_audit",
+    "q200_group_minmax_scaling",
     # -- round-5 names (all pass(r5)) --
     "q184_bfs_reach",
     "q182_nearest_event_join",
