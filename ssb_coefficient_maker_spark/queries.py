@@ -8017,6 +8017,261 @@ FROM scaled GROUP BY 1 ORDER BY 1
 """
 
 
+def q201_dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivorship — dedup is only half the operator; the other
+    half is WHICH copy survives. Canonical-record election per
+    template family (first-5-words key, q171's family tier — exact
+    md5 groups are empty at small sf): keep the LONGEST text, tie-
+    break min doc_id, a deterministic keep-best rule. One partitioned
+    window (family key) elects survivors; the rollup reports per-
+    source retention. At 100 TB the family key is the shuffle key and
+    each partition is family-sized — no global anything."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    fam = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 5)
+        ).alias("family"),
+    )
+    w = Window.partitionBy("family").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    elected = fam.withColumn("rk", F.row_number().over(w))
+    return (
+        elected.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("rk") == 1).cast("int")).alias("n_survivors"),
+            F.sum((F.col("rk") > 1).cast("int")).alias("n_dropped"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q201_ORACLE = """
+WITH fam AS (
+  SELECT doc_id, source, n_chars,
+         array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:5], ' ')
+           AS family
+  FROM documents
+), elected AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY family
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk
+  FROM fam
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_survivors,
+       CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped
+FROM elected GROUP BY 1 ORDER BY 1
+"""
+
+
+def q202_cluster_size_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution — the corpus-health
+    histogram dedup pipelines alert on (a fat tail of giant template
+    families means a scraper loop, not organic text): family sizes
+    (q201's key) rolled into a (size → families, docs) profile. Two
+    tiny aggregates after the family count; the only data-sized
+    shuffle is the family groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    fam = docs.groupBy(
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 5)
+        ).alias("family")
+    ).agg(F.count(F.lit(1)).alias("size"))
+    return (
+        fam.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_families"))
+        .select(
+            "size",
+            "n_families",
+            (F.col("size") * F.col("n_families")).alias("n_docs"),
+        )
+        .orderBy("size")
+    )
+
+
+_Q202_ORACLE = """
+WITH fam AS (
+  SELECT count(*) AS size
+  FROM documents
+  GROUP BY array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:5], ' ')
+)
+SELECT size, CAST(count(*) AS BIGINT) AS n_families,
+       CAST(size * count(*) AS BIGINT) AS n_docs
+FROM fam GROUP BY 1 ORDER BY 1
+"""
+
+
+def q203_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard matrix — the corpus-mixing
+    diagnostic (two sources sharing 90% vocabulary are redundant in a
+    training mix; q153's rebalancer consumes exactly this signal).
+    Vocabularies reduce to (source, word) DISTINCT pairs first;
+    intersections come from ONE word-keyed self-join of that reduced
+    table; unions are computed from the per-source sizes (|A|+|B|-∩,
+    no second join). Shuffles carry words, never text. Output: the
+    upper-triangle matrix."""
+    docs = load_table(spark, sf_dir, "documents")
+    sw = docs.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    ).distinct()
+    sizes = sw.groupBy("source").agg(F.count(F.lit(1)).alias("vs"))
+    a = sw.select(F.col("source").alias("sa"), "w")
+    b = sw.select(F.col("source").alias("sb"), "w")
+    inter = (
+        a.join(b, "w")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    va = sizes.select(F.col("source").alias("sa"), F.col("vs").alias("va"))
+    vb = sizes.select(F.col("source").alias("sb"), F.col("vs").alias("vb"))
+    return (
+        inter.join(F.broadcast(va), "sa")
+        .join(F.broadcast(vb), "sb")
+        .select(
+            "sa",
+            "sb",
+            "inter",
+            F.round(
+                F.col("inter")
+                / (F.col("va") + F.col("vb") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("sa", "sb")
+    )
+
+
+_Q203_ORACLE = """
+WITH sw AS (
+  SELECT DISTINCT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), sizes AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS vs FROM sw GROUP BY 1
+), inter AS (
+  SELECT a.source AS sa, b.source AS sb, CAST(count(*) AS BIGINT) AS inter
+  FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT sa, sb, inter,
+       round(CAST(inter AS DOUBLE) / (va.vs + vb.vs - inter), 6) AS jaccard
+FROM inter
+JOIN sizes va ON va.source = sa
+JOIN sizes vb ON vb.source = sb
+ORDER BY sa, sb
+"""
+
+
+def q204_charset_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class QA per source — the encoding-hygiene pass run
+    before tokenization (mojibake and control characters poison BPE
+    merges): printable-ASCII ratio, digit ratio and whitespace ratio
+    from three regexp_replace strips. Map-only until the source
+    rollup. Engine pin: DuckDB's regexp_replace replaces the FIRST
+    match unless given the 'g' flag — Spark always replaces all —
+    so the oracle passes 'g' explicitly. Classes are literal ranges
+    ('[ -~]') evaluated identically by Java regex and RE2."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.length("text")
+    strip = lambda pat: n - F.length(  # noqa: E731
+        F.regexp_replace("text", pat, "")
+    )
+    per_doc = docs.select(
+        "source",
+        n.alias("len"),
+        strip("[ -~]").alias("n_print"),
+        strip("[0-9]").alias("n_digit"),
+        strip(r"\s").alias("n_ws"),
+    ).filter(F.col("len") > 0)
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("n_print") / F.sum("len"), 6).alias("ascii_ratio"),
+            F.round(F.sum("n_digit") / F.sum("len"), 6).alias("digit_ratio"),
+            F.round(F.sum("n_ws") / F.sum("len"), 6).alias("ws_ratio"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q204_ORACLE = """
+WITH per_doc AS (
+  SELECT source, length(text) AS len,
+         length(text) - length(regexp_replace(text, '[ -~]', '', 'g'))
+           AS n_print,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))
+           AS n_digit,
+         length(text) - length(regexp_replace(text, '\\s', '', 'g'))
+           AS n_ws
+  FROM documents WHERE length(text) > 0
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(n_print) AS DOUBLE) / sum(len), 6) AS ascii_ratio,
+       round(CAST(sum(n_digit) AS DOUBLE) / sum(len), 6) AS digit_ratio,
+       round(CAST(sum(n_ws) AS DOUBLE) / sum(len), 6) AS ws_ratio
+FROM per_doc GROUP BY 1 ORDER BY 1
+"""
+
+
+def q205_priority_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over order priorities per customer —
+    the sequence-mining rollup (which state follows which) behind
+    next-action models: consecutive orders per customer (lag over the
+    per-customer window, ties broken by orderkey) feed a 5×5
+    transition count + row-normalized probability. The window
+    partitions on custkey — per-partition sorts only — and the matrix
+    aggregate is 25 rows. Probabilities snap to 1e-6."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    trans = (
+        orders.select(
+            "o_custkey",
+            F.lag("o_orderpriority").over(w).alias("p_from"),
+            F.col("o_orderpriority").alias("p_to"),
+        )
+        .filter(F.col("p_from").isNotNull())
+        .groupBy("p_from", "p_to")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wf = Window.partitionBy("p_from")
+    return (
+        trans.withColumn(
+            "prob", F.round(F.col("n") / F.sum("n").over(wf), 6)
+        )
+        .orderBy("p_from", "p_to")
+    )
+
+
+_Q205_ORACLE = """
+WITH seq AS (
+  SELECT o_custkey,
+         lag(o_orderpriority) OVER (PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS p_from,
+         o_orderpriority AS p_to
+  FROM orders
+), trans AS (
+  SELECT p_from, p_to, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE p_from IS NOT NULL GROUP BY 1, 2
+)
+SELECT p_from, p_to, n,
+       round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY p_from), 6)
+         AS prob
+FROM trans ORDER BY p_from, p_to
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(
         relational.q01_pricing_summary,
@@ -8774,6 +9029,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "q198_bigram_xent": QuerySpec(q198_bigram_xent, _Q198_ORACLE, "text"),
     "q199_jl_projection_audit": QuerySpec(q199_jl_projection_audit, _Q199_ORACLE, "similarity"),
     "q200_group_minmax_scaling": QuerySpec(q200_group_minmax_scaling, _Q200_ORACLE, "aggregation"),
+    "q201_dedup_survivorship": QuerySpec(q201_dedup_survivorship, _Q201_ORACLE, "dedup"),
+    "q202_cluster_size_distribution": QuerySpec(q202_cluster_size_distribution, _Q202_ORACLE, "dedup"),
+    "q203_source_vocab_overlap": QuerySpec(q203_source_vocab_overlap, _Q203_ORACLE, "text"),
+    "q204_charset_qa": QuerySpec(q204_charset_qa, _Q204_ORACLE, "text"),
+    "q205_priority_transitions": QuerySpec(q205_priority_transitions, _Q205_ORACLE, "window"),
     "q150_media_dedup": QuerySpec(q150_media_dedup, _Q150_ORACLE, "multimodal"),
     "q151_top_decile_curation": QuerySpec(
         q151_top_decile_curation, _Q151_ORACLE, "text"
@@ -9268,6 +9528,11 @@ _DRIVER_PRIORITY = (
     "q198_bigram_xent",
     "q199_jl_projection_audit",
     "q200_group_minmax_scaling",
+    "q201_dedup_survivorship",
+    "q202_cluster_size_distribution",
+    "q203_source_vocab_overlap",
+    "q204_charset_qa",
+    "q205_priority_transitions",
     # -- round-5 names (all pass(r5)) --
     "q184_bfs_reach",
     "q182_nearest_event_join",
