@@ -8272,6 +8272,369 @@ FROM trans ORDER BY p_from, p_to
 """
 
 
+def q206_jvm_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding WITHOUT a UDF — the deliberate counterpart
+    to q75 (the same RLE as a Python UDTF, kept as the extension-point
+    showcase): per user-day event-type sequences compress to
+    (type, run_length) pairs using only JVM higher-order functions —
+    boundaries are the positions whose type differs from their
+    predecessor (filter over indexes), run lengths are gaps between
+    consecutive boundaries (zip_with over the boundary array). The
+    rollup reports the run-length profile per event type. Everything
+    after the (user, day) collect is array math inside one
+    projection — whole-stage-codegen'd, no Python workers, ~10-100×
+    less transfer than the UDTF at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    seqs = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.struct("ts", "event_id", "event_type").alias("e"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.expr(
+                "transform(sort_array(collect_list(e)), s -> s.event_type)"
+            ).alias("types")
+        )
+    )
+    runs = seqs.select(
+        F.explode(
+            F.expr(
+                """
+                zip_with(bnds, slice(concat(slice(bnds, 2, size(bnds) - 1),
+                                            array(size(types) + 1)),
+                                     1, size(bnds)),
+                  (s, e) -> named_struct('t', types[s - 1], 'len', e - s))
+                """.replace(
+                    "bnds",
+                    "filter(sequence(1, size(types)),"
+                    " i -> i = 1 OR types[i - 1] != types[i - 2])",
+                )
+            )
+        ).alias("r")
+    ).select(F.col("r.t").alias("event_type"), F.col("r.len").alias("run_len"))
+    return (
+        runs.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_runs"),
+            F.round(F.avg("run_len"), 4).alias("avg_run"),
+            F.max("run_len").alias("max_run"),
+            F.sum("run_len").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_Q206_ORACLE = """
+WITH seqs AS (
+  SELECT list_transform(
+           list_sort(list(ROW(ts, event_id, event_type))),
+           s -> s[3]) AS types
+  FROM events
+  GROUP BY user_id, CAST(ts AS DATE)
+), bounded AS (
+  SELECT types,
+         list_filter(range(1, len(types) + 1),
+           i -> i = 1 OR types[i] != types[i - 1]) AS bnds
+  FROM seqs
+), runs AS (
+  SELECT unnest(list_transform(range(1, len(bnds) + 1),
+           j -> types[bnds[j]])) AS event_type,
+         unnest(list_transform(range(1, len(bnds) + 1),
+           j -> CASE WHEN j = len(bnds) THEN len(types) + 1 - bnds[j]
+                     ELSE bnds[j + 1] - bnds[j] END)) AS run_len
+  FROM bounded
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_runs,
+       round(avg(run_len), 4) AS avg_run,
+       CAST(max(run_len) AS BIGINT) AS max_run,
+       CAST(sum(run_len) AS BIGINT) AS n_events
+FROM runs GROUP BY 1 ORDER BY 1
+"""
+
+
+def q207_minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash accuracy audit — the missing oracle for the sketch
+    family: q31's MinHash is approximate-by-nature, so its registry
+    row is rows-only; HERE the estimator itself becomes exactly
+    checkable. A 64-component md5 MinHash signature per source
+    vocabulary is derived IDENTICALLY in both engines (min of
+    md5(i || '_' || word) per component — portable pseudo-randomness,
+    the q199 trick), the Jaccard estimate is the matching-component
+    fraction, and the output pairs it with q203's exact Jaccard plus
+    an in-query 4σ bound flag (σ = sqrt(J(1-J)/64)). The oracle
+    recomputes ALL of it — estimate included — so the driver hash
+    checks the sketch math itself, not just its bound. Signature
+    build is one (source, component) aggregate over the reduced
+    (source, word) table; the pair join touches 64-value signatures,
+    never vocabularies."""
+    docs = load_table(spark, sf_dir, "documents")
+    sw = docs.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    ).distinct()
+    sig = (
+        sw.select(
+            "source",
+            F.explode(F.sequence(F.lit(0), F.lit(63))).alias("i"),
+            "w",
+        )
+        .groupBy("source", "i")
+        .agg(
+            F.min(
+                F.md5(F.concat_ws("_", F.col("i").cast("string"), "w"))
+            ).alias("mh")
+        )
+    )
+    a = sig.select(F.col("source").alias("sa"), "i", F.col("mh").alias("ma"))
+    b = sig.select(F.col("source").alias("sb"), "i", F.col("mh").alias("mb"))
+    est = (
+        a.join(b, "i")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(
+            F.round(
+                F.sum((F.col("ma") == F.col("mb")).cast("int")) / 64.0, 6
+            ).alias("est_jaccard")
+        )
+    )
+    sizes = sw.groupBy("source").agg(F.count(F.lit(1)).alias("vs"))
+    inter = (
+        sw.select(F.col("source").alias("sa"), "w")
+        .join(sw.select(F.col("source").alias("sb"), "w"), "w")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    va = sizes.select(F.col("source").alias("sa"), F.col("vs").alias("va"))
+    vb = sizes.select(F.col("source").alias("sb"), F.col("vs").alias("vb"))
+    exact = (
+        inter.join(F.broadcast(va), "sa")
+        .join(F.broadcast(vb), "sb")
+        .select(
+            "sa",
+            "sb",
+            (
+                F.col("inter") / (F.col("va") + F.col("vb") - F.col("inter"))
+            ).alias("jx"),
+        )
+    )
+    return (
+        est.join(exact, ["sa", "sb"])
+        .select(
+            "sa",
+            "sb",
+            F.round("jx", 6).alias("exact_jaccard"),
+            "est_jaccard",
+            (
+                F.abs(F.col("est_jaccard") - F.col("jx"))
+                <= 4 * F.sqrt(F.col("jx") * (1 - F.col("jx")) / 64) + 1e-9
+            ).cast("int").alias("within_4sigma"),
+        )
+        .orderBy("sa", "sb")
+    )
+
+
+_Q207_ORACLE = """
+WITH sw AS (
+  SELECT DISTINCT source, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), sig AS (
+  SELECT source, i, min(md5(CAST(i AS VARCHAR) || '_' || w)) AS mh
+  FROM sw, (SELECT unnest(range(0, 64)) AS i) comps
+  GROUP BY 1, 2
+), est AS (
+  SELECT a.source AS sa, b.source AS sb,
+         round(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) / 64.0, 6)
+           AS est_jaccard
+  FROM sig a JOIN sig b ON a.i = b.i AND a.source < b.source
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT source, count(*) AS vs FROM sw GROUP BY 1
+), inter AS (
+  SELECT a.source AS sa, b.source AS sb, count(*) AS inter
+  FROM sw a JOIN sw b ON a.w = b.w AND a.source < b.source
+  GROUP BY 1, 2
+), exact AS (
+  SELECT sa, sb,
+         CAST(inter AS DOUBLE) / (va.vs + vb.vs - inter) AS jx
+  FROM inter
+  JOIN sizes va ON va.source = sa
+  JOIN sizes vb ON vb.source = sb
+)
+SELECT sa, sb, round(jx, 6) AS exact_jaccard, est_jaccard,
+       CAST(CASE WHEN abs(est_jaccard - jx)
+                  <= 4 * sqrt(jx * (1 - jx) / 64) + 1e-9
+            THEN 1 ELSE 0 END AS INTEGER) AS within_4sigma
+FROM est JOIN exact USING (sa, sb)
+ORDER BY sa, sb
+"""
+
+
+def q208_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who kept multi-supplier orders
+    waiting: their lineitem was the LATE one (shipped after the order
+    date — the synthetic lineitem carries no receipt/commit dates;
+    TESTDATA quirk: ~50% ship before their order date, so the
+    predicate splits the data realistically) in an order that OTHER
+    suppliers also served (EXISTS) where NO other supplier was late
+    (NOT EXISTS). The two correlated quantifiers compile to one
+    semi-join and one anti-join on l_orderkey — no correlated
+    re-execution — and both join a pre-reduced (orderkey, suppkey)
+    projection. The classic plan-shape stressor: at 100 TB all three
+    shuffles share the orderkey partitioning, so AQE reuses the
+    exchange."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderdate"
+    )
+    dated = li.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        orders, "l_orderkey"
+    )
+    late = dated.filter(F.col("l_shipdate") > F.col("o_orderdate")).select(
+        "l_orderkey", "l_suppkey"
+    )
+    allsupp = li.select("l_orderkey", "l_suppkey")
+    others = allsupp.alias("o")
+    late_others = late.alias("lo")
+    cand = late.alias("c")
+    served_by_other = cand.join(
+        others,
+        (F.col("c.l_orderkey") == F.col("o.l_orderkey"))
+        & (F.col("c.l_suppkey") != F.col("o.l_suppkey")),
+        "left_semi",
+    )
+    sole_late = served_by_other.join(
+        late_others,
+        (F.col("c.l_orderkey") == F.col("lo.l_orderkey"))
+        & (F.col("c.l_suppkey") != F.col("lo.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_late.groupBy(F.col("c.l_suppkey").alias("l_suppkey"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "l_suppkey")
+        .limit(20)
+    )
+
+
+_Q208_ORACLE = """
+WITH dated AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT l_suppkey, CAST(count(*) AS BIGINT) AS numwait
+FROM dated l1
+WHERE l1.l_shipdate > l1.o_orderdate
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM dated l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l3.o_orderdate)
+GROUP BY 1 ORDER BY numwait DESC, l_suppkey LIMIT 20
+"""
+
+
+def q209_monthly_revenue_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue percentile bands (p25/p50/p75 of order totals
+    per month) — the banded time-series view behind every "is this
+    month's distribution shifting?" dashboard. One hash aggregate
+    with three EXACT percentiles per month group (Spark's percentile
+    is a per-group streaming accumulator, not a global sort; groups
+    scale with the calendar). Band values snap to 1e-4."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.date_format(
+                F.date_trunc("month", "o_orderdate"), "yyyy-MM"
+            ).alias("month")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+        )
+        .orderBy("month")
+    )
+
+
+_Q209_ORACLE = """
+SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(percentile_cont(0.25) WITHIN GROUP (ORDER BY o_totalprice), 4)
+         AS p25,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4)
+         AS p50,
+       round(percentile_cont(0.75) WITHIN GROUP (ORDER BY o_totalprice), 4)
+         AS p75
+FROM orders GROUP BY 1 ORDER BY 1
+"""
+
+
+def q210_rfm_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — recency/frequency/monetary quartile scoring,
+    the classic customer-value cube: per-customer aggregates (one
+    orders shuffle) score 1-4 on each dimension via ntile over the
+    CUSTOMER-SIZED aggregate (the unpartitioned windows run over a
+    reduced input — the plan-audit-safe shape), then roll up into RFM
+    cells. Tie-breaks on custkey pin every quartile assignment.
+    Output: cell populations and value, the 4³ marketing matrix."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("o_totalprice").alias("monetary"),
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey")))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("freq"), F.asc("o_custkey")))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+        .alias("m_score"),
+        "monetary",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("monetary"), 4).alias("total_value"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+_Q210_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order,
+         count(*) AS freq, sum(o_totalprice) AS monetary
+  FROM orders GROUP BY 1
+), scored AS (
+  SELECT o_custkey, monetary,
+         CAST(ntile(4) OVER (ORDER BY last_order DESC, o_custkey ASC)
+           AS INTEGER) AS r_score,
+         CAST(ntile(4) OVER (ORDER BY freq DESC, o_custkey ASC)
+           AS INTEGER) AS f_score,
+         CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey ASC)
+           AS INTEGER) AS m_score
+  FROM per_cust
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(monetary), 4) AS total_value
+FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(
         relational.q01_pricing_summary,
@@ -9034,6 +9397,11 @@ REGISTRY: dict[str, QuerySpec] = {
     "q203_source_vocab_overlap": QuerySpec(q203_source_vocab_overlap, _Q203_ORACLE, "text"),
     "q204_charset_qa": QuerySpec(q204_charset_qa, _Q204_ORACLE, "text"),
     "q205_priority_transitions": QuerySpec(q205_priority_transitions, _Q205_ORACLE, "window"),
+    "q206_jvm_rle": QuerySpec(q206_jvm_rle, _Q206_ORACLE, "scalar_fn"),
+    "q207_minhash_accuracy_audit": QuerySpec(q207_minhash_accuracy_audit, _Q207_ORACLE, "dedup"),
+    "q208_waiting_suppliers": QuerySpec(q208_waiting_suppliers, _Q208_ORACLE, "join"),
+    "q209_monthly_revenue_bands": QuerySpec(q209_monthly_revenue_bands, _Q209_ORACLE, "aggregation"),
+    "q210_rfm_cells": QuerySpec(q210_rfm_cells, _Q210_ORACLE, "window"),
     "q150_media_dedup": QuerySpec(q150_media_dedup, _Q150_ORACLE, "multimodal"),
     "q151_top_decile_curation": QuerySpec(
         q151_top_decile_curation, _Q151_ORACLE, "text"
@@ -9533,6 +9901,11 @@ _DRIVER_PRIORITY = (
     "q203_source_vocab_overlap",
     "q204_charset_qa",
     "q205_priority_transitions",
+    "q206_jvm_rle",
+    "q207_minhash_accuracy_audit",
+    "q208_waiting_suppliers",
+    "q209_monthly_revenue_bands",
+    "q210_rfm_cells",
     # -- round-5 names (all pass(r5)) --
     "q184_bfs_reach",
     "q182_nearest_event_join",
