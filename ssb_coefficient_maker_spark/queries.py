@@ -7408,9 +7408,6 @@ def q191_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ud = ev.select(
         "user_id", F.to_date("ts").alias("day")
     ).distinct()
-    span = ud.select(
-        F.min("day").alias("lo"), F.max("day").alias("hi")
-    )
     fan = ud.select(
         "user_id",
         F.explode(
@@ -7423,10 +7420,10 @@ def q191_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     dau = ud.groupBy("day").agg(
         F.countDistinct("user_id").alias("dau")
     )
+    # no span filter needed: the inner join with dau keeps only
+    # OBSERVED days, every one of which is <= max(day) by definition
     return (
         dau.join(wau, dau["day"] == wau["tday"])
-        .crossJoin(F.broadcast(span))
-        .filter(F.col("day") <= F.col("hi"))
         .select(
             F.col("day").cast("string").alias("day"),
             "dau",
@@ -7453,7 +7450,6 @@ WITH ud AS (
 SELECT CAST(day AS VARCHAR) AS day, dau, wau,
        round(CAST(dau AS DOUBLE) / wau, 6) AS stickiness
 FROM dau JOIN wau ON day = tday
-WHERE day <= (SELECT max(day) FROM ud)
 ORDER BY day
 """
 

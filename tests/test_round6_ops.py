@@ -301,3 +301,74 @@ def test_pinned_cache_restore_same_frames_keeps_persistence(spark):
         assert df2.storageLevel.useMemory
     finally:
         cache.release()
+
+
+# -- plan-shape pins for the round-6 queries ---------------------------------
+
+
+def _plan_of(name, spark, sf_dir):
+    from ssb_coefficient_maker_spark import queries as Q
+
+    df = Q.REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan()
+
+
+def test_q191_no_window_in_plan(spark, sf_dir):
+    """q191's claim: sliding distinct WITHOUT any window function —
+    the fan-out/explode construction must keep WindowExec out of the
+    plan entirely."""
+    plan = _plan_of("q191_dau_wau_stickiness", spark, sf_dir)
+    assert "Window" not in plan.toString()
+
+
+def test_sequence_queries_window_only_partitioned(spark, sf_dir):
+    """q190 sessionization and q205 transitions promise per-user/
+    customer windows only: every WindowExec in their plans must carry
+    a non-empty partition spec."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import plan_audit
+
+    for name in ("q190_sessionization", "q205_priority_transitions"):
+        plan = _plan_of(name, spark, sf_dir)
+        for node in plan_audit._walk(plan):
+            if node.nodeName() == "Window":
+                assert not node.partitionSpec().isEmpty(), name
+
+
+def test_q206_q185_no_python_in_plan(spark, sf_dir):
+    """q206 RLE and q185 CDC advertise pure-JVM pipelines: no Python
+    evaluation node of any kind may appear."""
+    for name in ("q206_jvm_rle", "q185_cdc_chunking"):
+        s = _plan_of(name, spark, sf_dir).toString()
+        assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, name
+        assert "MapInPandas" not in s and "FlatMapGroupsInPandas" not in s, name
+
+
+def test_q208_compiles_to_semi_plus_anti(spark, sf_dir):
+    """q208's EXISTS / NOT EXISTS must compile to one semi-join and
+    one anti-join — not correlated re-execution."""
+    s = _plan_of("q208_waiting_suppliers", spark, sf_dir).toString()
+    assert "LeftSemi" in s and "LeftAnti" in s
+
+
+def test_q187_melt_after_aggregate(spark, sf_dir):
+    """q187's contract: the stack() generator expands the AGGREGATE's
+    rows, so the plan's Generate node must sit above the aggregation
+    (exactly one Generate, and the subtree below it contains the
+    HashAggregate)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import plan_audit
+
+    plan = _plan_of("q187_unpivot_metrics", spark, sf_dir)
+    gens = [
+        n for n in plan_audit._walk(plan) if n.nodeName() == "Generate"
+    ]
+    assert len(gens) == 1
+    below = {n.nodeName() for n in plan_audit._walk(gens[0])}
+    assert "HashAggregate" in below

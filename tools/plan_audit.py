@@ -40,6 +40,17 @@ WHITELIST: dict[str, tuple[str, str]] = {
     "q72_batch_topk": ("bnlj", "query-set literal table broadcast"),
     "q95_histogram": ("bnlj", "1-row min/max bounds broadcast"),
     "q75_udtf_rle": ("py-row-udf", "deliberate UDTF extension-point showcase"),
+    "q192_ewma_volume": (
+        "bnlj",
+        "triangular (irn <= trn) join of the calendar-sized day "
+        "aggregate to itself — day-count², both sides reduced",
+    ),
+    "q198_bigram_xent": ("bnlj", "1-row vocabulary-size broadcast"),
+    "q199_jl_projection_audit": (
+        "bnlj",
+        "pair join (id_a < id_b) of the deterministic 1-in-97 vector "
+        "sample — sample², both sides filtered tiny",
+    ),
 }
 
 # name -> justification. Queries allowed an unpartitioned WindowExec
