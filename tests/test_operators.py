@@ -179,7 +179,10 @@ def test_cli(capsys):
     assert capsys.readouterr().out.strip() == "0.1.0"
     assert main(["list"]) == 0
     out = capsys.readouterr().out
-    assert "q01_pricing_summary" in out and "rows-only" in out
+    assert "q01_pricing_summary" in out
+    # since round 6 every registry query carries an oracle (q44's HLL
+    # gained an exactly-oracled twin), so no row prints '(rows-only)'
+    assert "rows-only" not in out
     assert main(["run", "nope"]) == 2
 
 
@@ -509,14 +512,15 @@ def test_gap_fill_locf_semantics(spark, tmp_path):
 
 
 def test_approx_distinct_error_bound(spark, sf_dir):
-    """q44 is rows-only (HLL estimators differ by engine), so pin its
-    QUALITY here instead: HLL++'s default rsd is 5% — a standard
-    deviation, not a bound (observed 5.5% on one small group) — so
-    assert every estimate within 3 sigma (15%) of exact."""
+    """Since round 6 q44 carries exact countDistinct twins plus
+    in-query HLL bound flags (|approx-exact|/exact <= 0.25, generous
+    5-sigma for rsd=0.05), making it fully value-oracled. Pin here
+    that the flags actually come back raised and the exact twins
+    agree with an independent exact computation."""
     from ssb_coefficient_maker_spark.operators.relational import q44_approx_distinct
     from ssb_coefficient_maker_spark.sources.loaders import load_table
 
-    approx = q44_approx_distinct(spark, sf_dir).toPandas().set_index("l_returnflag")
+    out = q44_approx_distinct(spark, sf_dir).toPandas().set_index("l_returnflag")
     li = load_table(spark, sf_dir, "lineitem")
     exact = (
         li.groupBy("l_returnflag")
@@ -528,9 +532,10 @@ def test_approx_distinct_error_bound(spark, sf_dir):
         .set_index("l_returnflag")
     )
     for flag in exact.index:
-        for a_col, e_col in (("approx_parts", "parts"), ("approx_orders", "orders")):
-            a, e = approx.loc[flag, a_col], exact.loc[flag, e_col]
-            assert abs(a - e) / e <= 0.15, (flag, a_col, a, e)
+        assert out.loc[flag, "exact_parts"] == exact.loc[flag, "parts"]
+        assert out.loc[flag, "exact_orders"] == exact.loc[flag, "orders"]
+        assert out.loc[flag, "parts_within_bound"] == 1
+        assert out.loc[flag, "orders_within_bound"] == 1
 
 
 def test_connected_components_clusters_and_hygiene(spark):
