@@ -8275,6 +8275,32 @@ FROM trans ORDER BY p_from, p_to
 """
 
 
+def rle_runs_expr(types_col: str = "types"):
+    """(type, run_length) structs of a string array, pure JVM HOFs:
+    boundaries = positions whose element differs from its
+    predecessor; run length = gap to the next boundary (end sentinel
+    size+1). Factored out of q206 so property tests can drive it
+    against itertools.groupby directly. The empty-array guard
+    matters: Spark's sequence(1, 0) DESCENDS, which would fabricate
+    a bogus (null, 0) run."""
+    return F.expr(
+        """
+        CASE WHEN size(TCOL) = 0 THEN
+          array()
+        ELSE
+        zip_with(bnds, slice(concat(slice(bnds, 2, size(bnds) - 1),
+                                    array(size(TCOL) + 1)),
+                             1, size(bnds)),
+          (s, e) -> named_struct('t', TCOL[s - 1], 'len', e - s))
+        END
+        """.replace(
+            "bnds",
+            "filter(sequence(1, size(TCOL)),"
+            " i -> i = 1 OR TCOL[i - 1] != TCOL[i - 2])",
+        ).replace("TCOL", types_col)
+    )
+
+
 def q206_jvm_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run-length encoding WITHOUT a UDF — the deliberate counterpart
     to q75 (the same RLE as a Python UDTF, kept as the extension-point
@@ -8302,20 +8328,7 @@ def q206_jvm_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     runs = seqs.select(
-        F.explode(
-            F.expr(
-                """
-                zip_with(bnds, slice(concat(slice(bnds, 2, size(bnds) - 1),
-                                            array(size(types) + 1)),
-                                     1, size(bnds)),
-                  (s, e) -> named_struct('t', types[s - 1], 'len', e - s))
-                """.replace(
-                    "bnds",
-                    "filter(sequence(1, size(types)),"
-                    " i -> i = 1 OR types[i - 1] != types[i - 2])",
-                )
-            )
-        ).alias("r")
+        F.explode(rle_runs_expr("types")).alias("r")
     ).select(F.col("r.t").alias("event_type"), F.col("r.len").alias("run_len"))
     return (
         runs.groupBy("event_type")
