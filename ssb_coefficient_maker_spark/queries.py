@@ -8596,7 +8596,13 @@ def q210_rfm_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders shuffle) score 1-4 on each dimension via ntile over the
     CUSTOMER-SIZED aggregate (the unpartitioned windows run over a
     reduced input — the plan-audit-safe shape), then roll up into RFM
-    cells. Tie-breaks on custkey pin every quartile assignment.
+    cells. Tie-breaks on custkey pin every quartile assignment, and
+    monetary accumulates in exact INTEGER CENTS (o_totalprice is
+    2-decimal money) — engines sum doubles in different orders, and
+    an un-snapped float sum lets two near-equal customers swap rank
+    across a quartile boundary (caught by the sf1 replay:
+    ±1-customer cell drift). Integer sums are order-free, so the
+    ranking key is bit-identical everywhere.
     Output: cell populations and value, the 4³ marketing matrix."""
     from pyspark.sql import Window
 
@@ -8604,7 +8610,9 @@ def q210_rfm_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = orders.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("freq"),
-        F.sum("o_totalprice").alias("monetary"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100).cast("long")
+        ).alias("monetary"),
     )
     scored = per_cust.select(
         "o_custkey",
@@ -8623,7 +8631,7 @@ def q210_rfm_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("r_score", "f_score", "m_score")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("monetary"), 4).alias("total_value"),
+            F.round(F.sum("monetary") / 100.0, 2).alias("total_value"),
         )
         .orderBy("r_score", "f_score", "m_score")
     )
@@ -8632,7 +8640,9 @@ def q210_rfm_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q210_ORACLE = """
 WITH per_cust AS (
   SELECT o_custkey, max(o_orderdate) AS last_order,
-         count(*) AS freq, sum(o_totalprice) AS monetary
+         count(*) AS freq,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary
   FROM orders GROUP BY 1
 ), scored AS (
   SELECT o_custkey, monetary,
@@ -8646,7 +8656,7 @@ WITH per_cust AS (
 )
 SELECT r_score, f_score, m_score,
        CAST(count(*) AS BIGINT) AS n_customers,
-       round(sum(monetary), 4) AS total_value
+       round(CAST(sum(monetary) AS DOUBLE) / 100.0, 2) AS total_value
 FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
