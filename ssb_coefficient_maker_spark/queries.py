@@ -8664,6 +8664,294 @@ FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
 """
 
 
+def q211_quality_length_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D equal-frequency calibration table — is the quality score
+    just a length proxy? Quality-quintile × length-quintile doc
+    counts, both axes binned by PRECOMPUTED exact-percentile cut
+    points (the q139/q166 map-only path, snapped to 1e-6: never a
+    global NTILE sort), off-diagonal mass = the score's
+    length-independent signal. One documents scan computes both
+    features; the rollup is 25 rows. The quality score is q26's
+    composite (stopword/length/punct mix)."""
+    from ssb_coefficient_maker_spark.operators.text import q26_quality_score
+
+    q = q26_quality_score(spark, sf_dir).select(
+        "doc_id", "quality_score"
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    feats = docs.join(q, "doc_id")
+    cut_row = feats.select(
+        F.expr(
+            "percentile(quality_score, array(0.2,0.4,0.6,0.8))"
+        ).alias("qc"),
+        F.expr("percentile(n_chars, array(0.2,0.4,0.6,0.8))").alias("lc"),
+    ).head()
+    qcuts = [round(float(c), 6) for c in cut_row["qc"]]
+    lcuts = [round(float(c), 6) for c in cut_row["lc"]]
+
+    def bin_expr(col, cuts):
+        e = F.lit(1)
+        for c in cuts:
+            e = e + (F.col(col) > F.lit(c)).cast("int")
+        return e
+
+    return (
+        feats.select(
+            bin_expr("quality_score", qcuts).alias("q_bin"),
+            bin_expr("n_chars", lcuts).alias("len_bin"),
+        )
+        .groupBy("q_bin", "len_bin")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("q_bin", "len_bin")
+    )
+
+
+# the quality CTEs mirror q26's oracle exactly (same STOP_SQL family)
+_Q211_ORACLE = """
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(trim(text), '\\s+') AS words,
+         length(regexp_replace(trim(text), '\\s+', '', 'g')) AS n_nonspace
+  FROM documents
+), scored AS (
+  SELECT doc_id,
+         CASE WHEN len(words) < 5 THEN 0.0 ELSE
+           1.0 - abs(round(CAST(len(list_filter(words,
+                     x -> list_contains({STOP_SQL}, x))) AS DOUBLE)
+                     / len(words), 4) - 0.4)
+               - abs(round(CAST(n_nonspace AS DOUBLE) / len(words), 4) - 5.0)
+                 / 10.0
+         END AS quality_score
+  FROM w
+), feats AS (
+  SELECT s.doc_id, s.quality_score, d.n_chars
+  FROM scored s JOIN documents d USING (doc_id)
+), cuts AS (
+  SELECT
+    list_transform(percentile_cont([0.2,0.4,0.6,0.8])
+      WITHIN GROUP (ORDER BY quality_score), x -> round(x, 6)) AS qc,
+    list_transform(percentile_cont([0.2,0.4,0.6,0.8])
+      WITHIN GROUP (ORDER BY n_chars), x -> round(x, 6)) AS lc
+  FROM feats
+)
+SELECT CAST(1 + len(list_filter(qc, c -> quality_score > c)) AS INTEGER)
+         AS q_bin,
+       CAST(1 + len(list_filter(lc, c -> n_chars > c)) AS INTEGER)
+         AS len_bin,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM feats CROSS JOIN cuts
+GROUP BY 1, 2 ORDER BY 1, 2
+""".replace("{STOP_SQL}", STOP_SQL)
+
+
+def q212_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of the event value per user — trapezoidal
+    integration over an IRREGULAR series (plain avg over-weights
+    burst periods; TWA is the metric billing/monitoring systems
+    actually need): per-user lag window gives each interval
+    (dt, (v_prev + v)/2), one agg divides Σ trapezoid by Σ dt.
+    Per-user windows only; integer-second dts. Users with a single
+    event (no interval) are excluded — TWA is undefined there.
+    Output: the 20 highest-TWA users."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = ev.select(
+        "user_id",
+        (F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+         ).alias("dt"),
+        ((F.col("value") + F.lag("value").over(w)) / 2).alias("trap"),
+    ).filter(F.col("dt").isNotNull() & (F.col("dt") > 0))
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.col("trap") * F.col("dt")) / F.sum("dt"), 6
+            ).alias("twa"),
+            F.sum("dt").alias("span_s"),
+            F.count(F.lit(1)).alias("n_intervals"),
+        )
+        .orderBy(F.desc("twa"), "user_id")
+        .limit(20)
+    )
+
+
+_Q212_ORACLE = """
+WITH iv AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER w AS dt,
+         (value + lag(value) OVER w) / 2 AS trap
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id,
+       round(sum(trap * dt) / sum(dt), 6) AS twa,
+       CAST(sum(dt) AS BIGINT) AS span_s,
+       CAST(count(*) AS BIGINT) AS n_intervals
+FROM iv WHERE dt IS NOT NULL AND dt > 0
+GROUP BY 1 ORDER BY twa DESC, user_id LIMIT 20
+"""
+
+
+def q213_conjunctive_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND-semantics) multi-term retrieval — the boolean
+    sibling of q130's BM25 ranking: docs containing ALL query terms,
+    found by the counting trick over the inverted-index shape
+    (explode → filter to the term set → per-doc DISTINCT term count
+    == |terms|), never by N self-joins. The term filter prunes the
+    posting stream BEFORE the shuffle, so only matching (doc, term)
+    pairs move; the final agg is match-sized. Output carries per-doc
+    total term frequency as the tie-break rank."""
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ["spark", "join", "vector"]
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("w"),
+    ).filter(F.col("w").isin(terms))
+    return (
+        toks.groupBy("doc_id", "source")
+        .agg(
+            F.countDistinct("w").alias("n_terms"),
+            F.count(F.lit(1)).alias("total_tf"),
+        )
+        .filter(F.col("n_terms") == len(terms))
+        .select("doc_id", "source", "total_tf")
+        .orderBy(F.desc("total_tf"), "doc_id")
+        .limit(20)
+    )
+
+
+_Q213_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+  FROM documents
+), hits AS (
+  SELECT doc_id, source, count(DISTINCT w) AS n_terms,
+         CAST(count(*) AS BIGINT) AS total_tf
+  FROM toks WHERE w IN ('spark', 'join', 'vector')
+  GROUP BY 1, 2
+)
+SELECT doc_id, source, total_tf
+FROM hits WHERE n_terms = 3
+ORDER BY total_tf DESC, doc_id LIMIT 20
+"""
+
+
+def q214_weighted_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (multiset) Jaccard verification over blocked
+    candidates — the bag-of-words upgrade of set Jaccard (q32):
+    J_w = Σ min(tf_a, tf_b) / Σ max(tf_a, tf_b), which q201's
+    template families feed as candidate pairs (family-blocked, never
+    all-pairs). The FULL OUTER join per candidate pair's term vectors
+    runs as one (pair, word)-keyed agg: min() of matched tfs,
+    coalesce for one-sided words. Shuffles carry (doc, word, tf)
+    triples for CANDIDATE docs only. The multiset view separates
+    truly-duplicated text from coincidental vocabulary overlap."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    fam = docs.select(
+        "doc_id",
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim("text"), r"\s+"), 1, 5)
+        ).alias("family"),
+    )
+    wf = Window.partitionBy("family")
+    cand_docs = fam.withColumn("fs", F.count(F.lit(1)).over(wf)).filter(
+        F.col("fs") >= 2
+    )
+    pairs = (
+        cand_docs.select("family", F.col("doc_id").alias("a"))
+        .join(
+            cand_docs.select("family", F.col("doc_id").alias("b")),
+            "family",
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+    )
+    tf = (
+        docs.join(
+            cand_docs.select("doc_id"), "doc_id", "left_semi"
+        )
+        .select(
+            "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    ta = tf.select(F.col("doc_id").alias("a"), "w", F.col("tf").alias("tfa"))
+    tb = tf.select(F.col("doc_id").alias("b"), "w", F.col("tf").alias("tfb"))
+    # per-pair word universe: each side's (pair, word, tf) stream,
+    # FULL-outer joined on (pair, word) — a word in only one doc
+    # surfaces with NULL tf on the other side (min→0 via coalesce)
+    aw = pairs.join(ta, "a").select("a", "b", "w", "tfa")
+    bw = pairs.join(tb, "b").select("a", "b", "w", "tfb")
+    joined = aw.join(bw, ["a", "b", "w"], "full")
+    agg = joined.groupBy("a", "b").agg(
+        F.sum(
+            F.least(F.coalesce("tfa", F.lit(0)), F.coalesce("tfb", F.lit(0)))
+        ).alias("inter_w"),
+        F.sum(
+            F.greatest(F.coalesce("tfa", F.lit(0)), F.coalesce("tfb", F.lit(0)))
+        ).alias("union_w"),
+    )
+    return (
+        agg.select(
+            "a",
+            "b",
+            F.round(F.col("inter_w") / F.col("union_w"), 6).alias(
+                "weighted_jaccard"
+            ),
+        )
+        .orderBy(F.desc("weighted_jaccard"), "a", "b")
+        .limit(20)
+    )
+
+
+_Q214_ORACLE = """
+WITH fam AS (
+  SELECT doc_id,
+         array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:5], ' ')
+           AS family
+  FROM documents
+), cand AS (
+  SELECT doc_id, family FROM (
+    SELECT doc_id, family, count(*) OVER (PARTITION BY family) AS fs
+    FROM fam) WHERE fs >= 2
+), pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM cand a JOIN cand b
+    ON a.family = b.family AND a.doc_id < b.doc_id
+), tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM (
+    SELECT d.doc_id, unnest(regexp_split_to_array(trim(d.text), '\\s+')) AS w
+    FROM documents d SEMI JOIN cand c ON d.doc_id = c.doc_id)
+  GROUP BY 1, 2
+), aw AS (
+  SELECT p.a, p.b, tf.w, tf.tf AS tfa
+  FROM pairs p JOIN tf ON tf.doc_id = p.a
+), bw AS (
+  SELECT p.a, p.b, tf.w, tf.tf AS tfb
+  FROM pairs p JOIN tf ON tf.doc_id = p.b
+), matched AS (
+  SELECT a, b, w, coalesce(tfa, 0) AS tfa, coalesce(tfb, 0) AS tfb
+  FROM aw FULL JOIN bw USING (a, b, w)
+), agg AS (
+  SELECT a, b,
+         sum(least(tfa, tfb)) AS inter_w,
+         sum(greatest(tfa, tfb)) AS union_w
+  FROM matched GROUP BY 1, 2
+)
+SELECT a, b, round(CAST(inter_w AS DOUBLE) / union_w, 6)
+         AS weighted_jaccard
+FROM agg ORDER BY weighted_jaccard DESC, a, b LIMIT 20
+"""
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(
         relational.q01_pricing_summary,
@@ -9431,6 +9719,10 @@ REGISTRY: dict[str, QuerySpec] = {
     "q208_waiting_suppliers": QuerySpec(q208_waiting_suppliers, _Q208_ORACLE, "join"),
     "q209_monthly_revenue_bands": QuerySpec(q209_monthly_revenue_bands, _Q209_ORACLE, "aggregation"),
     "q210_rfm_cells": QuerySpec(q210_rfm_cells, _Q210_ORACLE, "window"),
+    "q211_quality_length_calibration": QuerySpec(q211_quality_length_calibration, _Q211_ORACLE, "text"),
+    "q212_time_weighted_avg": QuerySpec(q212_time_weighted_avg, _Q212_ORACLE, "window"),
+    "q213_conjunctive_retrieval": QuerySpec(q213_conjunctive_retrieval, _Q213_ORACLE, "text"),
+    "q214_weighted_jaccard_verify": QuerySpec(q214_weighted_jaccard_verify, _Q214_ORACLE, "dedup"),
     "q150_media_dedup": QuerySpec(q150_media_dedup, _Q150_ORACLE, "multimodal"),
     "q151_top_decile_curation": QuerySpec(
         q151_top_decile_curation, _Q151_ORACLE, "text"
@@ -9935,6 +10227,10 @@ _DRIVER_PRIORITY = (
     "q208_waiting_suppliers",
     "q209_monthly_revenue_bands",
     "q210_rfm_cells",
+    "q211_quality_length_calibration",
+    "q212_time_weighted_avg",
+    "q213_conjunctive_retrieval",
+    "q214_weighted_jaccard_verify",
     # -- round-5 names (all pass(r5)) --
     "q184_bfs_reach",
     "q182_nearest_event_join",
