@@ -8847,10 +8847,13 @@ def q214_weighted_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     J_w = Σ min(tf_a, tf_b) / Σ max(tf_a, tf_b), which q201's
     template families feed as candidate pairs (family-blocked, never
     all-pairs). The FULL OUTER join per candidate pair's term vectors
-    runs as one (pair, word)-keyed agg: min() of matched tfs,
-    coalesce for one-sided words. Shuffles carry (doc, word, tf)
-    triples for CANDIDATE docs only. The multiset view separates
-    truly-duplicated text from coincidental vocabulary overlap."""
+    runs as one (pair, word)-keyed agg over MATCHED words only — the
+    identity Σmax = |A| + |B| − Σmin (doc token totals from a tiny
+    per-doc aggregate) makes the full-outer word-universe join
+    unnecessary: one-sided words contribute 0 to Σmin and ride in
+    through the totals. Shuffles carry (doc, word, tf) triples for
+    CANDIDATE docs only. The multiset view separates truly-duplicated
+    text from coincidental vocabulary overlap."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -8885,19 +8888,33 @@ def q214_weighted_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ta = tf.select(F.col("doc_id").alias("a"), "w", F.col("tf").alias("tfa"))
     tb = tf.select(F.col("doc_id").alias("b"), "w", F.col("tf").alias("tfb"))
-    # per-pair word universe: each side's (pair, word, tf) stream,
-    # FULL-outer joined on (pair, word) — a word in only one doc
-    # surfaces with NULL tf on the other side (min→0 via coalesce)
-    aw = pairs.join(ta, "a").select("a", "b", "w", "tfa")
-    bw = pairs.join(tb, "b").select("a", "b", "w", "tfb")
-    joined = aw.join(bw, ["a", "b", "w"], "full")
-    agg = joined.groupBy("a", "b").agg(
-        F.sum(
-            F.least(F.coalesce("tfa", F.lit(0)), F.coalesce("tfb", F.lit(0)))
-        ).alias("inter_w"),
-        F.sum(
-            F.greatest(F.coalesce("tfa", F.lit(0)), F.coalesce("tfb", F.lit(0)))
-        ).alias("union_w"),
+    # Σmin over MATCHED words only (inner join on the word); Σmax
+    # comes from the identity Σmax = totA + totB − Σmin, with the
+    # per-doc token totals a candidate-doc-sized aggregate
+    inter = (
+        pairs.join(ta, "a")
+        .join(tb, ["b", "w"])
+        .groupBy("a", "b")
+        .agg(F.sum(F.least("tfa", "tfb")).alias("inter_w"))
+    )
+    tot = tf.groupBy("doc_id").agg(F.sum("tf").alias("tot"))
+    agg = (
+        pairs.join(inter, ["a", "b"], "left")
+        .join(
+            F.broadcast(tot.select(F.col("doc_id").alias("a"),
+                                   F.col("tot").alias("tot_a"))), "a"
+        )
+        .join(
+            F.broadcast(tot.select(F.col("doc_id").alias("b"),
+                                   F.col("tot").alias("tot_b"))), "b"
+        )
+        .select(
+            "a",
+            "b",
+            F.coalesce("inter_w", F.lit(0)).alias("inter_w"),
+            (F.col("tot_a") + F.col("tot_b")
+             - F.coalesce("inter_w", F.lit(0))).alias("union_w"),
+        )
     )
     return (
         agg.select(
@@ -8931,20 +8948,22 @@ WITH fam AS (
     SELECT d.doc_id, unnest(regexp_split_to_array(trim(d.text), '\\s+')) AS w
     FROM documents d SEMI JOIN cand c ON d.doc_id = c.doc_id)
   GROUP BY 1, 2
-), aw AS (
-  SELECT p.a, p.b, tf.w, tf.tf AS tfa
-  FROM pairs p JOIN tf ON tf.doc_id = p.a
-), bw AS (
-  SELECT p.a, p.b, tf.w, tf.tf AS tfb
-  FROM pairs p JOIN tf ON tf.doc_id = p.b
-), matched AS (
-  SELECT a, b, w, coalesce(tfa, 0) AS tfa, coalesce(tfb, 0) AS tfb
-  FROM aw FULL JOIN bw USING (a, b, w)
+), inter AS (
+  SELECT p.a, p.b, sum(least(ta.tf, tb.tf)) AS inter_w
+  FROM pairs p
+  JOIN tf ta ON ta.doc_id = p.a
+  JOIN tf tb ON tb.doc_id = p.b AND tb.w = ta.w
+  GROUP BY 1, 2
+), tot AS (
+  SELECT doc_id, sum(tf) AS tot FROM tf GROUP BY 1
 ), agg AS (
-  SELECT a, b,
-         sum(least(tfa, tfb)) AS inter_w,
-         sum(greatest(tfa, tfb)) AS union_w
-  FROM matched GROUP BY 1, 2
+  SELECT p.a, p.b,
+         coalesce(i.inter_w, 0) AS inter_w,
+         tot_a.tot + tot_b.tot - coalesce(i.inter_w, 0) AS union_w
+  FROM pairs p
+  LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+  JOIN tot tot_a ON tot_a.doc_id = p.a
+  JOIN tot tot_b ON tot_b.doc_id = p.b
 )
 SELECT a, b, round(CAST(inter_w AS DOUBLE) / union_w, 6)
          AS weighted_jaccard
