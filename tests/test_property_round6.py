@@ -211,3 +211,92 @@ def test_ewma_matches_python_loop(spark, sf_dir):
             x * math.pow(0.7, t - i) for i, (_, x) in enumerate(xs[: t + 1])
         )
         assert abs(got[day] - round(expected, 4)) < 1e-9, day
+
+
+def test_wau_sliding_distinct_matches_pandas(spark, sf_dir):
+    """q191's explode-based trailing-7d distinct == a pandas rolling
+    set union on the real events table."""
+    from ssb_coefficient_maker_spark.queries import q191_dau_wau_stickiness
+    from ssb_coefficient_maker_spark.sources.loaders import load_table
+
+    got = {
+        r["day"]: (r["dau"], r["wau"])
+        for r in q191_dau_wau_stickiness(spark, sf_dir).collect()
+    }
+    ud = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .toPandas()
+    )
+    by_day = ud.groupby("day")["user_id"].apply(set).to_dict()
+    days = sorted(by_day)
+    for d in days:
+        window = set()
+        for d2 in days:
+            if 0 <= (d - d2).days <= 6:
+                window |= by_day[d2]
+        assert got[str(d)] == (len(by_day[d]), len(window)), d
+
+
+def test_priority_transitions_match_pandas(spark, sf_dir):
+    """q205's lag-window transition counts == a per-customer pandas
+    loop over the real orders table."""
+    import collections
+
+    from ssb_coefficient_maker_spark.queries import q205_priority_transitions
+    from ssb_coefficient_maker_spark.sources.loaders import load_table
+
+    got = {
+        (r["p_from"], r["p_to"]): r["n"]
+        for r in q205_priority_transitions(spark, sf_dir).collect()
+    }
+    od = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority")
+        .toPandas()
+    )
+    counts: dict = collections.Counter()
+    for _, grp in od.groupby("o_custkey"):
+        seq = grp.sort_values(["o_orderdate", "o_orderkey"])[
+            "o_orderpriority"
+        ].tolist()
+        for a, b in zip(seq, seq[1:]):
+            counts[(a, b)] += 1
+    assert got == dict(counts)
+
+
+def test_weighted_jaccard_matches_python(spark, sf_dir):
+    """q214's min/total-identity construction == a direct Python
+    multiset Jaccard on the real template-family candidates."""
+    import collections
+
+    from ssb_coefficient_maker_spark.queries import (
+        q214_weighted_jaccard_verify,
+    )
+    from ssb_coefficient_maker_spark.sources.loaders import load_table
+
+    got = {
+        (r["a"], r["b"]): r["weighted_jaccard"]
+        for r in q214_weighted_jaccard_verify(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").toPandas()
+    docs["family"] = docs["text"].str.strip().str.split().str[:5].str.join(" ")
+    fam_sizes = docs.groupby("family")["doc_id"].apply(list).to_dict()
+    tf = {
+        r.doc_id: collections.Counter(r.text.strip().split())
+        for r in docs.itertuples()
+    }
+    expected = {}
+    for members in fam_sizes.values():
+        if len(members) < 2:
+            continue
+        members = sorted(members)
+        for i, a in enumerate(members):
+            for b in members[i + 1 :]:
+                ca, cb = tf[a], tf[b]
+                inter = sum((ca & cb).values())
+                union = sum((ca | cb).values())
+                expected[(a, b)] = round(inter / union, 6)
+    top = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert got == dict(top)
