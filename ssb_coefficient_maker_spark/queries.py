@@ -1524,11 +1524,13 @@ def _decontamination_oracle_sql(
         """
 
 
-def _minhash_oracle_sql(k: int = 5, threshold: float = 0.4) -> str:
-    """DuckDB replica of ``minhash_lsh_pairs(family="md5")`` — the
-    SAME hash integers end to end: md5_hash60 shingles, Mersenne
-    universal-hash minima, banding, exact-Jaccard verify. Constants
-    come from operators.dedup so Spark and oracle can't drift."""
+def _minhash_cte_prefix(k: int = 5) -> str:
+    """Shared DuckDB CTE prefix replicating shingles → Mersenne
+    signatures → band keys for the portable md5 family
+    (``shingles_col(family="md5")`` + ``_band_table``): the SAME hash
+    integers Spark computes, end to end. Constants come from
+    operators.dedup so Spark and oracle can't drift. Used by both the
+    batch pair oracle (q31) and the incremental probe oracle (q215)."""
     p = dedup.MERSENNE
     minima = ",\n            ".join(
         f"min((h * {2 * i + 1} + {104729 * (i + 1)}) % {p}) AS m{i}"
@@ -1564,7 +1566,13 @@ def _minhash_oracle_sql(k: int = 5, threshold: float = 0.4) -> str:
           FROM ex GROUP BY doc_id
         ), bands AS (
           {bands}
-        ), cand AS (
+        )"""
+
+
+def _minhash_oracle_sql(k: int = 5, threshold: float = 0.4) -> str:
+    """DuckDB replica of ``minhash_lsh_pairs(family="md5")`` — see
+    ``_minhash_cte_prefix`` for the shared signature/banding CTEs."""
+    return f"""{_minhash_cte_prefix(k)}, cand AS (
           SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
           FROM bands l JOIN bands r ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
         ), sizes AS (
@@ -1583,6 +1591,35 @@ def _minhash_oracle_sql(k: int = 5, threshold: float = 0.4) -> str:
         JOIN sizes sb ON sb.doc_id = c.doc_b
         WHERE round(CAST(c.nc AS DOUBLE) / (sa.n + sb.n - c.nc), 4) >= {threshold}
         ORDER BY doc_a, doc_b
+        """
+
+
+def _incremental_probe_oracle_sql(k: int = 5, threshold: float = 0.4) -> str:
+    """DuckDB replica of ``q215_incremental_neardup_probe`` — the same
+    signature/banding CTEs as q31 (``_minhash_cte_prefix``), with
+    candidates restricted to NEW-batch × CORPUS band collisions
+    (doc_id % Q215_PROBE_MOD splits the sides, shared constant)."""
+    m = dedup.Q215_PROBE_MOD
+    return f"""{_minhash_cte_prefix(k)}, cand AS (
+          SELECT DISTINCT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id
+          FROM bands n JOIN bands c ON n.band = c.band AND n.bh = c.bh
+          WHERE n.doc_id % {m} = {m - 1} AND c.doc_id % {m} != {m - 1}
+        ), sizes AS (
+          SELECT doc_id, len(shs) AS n FROM sh
+        ), common AS (
+          SELECT c.new_doc_id, c.corpus_doc_id, count(*) AS nc
+          FROM cand c
+          JOIN ex a ON a.doc_id = c.new_doc_id
+          JOIN ex b ON b.doc_id = c.corpus_doc_id AND b.s = a.s
+          GROUP BY c.new_doc_id, c.corpus_doc_id
+        )
+        SELECT c.new_doc_id, c.corpus_doc_id,
+               round(CAST(c.nc AS DOUBLE) / (sa.n + sb.n - c.nc), 4) AS jaccard
+        FROM common c
+        JOIN sizes sa ON sa.doc_id = c.new_doc_id
+        JOIN sizes sb ON sb.doc_id = c.corpus_doc_id
+        WHERE round(CAST(c.nc AS DOUBLE) / (sa.n + sb.n - c.nc), 4) >= {threshold}
+        ORDER BY new_doc_id, corpus_doc_id
         """
 
 # ------------------------------------------------------------ round-3 surface
@@ -9742,6 +9779,13 @@ REGISTRY: dict[str, QuerySpec] = {
     "q212_time_weighted_avg": QuerySpec(q212_time_weighted_avg, _Q212_ORACLE, "window"),
     "q213_conjunctive_retrieval": QuerySpec(q213_conjunctive_retrieval, _Q213_ORACLE, "text"),
     "q214_weighted_jaccard_verify": QuerySpec(q214_weighted_jaccard_verify, _Q214_ORACLE, "dedup"),
+    "q215_incremental_neardup_probe": QuerySpec(
+        dedup.q215_incremental_neardup_probe,
+        # same md5-family value replica as q31, candidates restricted
+        # to new-batch x pinned-corpus band collisions
+        _incremental_probe_oracle_sql(),
+        "dedup",
+    ),
     "q150_media_dedup": QuerySpec(q150_media_dedup, _Q150_ORACLE, "multimodal"),
     "q151_top_decile_curation": QuerySpec(
         q151_top_decile_curation, _Q151_ORACLE, "text"
@@ -10199,7 +10243,43 @@ REGISTRY: dict[str, QuerySpec] = {
 # twin). NEW round-6 queries go right AFTER this head (capped ~30 so
 # a 50-slot sample covers both), then prior rounds' names.
 _DRIVER_PRIORITY = (
-    # -- VERDICT r5 item 1: stale/never-sampled head (do not reorder) --
+    # -- VERDICT r6 item 2: names whose code/session infra changed in
+    # round 6 AFTER their last driver sample (q166 rewrite 88a588b;
+    # shared streaming session 6dc5a5c) — re-verify first --
+    "q166_heaps_law",
+    "q107_stream_stream_join",
+    "q110_stream_static_join",
+    "q63_streaming_tumbling",
+    "q76_streaming_dedup",
+    "q80_streaming_sink",
+    "q105_incremental_mv",
+    # -- new round-7 queries insert here --
+    "q215_incremental_neardup_probe",
+    # -- VERDICT r6 item 9: oldest-verdict rotation — the names whose
+    # latest driver sample is round 1 (no green older than ~4 rounds) --
+    "q25_text_stats",
+    "q26_quality_score",
+    "q27_token_count",
+    "q28_lang_id",
+    "q29_fingerprint",
+    "q30_exact_dedup",
+    "q32_ngram_jaccard",
+    "q34_cosine_topk",
+    "q36_embedding_stats",
+    "q37_media_bytes",
+    "q38_asof_join",
+    "q39_percentiles",
+    "q40_stats_agg",
+    "q41_grouping_sets",
+    "q42_string_functions",
+    "q43_pivot",
+    "q45_unpivot",
+    "q46_decimal_agg",
+    "q47_posexplode",
+    "q49_lag_lead",
+    "q50_embedding_neardup",
+    "q51_below_brand_average",
+    # -- round-6 head (all pass(r6)) --
     "q90_repetition_filter",
     "q91_decontamination",
     "q101_pii_redaction",
@@ -10219,7 +10299,7 @@ _DRIVER_PRIORITY = (
     "q136_streaming_sliding",
     "q137_grouped_ols",
     "q44_approx_distinct",
-    # -- new round-6 queries insert here --
+    # -- round-6 queries (all pass(r6)) --
     "q185_cdc_chunking",
     "q186_pivot_matrix",
     "q187_unpivot_metrics",
@@ -10272,7 +10352,6 @@ _DRIVER_PRIORITY = (
     "q163_cusum_changepoint",
     "q164_weighted_median",
     "q165_linear_attribution",
-    "q166_heaps_law",
     "q167_bot_rate_audit",
     "q156_market_basket",
     "q157_seasonality_index",
@@ -10320,12 +10399,9 @@ _DRIVER_PRIORITY = (
     "q102_quantile_normalize",
     "q103_int8_quantization",
     "q104_dpp_prune_join",
-    "q105_incremental_mv",
     "q106_runtime_filter_join",
-    "q107_stream_stream_join",
     "q108_grouped_agg_udaf",
     "q109_compact_small_files",
-    "q110_stream_static_join",
     "q112_snapshot_diff",
     "q113_word_entropy",
     "q48_null_functions",
@@ -10337,13 +10413,10 @@ _DRIVER_PRIORITY = (
     "q60_csv_scan",
     "q61_json_scan",
     "q62_approx_percentile",
-    "q63_streaming_tumbling",
     "q67_doc_chunking",
     "q68_sequence_packing",
     "q74_frame_sampling",
-    "q76_streaming_dedup",
     "q77_dedup_clusters",
-    "q80_streaming_sink",
 )
 
 

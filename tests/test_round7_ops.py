@@ -1,0 +1,155 @@
+"""Round-7 operator tests: incremental near-dup probe (q215) and the
+round-7 VERDICT/ADVICE items."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ssb_coefficient_maker_spark.operators import dedup
+from ssb_coefficient_maker_spark.operators.dedup import (
+    build_lsh_index,
+    minhash_lsh_pairs,
+    probe_lsh_index,
+)
+from ssb_coefficient_maker_spark.sources.loaders import load_table
+
+
+def _plan_str(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _release_index():
+    from ssb_coefficient_maker_spark.cachereg import get_cache
+
+    get_cache("lsh_corpus_index").release()
+
+
+# --------------------------------------------------------------------- q215
+
+
+def test_q215_matches_duckdb_oracle(spark, sf_dir):
+    import duckdb
+
+    from ssb_coefficient_maker_spark.queries import (
+        _incremental_probe_oracle_sql,
+    )
+
+    got = (
+        dedup.q215_incremental_neardup_probe(spark, sf_dir)
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    want = con.execute(_incremental_probe_oracle_sql()).fetchdf()
+    assert len(got) > 0, "probe must find straddling near-dups in testdata"
+    pd.testing.assert_frame_equal(
+        got.astype({"new_doc_id": "int64", "corpus_doc_id": "int64"}),
+        want.astype({"new_doc_id": "int64", "corpus_doc_id": "int64"}),
+        check_exact=False,
+        rtol=0,
+        atol=1e-9,
+    )
+    _release_index()
+
+
+def test_probe_corpus_served_from_pinned_index(spark, sf_dir):
+    """The contract that makes q215 the daily-ingest operator: the
+    corpus is shingled ONCE at index-build time; every probe's plan
+    reads the pinned band/shingle tables (InMemoryTableScan) and scans
+    parquet only for the NEW batch."""
+    _release_index()
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 4)
+    new_batch = docs.filter(F.col("doc_id") % 5 == 4)
+
+    idx = build_lsh_index(corpus, family="md5")
+    # build-once: a second build on the same corpus returns the SAME
+    # pinned frames (cache identity), not a recompute
+    idx2 = build_lsh_index(corpus, family="md5")
+    assert idx2[0] is idx[0] and idx2[1] is idx[1]
+    assert idx[0].storageLevel.useMemory and idx[1].storageLevel.useMemory
+
+    import sys
+    from collections import Counter
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import plan_audit
+
+    plan = (
+        probe_lsh_index(new_batch, idx, family="md5")
+        ._jdf.queryExecution()
+        .executedPlan()
+    )
+    nodes = Counter(n.nodeName() for n in plan_audit._walk(plan))
+    # corpus side: band table + shingle table, both from executor
+    # memory — never a re-shingle of the corpus text
+    assert nodes["InMemoryTableScan"] == 2, nodes
+    # new-batch side: the only parquet scans are the new docs (band
+    # stream + verification side = 2 scans)
+    parquet_scans = sum(v for k, v in nodes.items() if k.startswith("Scan parquet"))
+    assert parquet_scans == 2, nodes
+    _release_index()
+
+
+def test_probe_agrees_with_batch_pairs(spark, sf_dir):
+    """Probing the new batch against the corpus index finds EXACTLY
+    the straddling subset of the batch pair finder's output (same
+    signatures, same banding, same verification — incremental vs batch
+    must not diverge)."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = minhash_lsh_pairs(docs, threshold=0.4, family="md5").toPandas()
+    dedup.release_shingle_cache()
+    straddle = set()
+    for a, b, j in batch[["doc_a", "doc_b", "jaccard"]].itertuples(index=False):
+        if (a % 5 == 4) != (b % 5 == 4):
+            new, old = (a, b) if a % 5 == 4 else (b, a)
+            straddle.add((new, old, j))
+    probe = dedup.q215_incremental_neardup_probe(spark, sf_dir).toPandas()
+    got = set(
+        probe[["new_doc_id", "corpus_doc_id", "jaccard"]].itertuples(index=False)
+    )
+    assert got == straddle
+    _release_index()
+
+
+def test_probe_families_agree_on_planted_dup(spark):
+    """md5 (portable) and xxhash64 (production) families find the same
+    planted exact duplicate with the same verified Jaccard."""
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi"
+    )
+    corpus = pd.DataFrame(
+        {"doc_id": [1, 2], "text": [base, "unrelated words about columnar engines here"]}
+    )
+    new = pd.DataFrame({"doc_id": [10], "text": [base + "  "]})
+    for fam in ("xxhash64", "md5"):
+        _release_index()
+        idx = build_lsh_index(spark.createDataFrame(corpus), family=fam)
+        out = probe_lsh_index(
+            spark.createDataFrame(new), idx, threshold=0.9, family=fam
+        ).toPandas()
+        assert list(out.itertuples(index=False)) == [(10, 1, 1.0)]
+    _release_index()
+
+
+def test_lsh_index_cache_capped_at_one_corpus(spark, sf_dir):
+    """Pointing the index at a DIFFERENT corpus evicts the previous
+    pinned frames (cap-at-one contract shared with IVF/PQ/shingles)."""
+    from ssb_coefficient_maker_spark.cachereg import get_cache
+
+    _release_index()
+    docs = load_table(spark, sf_dir, "documents")
+    idx_a = build_lsh_index(docs.filter(F.col("doc_id") % 5 != 4), family="md5")
+    build_lsh_index(docs.filter(F.col("doc_id") % 7 != 0), family="md5")
+    cache = get_cache("lsh_corpus_index")
+    assert len(cache.pinned_frames()) == 2  # only the NEW corpus's two frames
+    assert not idx_a[0].storageLevel.useMemory  # old corpus unpersisted
+    _release_index()
