@@ -17,6 +17,7 @@ of state per key regardless of input volume.
 from __future__ import annotations
 
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -239,15 +240,25 @@ def state_sized_session(spark: SparkSession, partitions: int = STATE_PARTITIONS)
     The clone is memoized per (parent session, partitions): all
     streaming queries in a run share ONE state-sized session (round-4
     advisory), so repeated invocations don't accumulate session
-    state or re-pay conf propagation."""
-    key = (id(spark), partitions)
-    cached = _STATE_SESSIONS.get(key)
+    state or re-pay conf propagation. The memo keys on the parent
+    session OBJECT (WeakKeyDictionary), not id(spark): an id can be
+    reused by a new SparkSession after the old one is collected —
+    which would hand out a clone of a dead session — and a weak key
+    lets a stopped parent's clones be dropped instead of pinned
+    forever (round-6 advisory)."""
+    per_parent = _STATE_SESSIONS.get(spark)
+    if per_parent is None:
+        per_parent = {}
+        _STATE_SESSIONS[spark] = per_parent
+    cached = per_parent.get(partitions)
     if cached is not None:
         return cached
     s2 = spark.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", str(partitions))
-    _STATE_SESSIONS[key] = s2
+    per_parent[partitions] = s2
     return s2
 
 
-_STATE_SESSIONS: dict[tuple[int, int], SparkSession] = {}
+_STATE_SESSIONS: "weakref.WeakKeyDictionary[SparkSession, dict[int, SparkSession]]" = (
+    weakref.WeakKeyDictionary()
+)

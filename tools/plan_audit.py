@@ -46,6 +46,11 @@ WHITELIST: dict[str, tuple[str, str]] = {
         "aggregate to itself — day-count², both sides reduced",
     ),
     "q198_bigram_xent": ("bnlj", "1-row vocabulary-size broadcast"),
+    "q166_heaps_law": ("bnlj", "1-row decile-cuts broadcast (lazy percentile agg)"),
+    "q211_quality_length_calibration": (
+        "bnlj",
+        "1-row quintile-cuts broadcast (lazy percentile agg)",
+    ),
     "q199_jl_projection_audit": (
         "bnlj",
         "pair join (id_a < id_b) of the deterministic 1-in-97 vector "
