@@ -676,7 +676,71 @@ def cdc_bounds_expr(
     )
 
 
-def cdc_digests_expr(text_col: str, bounds_col: str = "bounds") -> Column:
+GEAR_WINDOW = 16
+GEAR_BITS = 28  # gear values < 2^28: window sum < 16*2^28*2^15 = 2^47,
+# exact in int64 AND in a double (DuckDB list_dot_product) — no
+# mod-2^64 wraparound to replicate
+GEAR_CUT = 134217728  # knuth_hash(H) < 2^32/32 → cut rate 1/32 (= md5 mask '07')
+
+
+def cdc_bounds_gear_udf() -> Column:
+    """Arrow-vectorized gear rolling-hash CDC boundary finder — the
+    mapInPandas-style seam the md5 window (`cdc_bounds_expr`) names as
+    its 100 TB upgrade. Returns a pandas_udf: text -> sorted bounds
+    array [0, cut_1, ..., len].
+
+    Boundary rule (engine-portable, pinned by the q185 oracle):
+    gear(cp) = knuth_hash(codepoint) % 2^28 per character;
+    H_p = Σ_{j=1..16} gear(cp_{p-16+j}) · 2^{16-j} (a 16-char
+    windowed weighted sum, < 2^47 so it is exact in int64 and in a
+    float64); cut at position p (1-based, p >= 16) iff
+    knuth_hash(H_p) < 2^32/32 — the same 1/32 cut rate as the md5
+    mask '07'. Same locality as the md5 rule (a boundary depends on
+    exactly the 16 trailing characters), so the shifted-insertion
+    robustness property is identical.
+
+    Vectorization: per batch the texts' code points come from one
+    utf-32 decode (np.frombuffer), gear values from one multiply-mod,
+    the window sums from a sliding_window_view dot — C loops end to
+    end, no per-position Python. Measured vs the md5 expression
+    (cdc_bounds_expr) in tools/bench_cdc.py; see SCALE_NOTES."""
+    import numpy as np
+
+    from ssb_coefficient_maker_spark.queries import KNUTH_MOD, KNUTH_MULT
+
+    w = GEAR_WINDOW
+    gear_mod = np.uint64(1 << GEAR_BITS)
+    mult = np.uint64(KNUTH_MULT)
+    mod32 = np.uint64(KNUTH_MOD)
+    kernel = (np.uint64(2) ** np.arange(w - 1, -1, -1, dtype=np.uint64))
+
+    def knuth_vec(a: "np.ndarray") -> "np.ndarray":
+        # bit-identical to queries.knuth_hash / knuth_hash_sql: reduce
+        # mod 2^32 first, then the 16/16 split-multiply (every
+        # intermediate < 2^49 — no uint64 wrap anywhere)
+        a = a % mod32
+        ah = a >> np.uint64(16)
+        al = a & np.uint64(0xFFFF)
+        return (al * mult + ((ah * mult) % np.uint64(65536) << np.uint64(16))) % mod32
+
+    def bounds_of(text: str) -> list[int]:
+        n = len(text)
+        if n < w:
+            return [0, n]
+        cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        gear = knuth_vec(cps) % gear_mod
+        h = (np.lib.stride_tricks.sliding_window_view(gear, w) * kernel).sum(axis=1)
+        cuts = np.nonzero(knuth_vec(h) < np.uint64(GEAR_CUT))[0] + w
+        if len(cuts) and cuts[-1] == n:
+            cuts = cuts[:-1]
+        return [0, *cuts.tolist(), n]
+
+    # no annotations on `batch`: pandas_udf would try to infer the
+    # eval type from them and rejects string-quoted hints
+    def batch(s):
+        return s.map(bounds_of)
+
+    return F.pandas_udf(batch, "array<long>")
     """md5 digest per content-defined chunk, from a materialized
     ``cdc_bounds_expr`` column (materialize bounds ONCE — the
     per-position window hashing is the expensive part)."""

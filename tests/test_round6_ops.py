@@ -338,13 +338,20 @@ def test_sequence_queries_window_only_partitioned(spark, sf_dir):
                 assert not node.partitionSpec().isEmpty(), name
 
 
-def test_q206_q185_no_python_in_plan(spark, sf_dir):
-    """q206 RLE and q185 CDC advertise pure-JVM pipelines: no Python
-    evaluation node of any kind may appear."""
-    for name in ("q206_jvm_rle", "q185_cdc_chunking"):
-        s = _plan_of(name, spark, sf_dir).toString()
-        assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s, name
-        assert "MapInPandas" not in s and "FlatMapGroupsInPandas" not in s, name
+def test_q206_q185_python_plan_contract(spark, sf_dir):
+    """q206 RLE advertises a pure-JVM pipeline: no Python evaluation
+    node of any kind. q185 CDC (round 7) deliberately runs its gear
+    boundary rule as ONE Arrow-vectorized pandas_udf — exactly one
+    ArrowEvalPython, never a row-at-a-time BatchEvalPython (see
+    SCALE_NOTES: the Arrow seam measured 3.5x the JVM md5 expression
+    at sf1)."""
+    s = _plan_of("q206_jvm_rle", spark, sf_dir).toString()
+    assert "BatchEvalPython" not in s and "ArrowEvalPython" not in s
+    assert "MapInPandas" not in s and "FlatMapGroupsInPandas" not in s
+
+    s = _plan_of("q185_cdc_chunking", spark, sf_dir).toString()
+    assert "BatchEvalPython" not in s
+    assert s.count("ArrowEvalPython") == 1, "gear bounds = one Arrow batch op"
 
 
 def test_q208_compiles_to_semi_plus_anti(spark, sf_dir):

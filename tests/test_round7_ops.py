@@ -153,3 +153,93 @@ def test_lsh_index_cache_capped_at_one_corpus(spark, sf_dir):
     assert len(cache.pinned_frames()) == 2  # only the NEW corpus's two frames
     assert not idx_a[0].storageLevel.useMemory  # old corpus unpersisted
     _release_index()
+
+
+# --------------------------------------------------- gear CDC (q185 seam)
+
+
+def _py_gear_bounds(text: str, w: int = 16) -> list[int]:
+    """Scalar pure-Python reference of the gear boundary rule —
+    validates the numpy vectorization (window orientation, kernel,
+    knuth split-multiply) independently."""
+    M, MOD = 2654435761, 1 << 32
+
+    def knuth(a: int) -> int:
+        a %= MOD
+        ah, al = a >> 16, a & 0xFFFF
+        return (al * M + ((ah * M) % 65536) * 65536) % MOD
+
+    n = len(text)
+    if n < w:
+        return [0, n]
+    gear = [knuth(ord(c)) % (1 << 28) for c in text]
+    out = [0]
+    for p in range(w, n + 1):  # 1-based cut position
+        h = sum(gear[p - w + j] << (w - 1 - j) for j in range(w))
+        if knuth(h) < 134217728 and p != n:
+            out.append(p)
+    out.append(n)
+    return out
+
+
+def test_gear_bounds_match_python_reference(spark, sf_dir):
+    from ssb_coefficient_maker_spark.operators.dedup import cdc_bounds_gear_udf
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 40)
+        .select("text", cdc_bounds_gear_udf()(F.col("text")).alias("b"))
+        .collect()
+    )
+    assert len(docs) == 40
+    for r in docs:
+        assert list(r["b"]) == _py_gear_bounds(r["text"])
+
+
+def test_gear_cdc_survives_shifted_insertion(spark):
+    """The rsync property must hold for the gear rule exactly as it
+    does for the md5 rule (test_round6_ops): boundaries depend only on
+    the 16 trailing chars, so an inserted prefix re-aligns locally."""
+    import random
+
+    from ssb_coefficient_maker_spark.operators.dedup import cdc_bounds_gear_udf
+
+    rng = random.Random(42)
+    base = " ".join(
+        "".join(rng.choice("abcdefghijklmnop ") for _ in range(8))
+        for _ in range(400)
+    )
+    shifted = "INSERTED-PREFIX-OF-ODD-LENGTH-37b " + base
+    df = spark.createDataFrame([("orig", base), ("shifted", shifted)], ["doc", "text"])
+    out = (
+        df.withColumn("b", cdc_bounds_gear_udf()(F.col("text")))
+        .selectExpr(
+            "doc",
+            "zip_with(slice(b, 1, size(b) - 1), slice(b, 2, size(b) - 1),"
+            " (a, c) -> md5(substring(text, a + 1, c - a))) AS ds",
+        )
+        .collect()
+    )
+    cdc = {r["doc"]: set(r["ds"]) for r in out}
+    assert len(cdc["orig"]) > 10
+    overlap = len(cdc["orig"] & cdc["shifted"]) / len(cdc["orig"])
+    assert overlap > 0.8, f"gear CDC overlap only {overlap:.2f}"
+
+
+def test_gear_cut_rate_near_1_in_32(spark, sf_dir):
+    """The knuth cut threshold targets p=1/32 — average chunk length
+    should sit near 32 chars on real corpus text (wide tolerance; the
+    md5 mask '07' rule had the same target)."""
+    from ssb_coefficient_maker_spark.operators.dedup import cdc_bounds_gear_udf
+
+    row = (
+        load_table(spark, sf_dir, "documents")
+        .select(cdc_bounds_gear_udf()(F.col("text")).alias("b"))
+        .select(
+            F.sum(F.element_at("b", -1)).alias("chars"),
+            F.sum(F.size("b") - 1).alias("chunks"),
+        )
+        .head()
+    )
+    avg = row["chars"] / row["chunks"]
+    assert 20 < avg < 48, f"avg chunk len {avg:.1f}"
