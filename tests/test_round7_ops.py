@@ -243,3 +243,48 @@ def test_gear_cut_rate_near_1_in_32(spark, sf_dir):
     )
     avg = row["chars"] / row["chunks"]
     assert 20 < avg < 48, f"avg chunk len {avg:.1f}"
+
+
+# ----------------------------------------------- salted join under skew
+
+
+def test_salted_join_beats_plain_under_planted_skew(spark, sf_dir):
+    """q131 proves salted == plain on near-uniform TPC-H keys; this
+    plants REAL skew (20% of lineitem rows on one supplier,
+    tools/bench_skew.py fixture) and asserts the remedy works where it
+    matters: the max shuffle-partition row count — the quantity that
+    pins one reducer task — drops by ~N_SALT under the salted key,
+    while the results stay identical. (Wall-clock is measured at sf1
+    in tools/bench_skew.py; see SCALE_NOTES for the numbers.)"""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import bench_skew
+
+    li = bench_skew.skewed_lineitem(spark, sf_dir)
+    n = li.count()
+    hot = li.filter(F.col("l_suppkey") == bench_skew.HOT_SUPP).count()
+    assert hot / n > 0.15, "fixture must be genuinely skewed"
+
+    li_salt = li.withColumn(
+        "salt",
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(bench_skew.N_SALT)),
+    )
+    mx_plain, _ = bench_skew.partition_profile(li, ["l_suppkey"], 64)
+    mx_salt, _ = bench_skew.partition_profile(li_salt, ["l_suppkey", "salt"], 64)
+    # the hot key pins one partition at >= hot rows; salting spreads
+    # it over N_SALT reducers
+    assert mx_plain >= hot
+    assert mx_salt <= mx_plain / 4, (mx_plain, mx_salt)
+
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    plain = {
+        (r["s_nationkey"], r["n_li"])
+        for r in bench_skew.plain_join(li, sup).collect()
+    }
+    salted = {
+        (r["s_nationkey"], r["n_li"])
+        for r in bench_skew.salted_join(li, sup).collect()
+    }
+    assert plain == salted
