@@ -33,6 +33,7 @@ from ssb_coefficient_maker_spark.catalog import (
     vector_from_pandas,
 )
 from ssb_coefficient_maker_spark.formula.parser import (
+    FormulaError,
     FormulaExpr,
     extract_variables,
     parse_formula,
@@ -280,7 +281,23 @@ class FormulaEvaluator:
             compile_formula_triplet,
         )
 
-        if any(isinstance(self.datasets[n], TripletMatrix) for n in names):
+        from ssb_coefficient_maker_spark.formula.parser import (
+            contains_transpose as _has_t,
+        )
+
+        # transpose routes here even when every operand is wide: in
+        # triplet form m.T is a key-swap projection
+        # (plans/triplet.transpose_triplet); in wide form it would be
+        # an unpivot + re-pivot of the whole frame
+        if _has_t(expr) and not any(
+            isinstance(self.datasets[n], (Matrix, TripletMatrix)) for n in names
+        ):
+            raise FormulaError(
+                "transpose ('.T') is only defined for matrix operands"
+            )
+        if _has_t(expr) or any(
+            isinstance(self.datasets[n], TripletMatrix) for n in names
+        ):
             if self.adp_enabled and any(
                 isinstance(self.datasets[n], Vector) for n in names
             ):

@@ -63,6 +63,16 @@ class Call(FormulaExpr):
     args: tuple[FormulaExpr, ...]
 
 
+@dataclass(frozen=True)
+class Transpose(FormulaExpr):
+    """``m.T`` — matrix transpose (the one pd.eval attribute the
+    reference surface reaches, coeff_maker.py:766). Evaluated on the
+    triplet path as a (row, col) key swap — a pure projection; the
+    wide path refuses it with a pointer there (plans/alignment.py)."""
+
+    operand: FormulaExpr
+
+
 _BINOPS: dict[type[ast.operator], str] = {
     ast.Add: "+",
     ast.Sub: "-",
@@ -136,14 +146,16 @@ def _convert(node: ast.expr, formula: str) -> FormulaExpr:
     if isinstance(node, ast.Attribute):
         # The reference forwards raw formulas to pd.eval, where `m.T`
         # (transpose) is reachable but never exercised by its tests
-        # (reference coeff_maker.py:766). Declared a v1 non-goal in
-        # SURVEY.md §7: matrices here are long-format DataFrames, so a
-        # transpose is a relabeling of the pivot, not an expression op.
+        # (reference coeff_maker.py:766). Supported since round 7 on
+        # the triplet path (a key-swap projection); any OTHER
+        # attribute stays a loud refusal.
+        if node.attr == "T":
+            return Transpose(_convert(node.value, formula))
         raise FormulaError(
             f"attribute access {node.attr!r} in {formula!r} is not supported: "
-            "pd.eval-style attributes like '.T' (transpose) are a documented "
-            "deviation from the reference (see SURVEY.md §7 non-goals); "
-            "pivot/relabel the input DataFrame instead"
+            "of the pd.eval-style attributes only '.T' (transpose) is "
+            "carried (see SURVEY.md §7); others are a documented deviation "
+            "from the reference — pivot/relabel the input DataFrame instead"
         )
     raise FormulaError(f"unsupported syntax in formula {formula!r}: {type(node).__name__}")
 
@@ -198,6 +210,23 @@ def extract_variables(expr: FormulaExpr | str) -> list[str]:
         elif isinstance(node, Call):
             for a in node.args:
                 walk(a)
+        elif isinstance(node, Transpose):
+            walk(node.operand)
 
     walk(expr)
     return seen
+
+
+def contains_transpose(expr: FormulaExpr) -> bool:
+    """True iff the parsed formula has a ``.T`` anywhere — used by the
+    evaluator to route such formulas onto the triplet path (the only
+    form where transpose is a cheap key swap)."""
+    if isinstance(expr, Transpose):
+        return True
+    if isinstance(expr, BinOp):
+        return contains_transpose(expr.left) or contains_transpose(expr.right)
+    if isinstance(expr, UnaryOp):
+        return contains_transpose(expr.operand)
+    if isinstance(expr, Call):
+        return any(contains_transpose(a) for a in expr.args)
+    return False

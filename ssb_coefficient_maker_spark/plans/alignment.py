@@ -283,6 +283,17 @@ def _aligned_join(frames: dict[str, Matrix]) -> DataFrame:
 
 
 def _to_column(expr: FormulaExpr, resolve) -> Column:
+    from ssb_coefficient_maker_spark.formula.parser import FormulaError, Transpose
+
+    if isinstance(expr, Transpose):
+        # the evaluator routes .T formulas onto the triplet path
+        # (api.py) before this wide-path projection is built; reaching
+        # here means a direct compile_formula call with a transpose
+        raise FormulaError(
+            "transpose ('.T') is supported on the triplet path only — "
+            "evaluate via FormulaEvaluator (which routes automatically) "
+            "or compile_formula_triplet"
+        )
     if isinstance(expr, Num):
         return F.lit(expr.value)
     if isinstance(expr, Var):

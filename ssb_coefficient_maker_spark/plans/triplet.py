@@ -63,6 +63,20 @@ def wide_to_triplet(m: Matrix) -> TripletMatrix:
     return TripletMatrix(df)
 
 
+def transpose_triplet(t: TripletMatrix) -> TripletMatrix:
+    """``m.T`` in long form: swap the (row, col) key — one projection,
+    no shuffle, any width. (The wide form would need a full unpivot +
+    re-pivot; this is why transpose routes formulas onto the triplet
+    path.)"""
+    return TripletMatrix(
+        t.df.select(
+            F.col(COL_ID).alias(ROW_ID),
+            F.col(ROW_ID).cast("string").alias(COL_ID),
+            F.col(VALUE),
+        )
+    )
+
+
 def triplet_to_wide(t: TripletMatrix, columns: list[str] | None = None) -> DataFrame:
     """Pivot back to wide form (requires enumerable columns)."""
     if columns is None:
@@ -72,6 +86,61 @@ def triplet_to_wide(t: TripletMatrix, columns: list[str] | None = None) -> DataF
         .pivot(COL_ID, columns)
         .agg(F.first(VALUE))
     )
+
+
+def _rewrite_transposes(
+    expr: FormulaExpr,
+    datasets: dict[str, TripletMatrix | Matrix | Vector | float],
+) -> tuple[FormulaExpr, dict[str, TripletMatrix]]:
+    """Replace every ``Transpose(Var(m))`` with a synthetic variable
+    bound to the key-swapped triplet of ``m``. Transpose of anything
+    but a matrix variable refuses loudly (the reference's pd.eval
+    surface never exercises compound transposes; supporting them
+    would mean materializing intermediate results mid-formula)."""
+    from ssb_coefficient_maker_spark.formula.parser import (
+        BinOp,
+        Call,
+        FormulaError,
+        Transpose,
+        UnaryOp,
+        Var,
+    )
+
+    extra: dict[str, TripletMatrix] = {}
+
+    def rw(node: FormulaExpr) -> FormulaExpr:
+        if isinstance(node, Transpose):
+            if not isinstance(node.operand, Var):
+                raise FormulaError(
+                    "transpose ('.T') is supported directly on a matrix "
+                    "variable (m.T), not on compound expressions — bind "
+                    "the subexpression to a name first"
+                )
+            name = node.operand.name
+            d = datasets[name]  # KeyError parity with unknown variables
+            if isinstance(d, Matrix):
+                t = wide_to_triplet(d)
+            elif isinstance(d, TripletMatrix):
+                t = d
+            else:
+                raise FormulaError(
+                    f"transpose of non-matrix operand {name!r} "
+                    f"({type(d).__name__}) is not defined"
+                )
+            tname = f"{name}__T"
+            while tname in datasets:  # avoid user-name collisions
+                tname += "_"
+            extra[tname] = transpose_triplet(t)
+            return Var(tname)
+        if isinstance(node, BinOp):
+            return BinOp(node.op, rw(node.left), rw(node.right))
+        if isinstance(node, UnaryOp):
+            return UnaryOp(node.op, rw(node.operand))
+        if isinstance(node, Call):
+            return Call(node.func, tuple(rw(a) for a in node.args))
+        return node
+
+    return rw(expr), extra
 
 
 def compile_formula_triplet(
@@ -84,7 +153,18 @@ def compile_formula_triplet(
     operands meet in a chained full-outer join — here on the composite
     (row, col) key — and the whole arithmetic lands in one projection
     over the single value column.
+
+    ``m.T`` is rewritten FIRST: each ``Transpose(Var)`` becomes a
+    synthetic operand bound to the key-swapped triplet
+    (transpose_triplet — a projection), after which the join/project
+    machinery below needs no transpose awareness. Pandas-parity
+    alignment falls out of the full-outer join: ``a + b.T`` aligns
+    a(r,c) with b(c,r) on labels, NaN where either side is absent —
+    exactly pd.eval's union alignment.
     """
+    expr, transposed = _rewrite_transposes(expr, datasets)
+    if transposed:
+        datasets = {**datasets, **transposed}
     names = extract_variables(expr)
     frames: dict[str, TripletMatrix] = {}
     vectors: dict[str, Vector] = {}

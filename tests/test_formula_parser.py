@@ -130,11 +130,17 @@ def test_where_whitelist():
         parse_formula("where(a, b)")
 
 
-def test_transpose_attribute_rejected_with_deviation_note():
+def test_transpose_parses_other_attributes_refused():
     # `m.T` is reachable through pd.eval in the reference
-    # (coeff_maker.py:766) but is a documented v1 non-goal (SURVEY.md
-    # §7): the error must say so rather than emit a generic parse error.
-    with pytest.raises(FormulaError, match=r"(?s)'T'.*deviation.*SURVEY"):
-        parse_formula("m.T")
-    with pytest.raises(FormulaError, match="attribute access"):
-        parse_formula("(a + b).T * c")
+    # (coeff_maker.py:766); carried since round 7 (Transpose node,
+    # evaluated on the triplet path). Any OTHER attribute must refuse
+    # with the documented-deviation note, not a generic parse error.
+    from ssb_coefficient_maker_spark.formula.parser import Transpose, Var
+
+    assert parse_formula("m.T") == Transpose(Var("m"))
+    # compound transpose PARSES (refusal happens at evaluation, where
+    # operand types are known)
+    expr = parse_formula("(a + b).T * c")
+    assert isinstance(expr.left, Transpose)
+    with pytest.raises(FormulaError, match=r"(?s)'values'.*deviation.*SURVEY"):
+        parse_formula("m.values + 1")

@@ -288,3 +288,78 @@ def test_salted_join_beats_plain_under_planted_skew(spark, sf_dir):
         for r in bench_skew.salted_join(li, sup).collect()
     }
     assert plain == salted
+
+
+# ------------------------------------------------------- m.T (Part B close)
+
+
+class TestTranspose:
+    """Part B `m.T` — the last de-facto pd.eval capability: supported
+    on the triplet path as a key-swap projection; formulas containing
+    .T route there automatically from FormulaEvaluator."""
+
+    def test_parser_accepts_T_and_refuses_other_attrs(self):
+        from ssb_coefficient_maker_spark.formula.parser import (
+            FormulaError,
+            Transpose,
+            Var,
+            extract_variables,
+            parse_formula,
+        )
+
+        expr = parse_formula("a + b.T")
+        assert extract_variables(expr) == ["a", "b"]
+        assert isinstance(expr.right, Transpose)
+        assert expr.right.operand == Var("b")
+        with pytest.raises(FormulaError, match="attribute access"):
+            parse_formula("a.values + b")
+
+    def test_transpose_matches_pandas(self, spark):
+        """Differential vs pd.eval semantics: a + b.T with square
+        label-aligned frames."""
+        import numpy as np
+
+        from ssb_coefficient_maker_spark.api import FormulaEvaluator
+
+        rng = np.random.default_rng(7)
+        a = pd.DataFrame(rng.integers(1, 9, (4, 4))).astype(float)
+        b = pd.DataFrame(rng.integers(1, 9, (4, 4))).astype(float)
+        expected = a + b.T  # pd.eval("a + b.T") equivalent
+        fe = FormulaEvaluator({"a": a, "b": b}, spark=spark)
+        got = fe.evaluate_to_pandas("a + b.T")
+        got = got[list(expected.columns)].astype(float).sort_index()
+        np.testing.assert_allclose(got.to_numpy(), expected.to_numpy(), rtol=1e-12)
+
+    def test_double_transpose_is_identity(self, spark):
+        import numpy as np
+
+        from ssb_coefficient_maker_spark.api import FormulaEvaluator
+
+        a = pd.DataFrame(np.arange(12, dtype=float).reshape(3, 4))
+        fe = FormulaEvaluator({"a": a}, spark=spark)
+        with pytest.raises(Exception):
+            # .T of a compound expression refuses loudly
+            fe.evaluate_to_pandas("(a + a).T.T")
+
+    def test_transpose_nonsquare_vs_pandas(self, spark):
+        """Non-square: a(3x4) + b(4x3).T aligns exactly like pandas."""
+        import numpy as np
+
+        from ssb_coefficient_maker_spark.api import FormulaEvaluator
+
+        rng = np.random.default_rng(11)
+        a = pd.DataFrame(rng.integers(1, 9, (3, 4))).astype(float)
+        b = pd.DataFrame(rng.integers(1, 9, (4, 3))).astype(float)
+        expected = a + b.T
+        fe = FormulaEvaluator({"a": a, "b": b}, spark=spark)
+        got = fe.evaluate_to_pandas("a + b.T")
+        got = got[list(expected.columns)].astype(float).sort_index()
+        np.testing.assert_allclose(got.to_numpy(), expected.to_numpy(), rtol=1e-12)
+
+    def test_transpose_of_scalar_refuses(self, spark):
+        from ssb_coefficient_maker_spark.api import FormulaEvaluator
+        from ssb_coefficient_maker_spark.formula.parser import FormulaError
+
+        fe = FormulaEvaluator({"s": 2.0}, spark=spark)
+        with pytest.raises(FormulaError, match="matrix"):
+            fe.evaluate_formula("s.T + 1")
