@@ -142,5 +142,5 @@ def test_transpose_parses_other_attributes_refused():
     # operand types are known)
     expr = parse_formula("(a + b).T * c")
     assert isinstance(expr.left, Transpose)
-    with pytest.raises(FormulaError, match=r"(?s)'values'.*deviation.*SURVEY"):
+    with pytest.raises(FormulaError, match=r"(?s)'values'.*SURVEY.*deviation"):
         parse_formula("m.values + 1")
