@@ -300,10 +300,30 @@ def _unpack_block(blk) -> tuple[np.ndarray, np.ndarray]:
     return ids, mat
 
 
+# The brute-force tier refuses to run past this many block pairs
+# (n_blocks·(n_blocks+1)/2). 8192 pairs ≈ 127 blocks ≈ 130k vectors at
+# the default block_size — comfortably covers the benchmark corpora
+# while making a silent 100× run impossible: at that scale the caller
+# must either raise block_size consciously or switch tiers.
+QUADRATIC_TIER_MAX_BLOCK_PAIRS = 8192
+
+
 def cosine_neardup_blocked(
-    emb: DataFrame, threshold: float = 0.4, block_size: int = 1024
+    emb: DataFrame,
+    threshold: float = 0.4,
+    block_size: int = 1024,
+    max_block_pairs: int = QUADRATIC_TIER_MAX_BLOCK_PAIRS,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold, fully distributed.
+
+    DELIBERATELY QUADRATIC — the documented brute-force tier of a
+    crossover pair, guarded: if the block-pair table would exceed
+    ``max_block_pairs`` this raises instead of silently launching an
+    O(n²) job (one cheap max(vec_id) agg decides — the price of the
+    guard). Past the bound use ``cosine_neardup_celled`` (q115, exact
+    with IVF-cell pruning — measured crossover in SCALE_NOTES) or
+    ``lsh_neardup_pairs`` (q57, approximate), or consciously raise
+    ``max_block_pairs``/``block_size``.
 
     Plan shape (the 100 TB story): pack vectors into contiguous blocks
     (ONE shuffle on block id; each packed row = block_size × dim
@@ -319,6 +339,18 @@ def cosine_neardup_blocked(
     Accumulation loops over dimensions in order, matching DuckDB's
     sequential ``list_sum`` bit-for-bit (oracle-exact).
     """
+    max_id = emb.agg(F.max("vec_id")).head()[0]
+    n_blocks = (int(max_id) // block_size) + 1 if max_id is not None else 0
+    n_pairs = n_blocks * (n_blocks + 1) // 2
+    if n_pairs > max_block_pairs:
+        raise ValueError(
+            f"cosine_neardup_blocked: {n_blocks} blocks -> {n_pairs} block "
+            f"pairs exceeds max_block_pairs={max_block_pairs}. This is the "
+            "deliberately quadratic exact tier; at this scale use "
+            "cosine_neardup_celled (q115, exact with IVF-cell pruning) or "
+            "lsh_neardup_pairs (q57, approximate), or raise "
+            "max_block_pairs/block_size consciously."
+        )
     packed = (
         emb.select(
             "vec_id",

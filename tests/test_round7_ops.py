@@ -363,3 +363,22 @@ class TestTranspose:
         fe = FormulaEvaluator({"s": 2.0}, spark=spark)
         with pytest.raises(FormulaError, match="matrix"):
             fe.evaluate_formula("s.T + 1")
+
+
+# -------------------------------------------------- q50 quadratic guard
+
+
+def test_quadratic_tier_guard_refuses_past_bound(spark, sf_dir):
+    """The deliberately-quadratic exact tier must fail LOUDLY (with
+    the tiered alternatives named) rather than silently launch an
+    O(n^2) job past its block-pair bound."""
+    from ssb_coefficient_maker_spark.operators.similarity import (
+        cosine_neardup_blocked,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    with pytest.raises(ValueError, match="celled|q115"):
+        cosine_neardup_blocked(emb, block_size=8, max_block_pairs=3)
+    # under the bound it still builds the plan
+    df = cosine_neardup_blocked(emb.filter(F.col("vec_id") < 64), block_size=64)
+    assert df.columns == ["vec_a", "vec_b", "cos_sim"]
