@@ -349,6 +349,42 @@ def probe_lsh_index(
     )
 
 
+def append_to_lsh_index(
+    corpus_docs: DataFrame, new_docs: DataFrame, family: str = "xxhash64"
+) -> tuple[DataFrame, DataFrame]:
+    """Ingest a probed batch INTO the pinned corpus LSH index — the
+    step after ``probe_lsh_index`` in the daily cycle (probe → keep
+    the non-dups → append). ONLY the new rows are shingled and
+    signed; the corpus side of the union reads the pinned frames
+    (plan-asserted in tests). The merged index is materialized and
+    re-pinned under the identity of ``corpus ∪ new``, so a later
+    ``build_lsh_index`` on the grown corpus is a cache hit — at
+    100 TB this is an APPEND of two small partitions to the stored
+    band/shingle tables, never a rebuild.
+
+    Ordering matters: the union frames are materialized BEFORE the
+    store call — store() evicts (unpersists) the old corpus entry
+    under the cap-at-one contract, which is only safe once the union
+    no longer needs to recompute from it.
+    """
+    from ssb_coefficient_maker_spark.cachereg import get_cache
+
+    cache = get_cache("lsh_corpus_index")
+    old_bands, old_sh = build_lsh_index(corpus_docs, family=family)
+    new_sh = new_docs.select(
+        "doc_id", shingles_col(F.col("text"), family=family).alias("sh")
+    )
+    sh = old_sh.unionByName(new_sh).persist()
+    bands = old_bands.unionByName(_band_table(new_sh)).persist()
+    bands.count()
+    sh.count()
+    union_key = (
+        corpus_docs.unionByName(new_docs).semanticHash(),
+        family,
+    )
+    return cache.store(union_key, (), (bands, sh), pinned=[bands, sh])
+
+
 # Shared with the DuckDB oracle (queries._incremental_probe_oracle_sql):
 # the "new batch" is every 5th doc (doc_id % 5 == 4) — a deterministic
 # ~20% slice standing in for today's ingest; the other 80% is the

@@ -382,3 +382,64 @@ def test_quadratic_tier_guard_refuses_past_bound(spark, sf_dir):
     # under the bound it still builds the plan
     df = cosine_neardup_blocked(emb.filter(F.col("vec_id") < 64), block_size=64)
     assert df.columns == ["vec_a", "vec_b", "cos_sim"]
+
+
+def test_append_to_lsh_index_never_reshingles_corpus(spark, sf_dir):
+    """The ingest step: append a batch to the pinned index. The
+    merged frames' plans must read the corpus from the pinned index
+    (InMemoryTableScan) and scan parquet only for the appended batch;
+    the merged index must be pinned under the GROWN corpus's identity
+    (build_lsh_index on the union is a cache hit); and probing it must
+    equal probing an index built from scratch on the union."""
+    import sys
+    from collections import Counter
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import plan_audit
+
+    from ssb_coefficient_maker_spark.operators.dedup import append_to_lsh_index
+
+    _release_index()
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 <= 2)
+    batch1 = docs.filter(F.col("doc_id") % 5 == 3)
+    batch2 = docs.filter(F.col("doc_id") % 5 == 4)
+
+    # the union the operator materializes (reconstructed identically
+    # here, pre-materialization): corpus side = ONE InMemoryTableScan
+    # of the pinned band table, parquet scan = ONLY batch1
+    from ssb_coefficient_maker_spark.operators.dedup import (
+        _band_table,
+        shingles_col,
+    )
+
+    old_bands, _old_sh = build_lsh_index(corpus, family="md5")
+    lazy_union = old_bands.unionByName(
+        _band_table(
+            batch1.select(
+                "doc_id", shingles_col(F.col("text"), family="md5").alias("sh")
+            )
+        )
+    )
+    nodes = Counter(
+        n.nodeName()
+        for n in plan_audit._walk(lazy_union._jdf.queryExecution().executedPlan())
+    )
+    assert nodes["InMemoryTableScan"] == 1, nodes
+    assert sum(v for k, v in nodes.items() if k.startswith("Scan parquet")) == 1, nodes
+
+    merged = append_to_lsh_index(corpus, batch1, family="md5")
+
+    # pinned under the union identity: build on the grown corpus hits
+    union = corpus.unionByName(batch1)
+    again = build_lsh_index(union, family="md5")
+    assert again[0] is merged[0] and again[1] is merged[1]
+
+    got = probe_lsh_index(batch2, merged, family="md5").toPandas()
+
+    _release_index()
+    scratch = build_lsh_index(union, family="md5")
+    want = probe_lsh_index(batch2, scratch, family="md5").toPandas()
+    pd.testing.assert_frame_equal(got, want)
+    _release_index()
