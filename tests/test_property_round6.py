@@ -300,3 +300,4 @@ def test_weighted_jaccard_matches_python(spark, sf_dir):
                 expected[(a, b)] = round(inter / union, 6)
     top = sorted(expected.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert got == dict(top)
+

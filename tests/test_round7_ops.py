@@ -443,3 +443,45 @@ def test_append_to_lsh_index_never_reshingles_corpus(spark, sf_dir):
     want = probe_lsh_index(batch2, scratch, family="md5").toPandas()
     pd.testing.assert_frame_equal(got, want)
     _release_index()
+
+
+# --------------------------------------------- session memo (round-6 advice)
+
+
+def test_state_session_memo_keyed_on_object(spark):
+    """The state-sized-session memo must key on the parent session
+    OBJECT (weakref), not id(): same parent + same partitions reuses
+    one clone; different partition counts get distinct clones; the
+    registry is a WeakKeyDictionary so dead parents can be collected."""
+    import weakref
+
+    from ssb_coefficient_maker_spark.streaming import windows as W
+
+    assert isinstance(W._STATE_SESSIONS, weakref.WeakKeyDictionary)
+    s8a = W.state_sized_session(spark, 8)
+    s8b = W.state_sized_session(spark, 8)
+    s4 = W.state_sized_session(spark, 4)
+    assert s8a is s8b
+    assert s4 is not s8a
+    assert s4.conf.get("spark.sql.shuffle.partitions") == "4"
+    # parent's own conf untouched
+    assert spark.conf.get("spark.sql.shuffle.partitions") != "4"
+
+
+@pytest.mark.parametrize("rows,cols,seed", [(2, 5, 0), (6, 3, 1), (4, 4, 2)])
+def test_transpose_formula_composes_vs_pandas(spark, rows, cols, seed):
+    """`a * b.T + b.T` on the engine equals the same pandas expression
+    across shapes (incl. negatives) — transpose, alignment, and
+    arithmetic compose exactly."""
+    import numpy as np
+
+    from ssb_coefficient_maker_spark.api import FormulaEvaluator
+
+    rng = np.random.default_rng(seed)
+    a = pd.DataFrame(rng.integers(-4, 9, (rows, cols))).astype(float)
+    b = pd.DataFrame(rng.integers(-4, 9, (cols, rows))).astype(float)
+    expected = a * b.T + b.T
+    fe = FormulaEvaluator({"a": a, "b": b}, spark=spark)
+    got = fe.evaluate_to_pandas("a * b.T + b.T")
+    got = got[list(expected.columns)].astype(float).sort_index()
+    np.testing.assert_allclose(got.to_numpy(), expected.to_numpy(), rtol=1e-12)
