@@ -18,9 +18,14 @@ Tiers, cheapest-first — the order a 100 TB pipeline runs them:
 6. q91_decontamination — shared-k-gram join against a held-out
                          benchmark set (pre-training hygiene).
 
-Everything is built-in functions (explode, groupBy, hash exprs) — no
-Python UDFs anywhere. Hash-dependent operators take a ``family``
-argument: ``xxhash64`` (production default, cheapest) or ``md5``
+Shingling, banding, joins and verification are built-in functions
+(explode, groupBy, hash exprs); the two per-element numeric kernels —
+MinHash signature minima (minhash_sig_udf) and gear-CDC boundary
+hashing (cdc_bounds_gear_udf) — run as Arrow-vectorized pandas_udfs,
+each carrying a measured JVM-vs-Arrow comparison in its docstring and
+a bit-identical JVM/oracle contract. No row-at-a-time Python
+anywhere. Hash-dependent operators take a ``family`` argument:
+``xxhash64`` (production default, cheapest) or ``md5``
 (``md5_hash60`` — identical integers in DuckDB, so the oracle checks
 values, not just shapes).
 """
@@ -154,32 +159,55 @@ def _shingle_table(docs: DataFrame, family: str = "xxhash64") -> DataFrame:
     return cache.store(corpus, (), sh_tbl, pinned=[sh_tbl])
 
 
+def minhash_sig_udf() -> "F.Column":
+    """Arrow-vectorized MinHash signatures: (shingle-hash array) ->
+    array of the N_HASHES universal-hash minima, bit-identical to the
+    JVM explode+aggregate formulation (same Mersenne-field formula
+    ``min((pmod(s, M) * (2i+1) + 104729*(i+1)) % M)`` — numpy's ``%``
+    matches ``pmod`` for negative xxhash64 shingles because its sign
+    follows the divisor; products stay < 2^37, no overflow).
+
+    Round-7 measurement (same lesson as the gear-CDC kernel): the JVM
+    path — explode ~280 shingles/doc, shuffle, 32 min-aggregates —
+    spent ~1.9 s of q215's 2.3 s warm at sf0.1, while one Arrow batch
+    computing all minima per row costs ~0.2 s single-threaded on the
+    same data. Per-ELEMENT work over short arrays belongs in an Arrow
+    kernel; the JVM aggregation pays explode + shuffle + per-column
+    agg machinery per shingle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    m = MERSENNE
+    mult = np.arange(1, 2 * N_HASHES, 2, dtype=np.int64)  # 2i + 1
+    add = 104729 * np.arange(1, N_HASHES + 1, dtype=np.int64)  # 104729*(i+1)
+
+    def batch(s):
+        out = []
+        for sh in s:
+            h = np.asarray(sh, dtype=np.int64) % m
+            mins = ((h[:, None] * mult[None, :] + add[None, :]) % m).min(axis=0)
+            out.append(mins.tolist())
+        return pd.Series(out)
+
+    return F.pandas_udf(batch, "array<long>")
+
+
 def _band_table(sh_tbl: DataFrame) -> DataFrame:
     """LSH band keys (doc_id, band, bh) from a (doc_id, sh) shingle
     table — the signature/banding stage shared by the batch pair
     finder (minhash_lsh_pairs) and the incremental probe
     (build_lsh_index / probe_lsh_index).
 
-    Shape: explode shingles, reduce each into the Mersenne field ONCE,
-    then ALL N_HASHES universal-hash minima ride a single
-    partial+final hash aggregation — one pass over the shingle
-    stream. (The array-lambda alternative — N array_min(transform())
-    over the shingle array — gets each lambda's pipeline re-inlined by
-    Catalyst without cross-lambda CSE and drops out of codegen:
-    measured ~50x slower.) Band keys then explode to N_BANDS small
-    rows per doc.
+    Signatures come from one Arrow batch op (minhash_sig_udf — no
+    shingle explode, no 32-column shuffle aggregate; see its docstring
+    for the measured JVM-vs-Arrow comparison), then band keys derive
+    JVM-side: N_BANDS small rows per doc, each band's hash over the
+    same comma-joined minima string the previous JVM formulation
+    hashed — band buckets are bit-identical, so the DuckDB oracle and
+    all cached indexes are unaffected.
     """
-    ex = sh_tbl.select("doc_id", F.explode("sh").alias("s")).withColumn(
-        "h", F.pmod(F.col("s"), F.lit(MERSENNE))
-    )
-    sig = ex.groupBy("doc_id").agg(
-        *[
-            F.min(F.pmod(F.col("h") * (2 * i + 1) + 104729 * (i + 1), F.lit(MERSENNE))).alias(
-                f"m{i}"
-            )
-            for i in range(N_HASHES)
-        ]
-    )
+    sig = sh_tbl.select("doc_id", minhash_sig_udf()(F.col("sh")).alias("sig"))
     return sig.select(
         "doc_id",
         F.explode(
@@ -190,7 +218,10 @@ def _band_table(sh_tbl: DataFrame) -> DataFrame:
                         F.xxhash64(
                             F.concat_ws(
                                 ",",
-                                *[F.col(f"m{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)],
+                                *[
+                                    F.element_at("sig", b * ROWS_PER_BAND + r + 1)
+                                    for r in range(ROWS_PER_BAND)
+                                ],
                             )
                         ).alias("bh"),
                     )
