@@ -10298,8 +10298,19 @@ _DRIVER_PRIORITY = (
     "q105_incremental_mv",
     # -- new round-7 queries insert here --
     "q215_incremental_neardup_probe",
+    # -- names whose CODE changed in round 7 after their last driver
+    # sample (q166 is already at the head): q185 gear-CDC boundary
+    # rule + oracle repin, q31/q33 Arrow signature/fingerprint
+    # kernels, q211 lazy cuts, q194 short-name block filter, q50
+    # block-pair guard — re-verify before the rotation names --
+    "q185_cdc_chunking",
+    "q31_minhash_neardup",
+    "q33_simhash",
+    "q211_quality_length_calibration",
+    "q194_fuzzy_name_join",
     # -- VERDICT r6 item 9: oldest-verdict rotation — the names whose
-    # latest driver sample is round 1 (no green older than ~4 rounds) --
+    # latest driver sample is round 1 (no green older than ~4 rounds;
+    # q50's guard also changed in round 7, and it sits in this list) --
     "q25_text_stats",
     "q26_quality_score",
     "q27_token_count",
@@ -10334,8 +10345,6 @@ _DRIVER_PRIORITY = (
     "q81_pq_topk",
     "q35_ivf_topk",
     "q56_kmeans_ivf",
-    "q31_minhash_neardup",
-    "q33_simhash",
     "q133_equal_freq_binning",
     "q134_mad_outliers",
     "q135_nation_pagerank",
@@ -10343,7 +10352,6 @@ _DRIVER_PRIORITY = (
     "q137_grouped_ols",
     "q44_approx_distinct",
     # -- round-6 queries (all pass(r6)) --
-    "q185_cdc_chunking",
     "q186_pivot_matrix",
     "q187_unpivot_metrics",
     "q188_window_rank_family",
@@ -10352,7 +10360,6 @@ _DRIVER_PRIORITY = (
     "q191_dau_wau_stickiness",
     "q192_ewma_volume",
     "q193_rolling_zscore_anomaly",
-    "q194_fuzzy_name_join",
     "q195_partial_reaggregation",
     "q196_token_class_audit",
     "q197_sketch_accuracy_audit",
@@ -10369,7 +10376,6 @@ _DRIVER_PRIORITY = (
     "q208_waiting_suppliers",
     "q209_monthly_revenue_bands",
     "q210_rfm_cells",
-    "q211_quality_length_calibration",
     "q212_time_weighted_avg",
     "q213_conjunctive_retrieval",
     "q214_weighted_jaccard_verify",
