@@ -305,6 +305,18 @@ def build_lsh_index(docs: DataFrame, family: str = "xxhash64") -> tuple[DataFram
     (band, bh) and doc_id respectively; the pinned DataFrames are the
     local-session stand-in, with the same cap-at-one-corpus lifecycle
     as the IVF/PQ indexes (cachereg.py).
+
+    DELIBERATE double-pin vs ``_shingle_table``: a session running
+    both the batch pair finder (q31, corpus = full table) and this
+    index (q215, corpus = the non-batch slice) holds two overlapping
+    pinned shingle tables. Sharing one frame across the two caches
+    would be smaller but unsound under their independent cap-at-one
+    eviction — re-running q31 on the full table would evict the
+    shared frame out from under the pinned index, silently turning
+    every later probe into a corpus re-shingle (the exact contract
+    this index exists to prevent). The index therefore OWNS its copy;
+    budget note: at the default shingle width this is ~2× the corpus
+    shingle footprint worst-case, bounded by both caches' cap-at-one.
     """
     from ssb_coefficient_maker_spark.cachereg import get_cache
 
@@ -826,6 +838,12 @@ def cdc_bounds_gear_udf() -> Column:
 
     def bounds_of(text: str) -> list[int]:
         n = len(text)
+        if n == 0:
+            # [0], not [0, 0]: a duplicate bound would emit a
+            # zero-length md5('') chunk that the oracle's
+            # list_distinct (and the old cdc_bounds_expr's
+            # array_distinct) never produces
+            return [0]
         if n < w:
             return [0, n]
         cps = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
@@ -842,16 +860,3 @@ def cdc_bounds_gear_udf() -> Column:
         return s.map(bounds_of)
 
     return F.pandas_udf(batch, "array<long>")
-    """md5 digest per content-defined chunk, from a materialized
-    ``cdc_bounds_expr`` column (materialize bounds ONCE — the
-    per-position window hashing is the expensive part)."""
-    t, b = text_col, bounds_col
-    return F.expr(
-        f"""
-        zip_with(
-          slice({b}, 1, size({b}) - 1),
-          slice({b}, 2, size({b}) - 1),
-          (a, c) -> md5(substring({t}, a + 1, c - a))
-        )
-        """
-    )

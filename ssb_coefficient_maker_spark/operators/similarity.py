@@ -319,10 +319,15 @@ def cosine_neardup_blocked(
     DELIBERATELY QUADRATIC — the documented brute-force tier of a
     crossover pair, guarded: if the block-pair table would exceed
     ``max_block_pairs`` this raises instead of silently launching an
-    O(n²) job (one cheap max(vec_id) agg decides — the price of the
-    guard). Past the bound use ``cosine_neardup_celled`` (q115, exact
-    with IVF-cell pruning — measured crossover in SCALE_NOTES) or
-    ``lsh_neardup_pairs`` (q57, approximate), or consciously raise
+    O(n²) job. The guard counts the *populated* blocks
+    (``countDistinct(vec_id // block_size)`` — exact for sparse or
+    offset id spaces, not a dense-id guess) with one eager agg at
+    construction time; that single small job is the price of refusing
+    before the quadratic plan exists, and it runs outside any bench
+    timing of the returned frame. Past the bound use
+    ``cosine_neardup_celled`` (q115, exact with IVF-cell pruning —
+    measured crossover in SCALE_NOTES) or ``lsh_neardup_pairs`` (q57,
+    approximate), or consciously raise
     ``max_block_pairs``/``block_size``.
 
     Plan shape (the 100 TB story): pack vectors into contiguous blocks
@@ -339,8 +344,11 @@ def cosine_neardup_blocked(
     Accumulation loops over dimensions in order, matching DuckDB's
     sequential ``list_sum`` bit-for-bit (oracle-exact).
     """
-    max_id = emb.agg(F.max("vec_id")).head()[0]
-    n_blocks = (int(max_id) // block_size) + 1 if max_id is not None else 0
+    n_blocks = int(
+        emb.agg(
+            F.count_distinct((F.col("vec_id") / block_size).cast("long"))
+        ).head()[0]
+    )
     n_pairs = n_blocks * (n_blocks + 1) // 2
     if n_pairs > max_block_pairs:
         raise ValueError(
@@ -449,6 +457,7 @@ def cosine_neardup_celled(
     block_size: int = 1024,
     fringe_quantile: float | None = None,
     stats: dict | None = None,
+    max_block_pairs: int = QUADRATIC_TIER_MAX_BLOCK_PAIRS,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold with IVF-cell pruning — the
     middle tier between ``cosine_neardup_blocked`` (always quadratic)
@@ -514,13 +523,19 @@ def cosine_neardup_celled(
     rq = 1.0 if fringe_quantile is None else fringe_quantile
     radius_rows = (
         assigned.groupBy("bucket")
-        .agg(F.percentile("ang", F.lit(rq)).alias("radius"))
+        .agg(
+            F.percentile("ang", F.lit(rq)).alias("radius"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
         .collect()
     )
     radius = {r["bucket"]: r["radius"] for r in radius_rows}
+    cell_n = {r["bucket"]: r["n_members"] for r in radius_rows}
 
     kept: list[tuple[int, int]] = []
     total = 0
+    surviving_block_pairs = 0
+    cell_blocks = {b: -(-n // block_size) for b, n in cell_n.items()}
     for i in sorted(radius):
         for j in sorted(radius):
             if j < i:
@@ -529,9 +544,37 @@ def cosine_neardup_celled(
             ub = math.cos(max(0.0, theta[i, j] - radius[i] - radius[j]))
             if ub >= threshold - 1e-4:
                 kept.append((i, j))
+                bi, bj = cell_blocks[i], cell_blocks[j]
+                surviving_block_pairs += bi * (bi + 1) // 2 if i == j else bi * bj
+    if fringe_quantile is not None:
+        # residual upper bound: each cell's fringe is at most the
+        # (1-q) fraction above its capped radius
+        n_total = sum(cell_n.values())
+        fringe_ub = int(math.ceil((1.0 - rq) * n_total))
+        fringe_blk = -(-fringe_ub // block_size) if fringe_ub else 0
+        surviving_block_pairs += fringe_blk * sum(cell_blocks.values())
+        surviving_block_pairs += fringe_blk * (fringe_blk + 1) // 2
     if stats is not None:
         stats["kept_cell_pairs"] = len(kept)
         stats["total_cell_pairs"] = total
+        stats["surviving_block_pairs"] = surviving_block_pairs
+    if surviving_block_pairs > max_block_pairs:
+        # the same cage as cosine_neardup_blocked, applied AFTER
+        # pruning: on an isotropic corpus (or a threshold far below
+        # the cluster tightness) the angular bound prunes ~nothing and
+        # the celled tier would silently run the full quadratic — the
+        # exact failure mode the q50 guard exists to refuse. Counting
+        # the SURVIVING pairs keeps the guard inert whenever pruning
+        # actually bites.
+        raise ValueError(
+            f"cosine_neardup_celled: pruning kept {len(kept)}/{total} cell "
+            f"pairs -> {surviving_block_pairs} surviving block pairs, over "
+            f"max_block_pairs={max_block_pairs}. The corpus/threshold gives "
+            "the angular bound nothing to prune (see the q50 docstring on "
+            "the isotropic case); at this scale use lsh_neardup_pairs "
+            "(q57, approximate) or raise max_block_pairs/block_size "
+            "consciously."
+        )
 
     # fringe split: a member beyond its cell's (capped) radius moves
     # to the residual set; with fringe_quantile=None the cap IS the
