@@ -69,21 +69,31 @@ def main() -> int:
     }
     print(json.dumps(payload))
     # The driver keeps only a stdout tail, which truncates 96 queries —
-    # persist the full cold+warm table in the repo so every run's
-    # per-query numbers stay reviewable (round-2 VERDICT item 3).
-    out_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(
-            os.path.dirname(os.path.abspath(__file__)),
-            f"bench_results_sf{sf or 'x'}.json",
-        ),
-    )
-    try:
-        with open(out_path, "w") as f:
-            json.dump(payload, f, indent=1, sort_keys=True)
-            f.write("\n")
-    except OSError as exc:
-        print(f"BENCH WARN could not write {out_path}: {exc}", file=sys.stderr)
+    # persist the full cold+warm table so every run's per-query numbers
+    # stay reviewable (round-2 VERDICT item 3). Since round 8 the
+    # default path is a SCRATCH file (untracked — .gitignore): the
+    # committed evidence is the ROUND-STAMPED copy written when
+    # SPARK_GRAFT_BENCH_ROUND is set (e.g. =r8 -> bench_sf0.1_r8.json),
+    # which BASELINE.md cites. This ends the recurring
+    # quoted-vs-committed drift where every later run overwrote the one
+    # file the docs pointed at (VERDICT r7 item 6).
+    here = os.path.dirname(os.path.abspath(__file__))
+    out_paths = [
+        os.environ.get(
+            "SPARK_GRAFT_BENCH_OUT",
+            os.path.join(here, f"bench_results_sf{sf or 'x'}.json"),
+        )
+    ]
+    stamp = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    if stamp:
+        out_paths.append(os.path.join(here, f"bench_sf{sf or 'x'}_{stamp}.json"))
+    for out_path in out_paths:
+        try:
+            with open(out_path, "w") as f:
+                json.dump(payload, f, indent=1, sort_keys=True)
+                f.write("\n")
+        except OSError as exc:
+            print(f"BENCH WARN could not write {out_path}: {exc}", file=sys.stderr)
     return 0
 
 

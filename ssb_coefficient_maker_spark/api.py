@@ -206,6 +206,22 @@ class FormulaEvaluator:
             isinstance(self.datasets[n], Matrix) for n in names
         )
 
+        from ssb_coefficient_maker_spark.formula.parser import (
+            contains_matmul as _has_mm,
+        )
+
+        if self.adp_enabled and _has_mm(expr):
+            # matmul contracts labels through a float64 join+sum plan;
+            # running it under ADP would silently demote the
+            # arbitrary-precision operands. Same never-demote-silently
+            # contract as the ADP triplet/Series refusals.
+            raise NotImplementedError(
+                "matmul ('@') is not supported in ADP mode: the "
+                "contraction computes in float64, which would silently "
+                "demote the arbitrary-precision operands. Evaluate with "
+                "adp_enabled=False."
+            )
+
         if self.adp_enabled and any(
             isinstance(self.datasets[n], Matrix) for n in names
         ):
@@ -285,17 +301,20 @@ class FormulaEvaluator:
             contains_transpose as _has_t,
         )
 
-        # transpose routes here even when every operand is wide: in
-        # triplet form m.T is a key-swap projection
-        # (plans/triplet.transpose_triplet); in wide form it would be
-        # an unpivot + re-pivot of the whole frame
-        if _has_t(expr) and not any(
+        # transpose and matmul route here even when every operand is
+        # wide: in triplet form m.T is a key-swap projection
+        # (plans/triplet.transpose_triplet) and a @ b is a contraction
+        # join + sum (matmul_triplet); in wide form the former would
+        # be an unpivot + re-pivot and the latter a width² expression
+        # explosion
+        if (_has_t(expr) or _has_mm(expr)) and not any(
             isinstance(self.datasets[n], (Matrix, TripletMatrix)) for n in names
         ):
             raise FormulaError(
-                "transpose ('.T') is only defined for matrix operands"
+                "transpose ('.T') and matmul ('@') are only defined for "
+                "matrix operands"
             )
-        if _has_t(expr) or any(
+        if _has_t(expr) or _has_mm(expr) or any(
             isinstance(self.datasets[n], TripletMatrix) for n in names
         ):
             if self.adp_enabled and any(

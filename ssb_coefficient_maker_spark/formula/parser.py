@@ -13,6 +13,9 @@ Here the language is explicit:
     unary   := -x, +x
     compare := < <= > >= == !=
     calls   := whitelisted only: abs(x), pow(x, y), where(c, a, b), x.fillna(v)
+    matrix  := m.T (transpose), a @ b (matrix product — an EXTENSION:
+               the reference's pd.eval python engine rejects '@';
+               both evaluate on the triplet path)
 
 Parsing yields a small typed tree (``FormulaExpr``) that downstream
 compiles either to ``pyspark.sql.Column`` (standard mode) or to an
@@ -73,6 +76,21 @@ class Transpose(FormulaExpr):
     operand: FormulaExpr
 
 
+@dataclass(frozen=True)
+class MatMul(FormulaExpr):
+    """``a @ b`` — matrix product. An EXTENSION beyond the reference:
+    its pd.eval python engine rejects '@' outright (SURVEY.md §2
+    Part B, verified), yet the domain is input-output coefficient
+    matrices (reference coeff_maker.py:1-13) where matrix products
+    are the natural next ask. Evaluated on the triplet path as a
+    label-contraction join + sum aggregate (plans/triplet.py
+    ``matmul_triplet``) — one shuffle, any width; the wide path and
+    ADP mode refuse it loudly."""
+
+    left: FormulaExpr
+    right: FormulaExpr
+
+
 _BINOPS: dict[type[ast.operator], str] = {
     ast.Add: "+",
     ast.Sub: "-",
@@ -124,6 +142,10 @@ def _convert(node: ast.expr, formula: str) -> FormulaExpr:
     if isinstance(node, ast.Name):
         return Var(node.id)
     if isinstance(node, ast.BinOp):
+        if isinstance(node.op, ast.MatMult):
+            # matrix product, NOT an elementwise BinOp: it changes
+            # shape and must never reach the scalar column compiler
+            return MatMul(_convert(node.left, formula), _convert(node.right, formula))
         op = _BINOPS.get(type(node.op))
         if op is None:
             raise FormulaError(f"unsupported operator in {formula!r}: {ast.dump(node.op)}")
@@ -212,6 +234,9 @@ def extract_variables(expr: FormulaExpr | str) -> list[str]:
                 walk(a)
         elif isinstance(node, Transpose):
             walk(node.operand)
+        elif isinstance(node, MatMul):
+            walk(node.left)
+            walk(node.right)
 
     walk(expr)
     return seen
@@ -225,8 +250,27 @@ def contains_transpose(expr: FormulaExpr) -> bool:
         return True
     if isinstance(expr, BinOp):
         return contains_transpose(expr.left) or contains_transpose(expr.right)
+    if isinstance(expr, MatMul):
+        return contains_transpose(expr.left) or contains_transpose(expr.right)
     if isinstance(expr, UnaryOp):
         return contains_transpose(expr.operand)
     if isinstance(expr, Call):
         return any(contains_transpose(a) for a in expr.args)
+    return False
+
+
+def contains_matmul(expr: FormulaExpr) -> bool:
+    """True iff the parsed formula has an ``@`` anywhere — such
+    formulas route onto the triplet path (the only form where the
+    product is a join + sum aggregate at any width)."""
+    if isinstance(expr, MatMul):
+        return True
+    if isinstance(expr, BinOp):
+        return contains_matmul(expr.left) or contains_matmul(expr.right)
+    if isinstance(expr, Transpose):
+        return contains_matmul(expr.operand)
+    if isinstance(expr, UnaryOp):
+        return contains_matmul(expr.operand)
+    if isinstance(expr, Call):
+        return any(contains_matmul(a) for a in expr.args)
     return False

@@ -77,6 +77,48 @@ def transpose_triplet(t: TripletMatrix) -> TripletMatrix:
     )
 
 
+def matmul_triplet(a: TripletMatrix, b: TripletMatrix) -> TripletMatrix:
+    """``a @ b`` in long form: contract a's column labels against b's
+    row labels — an equi-join on the contraction key followed by a
+    sum aggregate on the output key. ONE shuffle for the join (keyed
+    on the contraction label; b's side is broadcast when small) plus
+    a partially-aggregated (map-side combine) sum — the same shape at
+    any matrix width, which is why ``@`` routes formulas onto the
+    triplet path rather than the wide one (a wide matmul would be a
+    width² expression explosion Catalyst can't survive).
+
+    Semantics: label-based INNER contraction — an output cell
+    (r, c) = Σ_k a[r,k]·b[k,c] over the contraction labels k present
+    on BOTH sides; labels on one side only contribute nothing, and an
+    (r, c) with no shared k is absent from the result (a deliberate,
+    documented deviation from pandas ``DataFrame.dot``, which raises
+    unless the label sets match exactly — checking set equality here
+    would cost an eager job per evaluation). NaN propagates through
+    the sum exactly as in pandas: any NaN term poisons its cell.
+    """
+    kl = "__mm_k__"
+    # a NULL value in a present triplet row is an invalid/NaN cell
+    # (the elementwise compiler coalesces identically) — it must
+    # poison its sums, not be silently skipped by SUM's null-skipping
+    left = a.df.select(
+        F.col(ROW_ID),
+        F.col(COL_ID).alias(kl),
+        F.coalesce(F.col(VALUE), NAN()).alias("__mm_a__"),
+    )
+    right = b.df.select(
+        F.col(ROW_ID).cast("string").alias(kl),
+        F.col(COL_ID),
+        F.coalesce(F.col(VALUE), NAN()).alias("__mm_b__"),
+    )
+    prod = left.join(right, kl).select(
+        ROW_ID,
+        COL_ID,
+        (F.col("__mm_a__") * F.col("__mm_b__")).alias("__mm_p__"),
+    )
+    out = prod.groupBy(ROW_ID, COL_ID).agg(F.sum("__mm_p__").alias(VALUE))
+    return TripletMatrix(out)
+
+
 def triplet_to_wide(t: TripletMatrix, columns: list[str] | None = None) -> DataFrame:
     """Pivot back to wide form (requires enumerable columns)."""
     if columns is None:
@@ -88,19 +130,23 @@ def triplet_to_wide(t: TripletMatrix, columns: list[str] | None = None) -> DataF
     )
 
 
-def _rewrite_transposes(
+def _rewrite_matrix_ops(
     expr: FormulaExpr,
     datasets: dict[str, TripletMatrix | Matrix | Vector | float],
 ) -> tuple[FormulaExpr, dict[str, TripletMatrix]]:
-    """Replace every ``Transpose(Var(m))`` with a synthetic variable
-    bound to the key-swapped triplet of ``m``. Transpose of anything
-    but a matrix variable refuses loudly (the reference's pd.eval
-    surface never exercises compound transposes; supporting them
-    would mean materializing intermediate results mid-formula)."""
+    """Replace every matrix-shaped subtree — ``Transpose`` and
+    ``MatMul`` over matrix operands — with a synthetic variable bound
+    to its triplet result, after which the elementwise join/project
+    machinery needs no matrix-op awareness. Compositions of the
+    matrix ops among themselves are supported (``a.T @ b``,
+    ``(a @ b).T``, ``a @ b @ c``); transpose/matmul of an ELEMENTWISE
+    compound (e.g. ``(a + b).T``) refuses loudly — supporting that
+    would mean materializing intermediate results mid-formula."""
     from ssb_coefficient_maker_spark.formula.parser import (
         BinOp,
         Call,
         FormulaError,
+        MatMul,
         Transpose,
         UnaryOp,
         Var,
@@ -108,30 +154,48 @@ def _rewrite_transposes(
 
     extra: dict[str, TripletMatrix] = {}
 
+    def as_matrix(node: FormulaExpr, ctx: str) -> TripletMatrix:
+        """Resolve a matrix-shaped subtree to a TripletMatrix."""
+        if isinstance(node, Var):
+            d = datasets[node.name]  # KeyError parity with unknown variables
+            if isinstance(d, Matrix):
+                return wide_to_triplet(d)
+            if isinstance(d, TripletMatrix):
+                return d
+            raise FormulaError(
+                f"{ctx} of non-matrix operand {node.name!r} "
+                f"({type(d).__name__}) is not defined"
+            )
+        if isinstance(node, Transpose):
+            return transpose_triplet(as_matrix(node.operand, "transpose ('.T')"))
+        if isinstance(node, MatMul):
+            return matmul_triplet(
+                as_matrix(node.left, "matmul ('@')"),
+                as_matrix(node.right, "matmul ('@')"),
+            )
+        raise FormulaError(
+            f"{ctx} is supported on matrix variables and compositions of "
+            ".T/@ over them, not on elementwise compound expressions — "
+            "bind the subexpression to a name first"
+        )
+
+    def bind(t: TripletMatrix, base: str) -> FormulaExpr:
+        tname = base
+        while tname in datasets or tname in extra:  # avoid name collisions
+            tname += "_"
+        extra[tname] = t
+        return Var(tname)
+
     def rw(node: FormulaExpr) -> FormulaExpr:
         if isinstance(node, Transpose):
-            if not isinstance(node.operand, Var):
-                raise FormulaError(
-                    "transpose ('.T') is supported directly on a matrix "
-                    "variable (m.T), not on compound expressions — bind "
-                    "the subexpression to a name first"
-                )
-            name = node.operand.name
-            d = datasets[name]  # KeyError parity with unknown variables
-            if isinstance(d, Matrix):
-                t = wide_to_triplet(d)
-            elif isinstance(d, TripletMatrix):
-                t = d
-            else:
-                raise FormulaError(
-                    f"transpose of non-matrix operand {name!r} "
-                    f"({type(d).__name__}) is not defined"
-                )
-            tname = f"{name}__T"
-            while tname in datasets:  # avoid user-name collisions
-                tname += "_"
-            extra[tname] = transpose_triplet(t)
-            return Var(tname)
+            base = (
+                f"{node.operand.name}__T"
+                if isinstance(node.operand, Var)
+                else f"__T{len(extra)}__"
+            )
+            return bind(as_matrix(node, "transpose ('.T')"), base)
+        if isinstance(node, MatMul):
+            return bind(as_matrix(node, "matmul ('@')"), f"__mm{len(extra)}__")
         if isinstance(node, BinOp):
             return BinOp(node.op, rw(node.left), rw(node.right))
         if isinstance(node, UnaryOp):
@@ -154,17 +218,18 @@ def compile_formula_triplet(
     (row, col) key — and the whole arithmetic lands in one projection
     over the single value column.
 
-    ``m.T`` is rewritten FIRST: each ``Transpose(Var)`` becomes a
-    synthetic operand bound to the key-swapped triplet
-    (transpose_triplet — a projection), after which the join/project
-    machinery below needs no transpose awareness. Pandas-parity
-    alignment falls out of the full-outer join: ``a + b.T`` aligns
-    a(r,c) with b(c,r) on labels, NaN where either side is absent —
-    exactly pd.eval's union alignment.
+    ``m.T`` and ``a @ b`` are rewritten FIRST: each matrix-op subtree
+    becomes a synthetic operand bound to its triplet result
+    (transpose_triplet — a projection; matmul_triplet — a
+    contraction join + sum), after which the join/project machinery
+    below needs no matrix-op awareness. Pandas-parity alignment falls
+    out of the full-outer join: ``a + b.T`` aligns a(r,c) with b(c,r)
+    on labels, NaN where either side is absent — exactly pd.eval's
+    union alignment.
     """
-    expr, transposed = _rewrite_transposes(expr, datasets)
-    if transposed:
-        datasets = {**datasets, **transposed}
+    expr, rewritten = _rewrite_matrix_ops(expr, datasets)
+    if rewritten:
+        datasets = {**datasets, **rewritten}
     names = extract_variables(expr)
     frames: dict[str, TripletMatrix] = {}
     vectors: dict[str, Vector] = {}

@@ -1622,6 +1622,61 @@ def _incremental_probe_oracle_sql(k: int = 5, threshold: float = 0.4) -> str:
         ORDER BY new_doc_id, corpus_doc_id
         """
 
+def _probe_append_cycle_oracle_sql(k: int = 5, threshold: float = 0.4) -> str:
+    """DuckDB replica of ``q217_lsh_probe_append_cycle`` — the same
+    signature/banding CTEs as q31/q215 (``_minhash_cte_prefix``), run
+    through the full two-day cycle: day-1 dups vs the residue-0..2
+    corpus decide day-1's kept set; day-2 candidates are restricted to
+    band collisions against corpus ∪ kept — so the value check covers
+    the APPEND half, not just the probe."""
+    m = dedup.Q217_CYCLE_MOD
+    return f"""{_minhash_cte_prefix(k)}, sizes AS (
+          SELECT doc_id, len(shs) AS n FROM sh
+        ), cand1 AS (
+          SELECT DISTINCT n.doc_id AS a, c.doc_id AS b
+          FROM bands n JOIN bands c ON n.band = c.band AND n.bh = c.bh
+          WHERE n.doc_id % {m} = {m - 2} AND c.doc_id % {m} <= {m - 3}
+        ), com1 AS (
+          SELECT c.a, c.b, count(*) AS nc
+          FROM cand1 c
+          JOIN ex x ON x.doc_id = c.a
+          JOIN ex y ON y.doc_id = c.b AND y.s = x.s
+          GROUP BY 1, 2
+        ), dup1 AS (
+          SELECT DISTINCT c.a AS doc_id
+          FROM com1 c
+          JOIN sizes sa ON sa.doc_id = c.a
+          JOIN sizes sb ON sb.doc_id = c.b
+          WHERE round(CAST(c.nc AS DOUBLE) / (sa.n + sb.n - c.nc), 4) >= {threshold}
+        ), corpus1 AS (
+          SELECT doc_id FROM documents WHERE doc_id % {m} <= {m - 3}
+          UNION ALL
+          SELECT doc_id FROM documents
+          WHERE doc_id % {m} = {m - 2}
+            AND doc_id NOT IN (SELECT doc_id FROM dup1)
+        ), cand2 AS (
+          SELECT DISTINCT n.doc_id AS new_doc_id, c.doc_id AS corpus_doc_id
+          FROM bands n
+          JOIN bands c ON n.band = c.band AND n.bh = c.bh
+          JOIN corpus1 kk ON kk.doc_id = c.doc_id
+          WHERE n.doc_id % {m} = {m - 1}
+        ), com2 AS (
+          SELECT c.new_doc_id, c.corpus_doc_id, count(*) AS nc
+          FROM cand2 c
+          JOIN ex x ON x.doc_id = c.new_doc_id
+          JOIN ex y ON y.doc_id = c.corpus_doc_id AND y.s = x.s
+          GROUP BY 1, 2
+        )
+        SELECT c.new_doc_id, c.corpus_doc_id,
+               round(CAST(c.nc AS DOUBLE) / (sa.n + sb.n - c.nc), 4) AS jaccard
+        FROM com2 c
+        JOIN sizes sa ON sa.doc_id = c.new_doc_id
+        JOIN sizes sb ON sb.doc_id = c.corpus_doc_id
+        WHERE round(CAST(c.nc AS DOUBLE) / (sa.n + sb.n - c.nc), 4) >= {threshold}
+        ORDER BY new_doc_id, corpus_doc_id
+        """
+
+
 # ------------------------------------------------------------ round-3 surface
 
 # Shared engine/oracle constants (both sides read the same values so a
@@ -2632,6 +2687,162 @@ WITH a AS (
 SELECT r AS l_suppkey, count(*) AS n_cells, round(sum(v), 4) AS sum_coeff,
        round(max(v), 4) AS max_coeff
 FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+def q216_formula_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formula matmul ``a @ b`` through the ENGINE — the round-8
+    extension past the reference surface (its own pd.eval rejects
+    '@', SURVEY §2 Part B), in the reference's actual domain:
+    input-output coefficient matrices (reference coeff_maker.py:1-13)
+    compose by matrix product.
+
+    a = nation × brand lineitem counts (supplier side),
+    b = brand × returnflag lineitem counts; ``a @ b`` contracts over
+    the shared brand labels on the triplet path
+    (plans/triplet.matmul_triplet): ONE equi-join on the contraction
+    key + a map-side-combined sum — the same plan at 25 or 25M
+    labels, no width-dependent expression explosion. All cell values
+    are integer counts, so products and sums are exact in float64 at
+    any aggregation order — the cross-engine value check needs no
+    decimal-grid snap.
+
+    100 TB: both operand builds are standard shuffle aggregates; the
+    contraction join shuffles on the brand key (or broadcasts b —
+    AQE decides from its measured size); output is
+    |nations|×|returnflags|.
+    """
+    from ssb_coefficient_maker_spark.api import FormulaEvaluator
+    from ssb_coefficient_maker_spark.plans.triplet import (
+        COL_ID,
+        VALUE,
+        TripletMatrix,
+    )
+    from ssb_coefficient_maker_spark.session import ROW_ID
+
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    a = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("s_nationkey").alias(ROW_ID),
+            F.col("p_brand").alias(COL_ID),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias(VALUE))
+    )
+    b = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias(ROW_ID),
+            F.col("l_returnflag").alias(COL_ID),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias(VALUE))
+    )
+    ev = FormulaEvaluator(
+        {"a": TripletMatrix(a), "b": TripletMatrix(b)},
+        spark=spark,
+        validation="defer",  # audit fuses into the consumer's action
+    )
+    prod = ev.evaluate_formula("a @ b")
+    return prod.select(
+        F.col(ROW_ID).cast("long").alias("nationkey"),
+        F.col(COL_ID).alias("returnflag"),
+        F.col(VALUE).cast("long").alias("prod_sum"),
+    ).orderBy("nationkey", "returnflag")
+
+
+_Q216_ORACLE = """
+WITH a AS (
+  SELECT s_nationkey AS r, p_brand AS c, count(*) AS av
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+), b AS (
+  SELECT p_brand AS r, l_returnflag AS c, count(*) AS bv
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+)
+SELECT CAST(a.r AS BIGINT) AS nationkey, b.c AS returnflag,
+       CAST(sum(av * bv) AS BIGINT) AS prod_sum
+FROM a JOIN b ON a.c = b.r
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+Q218_TOP_K = 12
+Q218_SKETCH_K = 50
+Q218_TRACKED = 1024
+
+
+def q218_heavy_hitters_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter (frequency-sketch) audit — the missing member of
+    the mergeable-sketch family next to quantiles (q197) and distinct
+    count (q44/q207): per-word corpus frequencies from Spark's
+    ``approx_top_k`` SpaceSaving-style sketch, audited in-query
+    against exact counts (the q44 "audited sketch" pattern).
+
+    Output: the exact top-``Q218_TOP_K`` words (count desc, word asc
+    tie-break — deterministic in both engines), each with its exact
+    count, corpus share, and an ``in_bound`` flag asserting the
+    sketch's documented guarantee (estimate >= exact and
+    estimate - exact <= total_tokens / maxItemsTracked). The flag is
+    deterministic — the sketch is a mergeable linear summary, so its
+    counters are partition-order-independent — and the oracle pins it
+    to 1: a broken estimator or violated bound fails the driver hash
+    instead of hiding behind a rows-only check.
+
+    100 TB contract (SCALE_NOTES): ship ONLY the sketch — one
+    fixed-size (maxItemsTracked) summary per partition, merged
+    associatively (``approx_top_k_accumulate``/``_combine`` for
+    cross-day rollups); the exact groupBy twin here is the
+    correctness instrument, exactly as q44's countDistinct twins and
+    q197's exact percentiles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    sketch = words.agg(
+        F.expr(
+            f"map_from_entries(approx_top_k(word, {Q218_SKETCH_K}, {Q218_TRACKED}))"
+        ).alias("est_map"),
+        F.count(F.lit(1)).alias("total"),
+    )
+    top = counts.orderBy(F.desc("exact_cnt"), F.asc("word")).limit(Q218_TOP_K)
+    est = F.col("est_map")[F.col("word")]
+    return (
+        top.crossJoin(F.broadcast(sketch))  # 1-row broadcast, no shuffle
+        .select(
+            "word",
+            "exact_cnt",
+            F.round(F.col("exact_cnt") / F.col("total"), 6).alias("share"),
+            (
+                (est >= F.col("exact_cnt"))
+                & (est - F.col("exact_cnt") <= F.col("total") / Q218_TRACKED)
+            )
+            .cast("int")
+            .alias("in_bound"),
+        )
+        .orderBy(F.desc("exact_cnt"), "word")
+    )
+
+
+_Q218_ORACLE = f"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents
+), c AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS exact_cnt FROM w GROUP BY 1
+), t AS (SELECT CAST(sum(exact_cnt) AS BIGINT) AS total FROM c),
+top AS (
+  SELECT word, exact_cnt FROM c ORDER BY exact_cnt DESC, word LIMIT {Q218_TOP_K}
+)
+SELECT word, exact_cnt,
+       round(CAST(exact_cnt AS DOUBLE) / total, 6) AS share,
+       1 AS in_bound
+FROM top CROSS JOIN t ORDER BY exact_cnt DESC, word
 """
 
 
@@ -9829,6 +10040,19 @@ REGISTRY: dict[str, QuerySpec] = {
         _incremental_probe_oracle_sql(),
         "dedup",
     ),
+    "q216_formula_matmul": QuerySpec(
+        q216_formula_matmul, _Q216_ORACLE, "formula"
+    ),
+    "q217_lsh_probe_append_cycle": QuerySpec(
+        dedup.q217_lsh_probe_append_cycle,
+        # full two-day probe->filter->append->re-probe cycle replica;
+        # the day-2 values can only match if the append half landed
+        _probe_append_cycle_oracle_sql(),
+        "dedup",
+    ),
+    "q218_heavy_hitters_audit": QuerySpec(
+        q218_heavy_hitters_audit, _Q218_ORACLE, "aggregation"
+    ),
     "q150_media_dedup": QuerySpec(q150_media_dedup, _Q150_ORACLE, "multimodal"),
     "q151_top_decile_curation": QuerySpec(
         q151_top_decile_curation, _Q151_ORACLE, "text"
@@ -10277,18 +10501,75 @@ REGISTRY: dict[str, QuerySpec] = {
 
 
 # Driver-coverage rotation (see `queries()` docstring for the
-# ordering contract): round-6 head = the 19 names VERDICT r5 flagged
-# as stale/never-sampled (exact order from VERDICT "Next round" item
-# 1): q90/q91 never sampled, the six round-4 hash-fail fixes whose
-# BIGINT-cast oracles need fresh driver evidence, the five whose
-# oracles were added after their last sample, q133-q137 which missed
-# round 5's 50-slot cut, and q44 (now carrying an exactly-oracled
-# twin). NEW round-6 queries go right AFTER this head (capped ~30 so
-# a 50-slot sample covers both), then prior rounds' names.
+# ordering contract): round-8 head = the four formula-path names whose
+# imported modules (formula/parser, plans/alignment, plans/triplet,
+# api) changed in rounds 7 AND 8 after their last driver look (VERDICT
+# r7 item 1), the three NEW round-8 queries (matmul, probe-append
+# cycle, heavy-hitter audit), and the three names whose code changed
+# in round 8 (q50/q115 guard rework, q185 empty-text bounds). Then the
+# oldest-verdict rotation (VERDICT r7 item 7): every name whose latest
+# driver sample is round 3, oldest-first — 40 of the 47 fit this
+# round's 50-slot sample; the remainder lead the next rotation.
 _DRIVER_PRIORITY = (
-    # -- VERDICT r6 item 2: names whose code/session infra changed in
-    # round 6 AFTER their last driver sample (q166 rewrite 88a588b;
-    # shared streaming session 6dc5a5c) — re-verify first --
+    "q24_formula_coeffmap",
+    "q58_fused_coeffmap",
+    "q73_adp_precision",
+    "q114_triplet_wide_formula",
+    "q216_formula_matmul",
+    "q217_lsh_probe_append_cycle",
+    "q218_heavy_hitters_audit",
+    "q50_embedding_neardup",
+    "q115_celled_neardup",
+    "q185_cdc_chunking",
+    # -- oldest-verdict rotation: latest driver look is r3 --
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_top_revenue_orders",
+    "q04_priority_exists",
+    "q05_regional_revenue",
+    "q06_revenue_change",
+    "q07_semi_join",
+    "q08_anti_join",
+    "q09_topk_per_group",
+    "q10_running_sum",
+    "q11_rollup",
+    "q12_cube",
+    "q13_distinct_agg",
+    "q14_setop_intersect",
+    "q15_setop_except",
+    "q16_union_all",
+    "q17_date_functions",
+    "q18_json_extract",
+    "q19_array_functions",
+    "q20_window_tumbling",
+    "q21_window_sliding",
+    "q22_range_join",
+    "q23_case_when",
+    "q59_partition_pruning",
+    "q64_bucketed_join",
+    "q65_partition_backfill",
+    "q66_tfidf_top_terms",
+    "q69_interval_join",
+    "q70_salted_join",
+    "q71_schema_evolution",
+    "q72_batch_topk",
+    "q75_udtf_rle",
+    "q78_train_test_split",
+    "q79_lang_centroid_distance",
+    "q82_profile",
+    "q83_llm_pipeline",
+    "q84_rolling_range_window",
+    "q85_map_functions",
+    "q86_batch_sessions",
+    "q87_array_predicates",
+    "q88_correlation",
+    "q89_nullsafe_join",
+    "q92_gap_fill",
+    "q93_argmax_agg",
+    "q94_funnel",
+    "q95_histogram",
+    "q96_stratified_sample",
+    # -- newer-verdict names (r4+), prior relative order --
     "q166_heaps_law",
     "q107_stream_stream_join",
     "q110_stream_static_join",
@@ -10296,21 +10577,11 @@ _DRIVER_PRIORITY = (
     "q76_streaming_dedup",
     "q80_streaming_sink",
     "q105_incremental_mv",
-    # -- new round-7 queries insert here --
     "q215_incremental_neardup_probe",
-    # -- names whose CODE changed in round 7 after their last driver
-    # sample (q166 is already at the head): q185 gear-CDC boundary
-    # rule + oracle repin, q31/q33 Arrow signature/fingerprint
-    # kernels, q211 lazy cuts, q194 short-name block filter, q50
-    # block-pair guard — re-verify before the rotation names --
-    "q185_cdc_chunking",
     "q31_minhash_neardup",
     "q33_simhash",
     "q211_quality_length_calibration",
     "q194_fuzzy_name_join",
-    # -- VERDICT r6 item 9: oldest-verdict rotation — the names whose
-    # latest driver sample is round 1 (no green older than ~4 rounds;
-    # q50's guard also changed in round 7, and it sits in this list) --
     "q25_text_stats",
     "q26_quality_score",
     "q27_token_count",
@@ -10331,9 +10602,7 @@ _DRIVER_PRIORITY = (
     "q46_decimal_agg",
     "q47_posexplode",
     "q49_lag_lead",
-    "q50_embedding_neardup",
     "q51_below_brand_average",
-    # -- round-6 head (all pass(r6)) --
     "q90_repetition_filter",
     "q91_decontamination",
     "q101_pii_redaction",
@@ -10351,7 +10620,6 @@ _DRIVER_PRIORITY = (
     "q136_streaming_sliding",
     "q137_grouped_ols",
     "q44_approx_distinct",
-    # -- round-6 queries (all pass(r6)) --
     "q186_pivot_matrix",
     "q187_unpivot_metrics",
     "q188_window_rank_family",
@@ -10379,7 +10647,6 @@ _DRIVER_PRIORITY = (
     "q212_time_weighted_avg",
     "q213_conjunctive_retrieval",
     "q214_weighted_jaccard_verify",
-    # -- round-5 names (all pass(r5)) --
     "q184_bfs_reach",
     "q182_nearest_event_join",
     "q183_symspell_join",
@@ -10439,8 +10706,6 @@ _DRIVER_PRIORITY = (
     "q118_universal_quantification",
     "q119_having_global_share",
     "q120_rolling_features",
-    "q115_celled_neardup",
-    "q114_triplet_wide_formula",
     "q97_merge_upsert",
     "q98_cohort_retention",
     "q99_exact_group_sample",

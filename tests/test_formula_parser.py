@@ -108,7 +108,9 @@ def test_reserved_names_are_plain_variables():
         "'str'",
         "a if b else c",
         "f(a)",
-        "a @ b",  # matmul rejected, like the reference (SURVEY §2 Part B)
+        # NOTE: "a @ b" parses since round 8 (matmul extension beyond
+        # the reference's pd.eval, which rejects '@') — see
+        # tests/test_round8_ops.py::TestMatmul
         "a and b",
         "a < b < c",
     ],

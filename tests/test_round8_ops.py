@@ -84,6 +84,157 @@ class TestCelledTierGuard:
         assert df.count() >= 0  # plan built and runs
 
 
+# ------------------------------------------------ formula matmul (@)
+
+
+class TestMatmul:
+    """``a @ b`` — the round-8 formula EXTENSION (the reference's own
+    pd.eval rejects '@'; SURVEY §2 Part B). Triplet-path contraction
+    join + sum, pandas-differential."""
+
+    def _fe(self, spark, **frames):
+        from ssb_coefficient_maker_spark.api import FormulaEvaluator
+
+        return FormulaEvaluator(frames, spark=spark)
+
+    def test_square_matches_pandas(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(42)
+        a = pd.DataFrame(rng.normal(size=(5, 5)), index=list("vwxyz"), columns=list("abcde"))
+        b = pd.DataFrame(rng.normal(size=(5, 5)), index=list("abcde"), columns=list("pqrst"))
+        got = self._fe(spark, a=a, b=b).evaluate_to_pandas("a @ b").sort_index()
+        exp = (a @ b).sort_index()
+        assert list(got.index) == list(exp.index)
+        assert np.allclose(got[list(exp.columns)].values, exp.values)
+
+    def test_nonsquare_matches_pandas(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(7)
+        a = pd.DataFrame(rng.normal(size=(3, 6)), index=list("xyz"), columns=list("abcdef"))
+        b = pd.DataFrame(rng.normal(size=(6, 2)), index=list("abcdef"), columns=list("pq"))
+        got = self._fe(spark, a=a, b=b).evaluate_to_pandas("a @ b").sort_index()
+        exp = (a @ b).sort_index()
+        assert np.allclose(got[list(exp.columns)].values, exp.values)
+
+    def test_composes_with_transpose_and_elementwise(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(3)
+        a = pd.DataFrame(rng.normal(size=(4, 3)), index=list("wxyz"), columns=list("abc"))
+        b = pd.DataFrame(rng.normal(size=(4, 3)), index=list("wxyz"), columns=list("pqr"))
+        fe = self._fe(spark, a=a, b=b)
+        # a.T @ b : contraction over the shared row labels
+        got = fe.evaluate_to_pandas("a.T @ b").sort_index()
+        exp = (a.T @ b).sort_index()
+        assert np.allclose(got[list(exp.columns)].values, exp.values)
+        # (a.T @ b).T == b.T @ a, and mixing with elementwise ops
+        got2 = fe.evaluate_to_pandas("2 * (a.T @ b).T + b.T @ a").sort_index()
+        exp2 = (3 * (b.T @ a)).sort_index()
+        assert np.allclose(got2[list(exp2.columns)].values, exp2.values)
+
+    def test_chain_matches_pandas(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(11)
+        a = pd.DataFrame(rng.normal(size=(3, 4)), index=list("xyz"), columns=list("abcd"))
+        b = pd.DataFrame(rng.normal(size=(4, 5)), index=list("abcd"), columns=list("klmno"))
+        c = pd.DataFrame(rng.normal(size=(5, 2)), index=list("klmno"), columns=list("pq"))
+        got = self._fe(spark, a=a, b=b, c=c).evaluate_to_pandas("a @ b @ c").sort_index()
+        exp = (a @ b @ c).sort_index()
+        assert np.allclose(got[list(exp.columns)].values, exp.values)
+
+    def test_nan_poisons_cells_like_pandas(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        a = pd.DataFrame(
+            [[1.0, np.nan], [3.0, 4.0]], index=list("xy"), columns=list("ab")
+        )
+        b = pd.DataFrame(
+            [[1.0, 2.0], [3.0, 4.0]], index=list("ab"), columns=list("pq")
+        )
+        fe = self._fe(spark, a=a, b=b)
+        fe.validation = "defer"  # NaN cells are the point of this test
+        got = fe.evaluate_to_pandas("a @ b").sort_index()
+        exp = (a @ b).sort_index()
+        assert np.isnan(got.loc["x", "p"]) and np.isnan(exp.loc["x", "p"])
+        assert np.allclose(got.loc["y", list(exp.columns)], exp.loc["y"])
+
+    def test_scalar_operand_refuses(self, spark):
+        from ssb_coefficient_maker_spark.api import FormulaEvaluator
+        from ssb_coefficient_maker_spark.formula.parser import FormulaError
+
+        fe = FormulaEvaluator({"s": 2.0}, spark=spark)
+        with pytest.raises(FormulaError, match="matrix"):
+            fe.evaluate_formula("s @ s")
+
+    def test_elementwise_compound_refuses(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        a = pd.DataFrame(np.eye(2), index=list("xy"), columns=list("xy"))
+        fe = self._fe(spark, a=a)
+        with pytest.raises(Exception, match="bind the subexpression"):
+            fe.evaluate_to_pandas("(a + a) @ a")
+
+    def test_adp_mode_refuses(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from ssb_coefficient_maker_spark.api import FormulaEvaluator
+
+        a = pd.DataFrame(np.eye(2), index=list("xy"), columns=list("xy"))
+        fe = FormulaEvaluator({"a": a}, spark=spark, adp_enabled=True)
+        with pytest.raises(NotImplementedError, match="float64"):
+            fe.evaluate_formula("a @ a")
+
+
+@pytest.mark.parametrize("n,k,m,seed", [(2, 5, 3, 0), (6, 3, 4, 1), (4, 4, 4, 2)])
+def test_matmul_formula_composes_vs_pandas(spark, n, k, m, seed):
+    """`(a @ b) * 2 - a @ b` on the engine equals the same pandas
+    expression across shapes (incl. negatives, integer-exact so the
+    comparison is order-independent) — matmul, alignment, and
+    arithmetic compose exactly."""
+    import numpy as np
+    import pandas as pd
+
+    from ssb_coefficient_maker_spark.api import FormulaEvaluator
+
+    rng = np.random.default_rng(seed)
+    a = pd.DataFrame(rng.integers(-4, 9, (n, k))).astype(float)
+    b = pd.DataFrame(rng.integers(-4, 9, (k, m))).astype(float)
+    expected = (a @ b) * 2 - a @ b
+    fe = FormulaEvaluator({"a": a, "b": b}, spark=spark)
+    got = fe.evaluate_to_pandas("(a @ b) * 2 - a @ b")
+    got = got[list(expected.columns)].astype(float).sort_index()
+    np.testing.assert_allclose(got.to_numpy(), expected.to_numpy(), rtol=1e-12)
+
+
+def test_matmul_plan_is_join_plus_partial_agg(spark):
+    """The scale claim behind routing '@' onto the triplet path: the
+    contraction compiles to ONE equi-join on the contraction key plus
+    a map-side-combined (partial_sum) aggregate — no width-dependent
+    expression explosion, no cartesian."""
+    import numpy as np
+    import pandas as pd
+
+    from ssb_coefficient_maker_spark.api import FormulaEvaluator
+
+    a = pd.DataFrame(np.arange(16, dtype=float).reshape(4, 4))
+    fe = FormulaEvaluator({"a": a}, spark=spark)
+    df = fe.evaluate_formula("a @ a")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 # --------------------------------------------- CDC empty-text bounds
 
 

@@ -46,6 +46,7 @@ WHITELIST: dict[str, tuple[str, str]] = {
         "aggregate to itself — day-count², both sides reduced",
     ),
     "q198_bigram_xent": ("bnlj", "1-row vocabulary-size broadcast"),
+    "q218_heavy_hitters_audit": ("bnlj", "1-row sketch+total broadcast"),
     "q166_heaps_law": ("bnlj", "1-row decile-cuts broadcast (lazy percentile agg)"),
     "q211_quality_length_calibration": (
         "bnlj",
