@@ -453,22 +453,55 @@ class FormulaEvaluator:
         expr = self.parse_formula(formula)
         if self.adp_enabled:
             return self._adp_evaluate_to_parquet(expr, formula, path)
-        compiled = compile_formula(expr, self.datasets)
-        if compiled.df is None:
-            raise ValueError("evaluate_to_parquet needs at least one matrix operand")
+
+        from ssb_coefficient_maker_spark.formula.parser import (
+            contains_matmul as _has_mm,
+        )
+        from ssb_coefficient_maker_spark.formula.parser import (
+            contains_transpose as _has_t,
+        )
+        from ssb_coefficient_maker_spark.plans.triplet import (
+            VALUE,
+            TripletMatrix,
+            compile_formula_triplet,
+        )
+
+        names = self.extract_variables(expr)
+        missing = [n for n in names if n not in self.datasets]
+        if missing:
+            raise KeyError(
+                f"formula '{formula}' references unknown dataset(s): {missing}"
+            )
+        # same routing as _evaluate_formula: .T / @ / triplet operands
+        # compile on the triplet path; the observe/fill/write tail is
+        # shared — the production path supports the full grammar
+        if (
+            _has_t(expr)
+            or _has_mm(expr)
+            or any(isinstance(self.datasets[n], TripletMatrix) for n in names)
+        ):
+            result_df = compile_formula_triplet(expr, self.datasets)
+            value_cols = [VALUE]
+        else:
+            compiled = compile_formula(expr, self.datasets)
+            if compiled.df is None:
+                raise ValueError(
+                    "evaluate_to_parquet needs at least one matrix operand"
+                )
+            result_df, value_cols = compiled.df, compiled.value_cols
         import pyspark.sql.functions as F
 
         obs = Observation()
         metrics_exprs = [F.count(F.lit(1)).alias("rows")] + [
             F.sum(invalid_cond(F.col(c)).cast("long")).alias(f"inv_{c}")
-            for c in compiled.value_cols
+            for c in value_cols
         ]
-        observed = compiled.df.observe(obs, *metrics_exprs)
-        out = _fill(observed, compiled.value_cols) if self.fill_invalid else observed
+        observed = result_df.observe(obs, *metrics_exprs)
+        out = _fill(observed, value_cols) if self.fill_invalid else observed
         out.write.mode("overwrite").parquet(path)
         got = obs.get
-        n_invalid = sum(got[f"inv_{c}"] or 0 for c in compiled.value_cols)
-        n_cells = got["rows"] * len(compiled.value_cols)
+        n_invalid = sum(got[f"inv_{c}"] or 0 for c in value_cols)
+        n_cells = got["rows"] * len(value_cols)
         if n_cells and n_invalid == n_cells:
             raise ValueError(
                 f"All values in the result of formula '{formula}' are invalid "

@@ -216,6 +216,41 @@ def test_matmul_formula_composes_vs_pandas(spark, n, k, m, seed):
     np.testing.assert_allclose(got.to_numpy(), expected.to_numpy(), rtol=1e-12)
 
 
+def test_evaluate_to_parquet_routes_matrix_ops(spark, tmp_path):
+    """The production single-pass path (evaluate_to_parquet) supports
+    the FULL grammar: .T/@ formulas compile on the triplet path and
+    ride the same observe+fill+write action — previously they raised
+    out of the wide-path compiler."""
+    import numpy as np
+    import pandas as pd
+
+    from ssb_coefficient_maker_spark.api import FormulaEvaluator
+
+    a = pd.DataFrame(
+        np.arange(12, dtype=float).reshape(3, 4),
+        index=list("xyz"),
+        columns=list("abcd"),
+    )
+    b = pd.DataFrame(
+        np.arange(8, dtype=float).reshape(4, 2),
+        index=list("abcd"),
+        columns=list("pq"),
+    )
+    fe = FormulaEvaluator({"a": a, "b": b}, spark=spark)
+    meta = fe.evaluate_to_parquet("a @ b + 1", str(tmp_path / "mm"))
+    assert meta["rows"] == 6 and meta["invalid"] == 0
+    got = (
+        spark.read.parquet(str(tmp_path / "mm"))
+        .toPandas()
+        .pivot(index="__row_id__", columns="__col_id__", values="value")
+        .sort_index()
+    )
+    exp = (a @ b + 1).sort_index()
+    assert np.allclose(got[list(exp.columns)].values, exp.values)
+    meta_t = fe.evaluate_to_parquet("b.T", str(tmp_path / "t"))
+    assert meta_t["rows"] == 8 and meta_t["invalid"] == 0
+
+
 def test_matmul_plan_is_join_plus_partial_agg(spark):
     """The scale claim behind routing '@' onto the triplet path: the
     contraction compiles to ONE equi-join on the contraction key plus
