@@ -166,6 +166,33 @@ class TestMatmul:
         assert np.isnan(got.loc["x", "p"]) and np.isnan(exp.loc["x", "p"])
         assert np.allclose(got.loc["y", list(exp.columns)], exp.loc["y"])
 
+    def test_precedence_matches_python(self, spark):
+        """`a @ b * 2` must parse as `(a @ b) * 2` (Python gives '@'
+        multiplicative precedence, left-assoc) — not `a @ (b * 2)`;
+        both evaluate the same here because scaling commutes, so pin
+        the PARSE SHAPE, plus a non-commuting subtraction case."""
+        import numpy as np
+        import pandas as pd
+
+        from ssb_coefficient_maker_spark.formula.parser import (
+            BinOp,
+            MatMul,
+            parse_formula,
+        )
+
+        t = parse_formula("a @ b * 2")
+        assert isinstance(t, BinOp) and t.op == "*"
+        assert isinstance(t.left, MatMul)
+        # value check on a non-commuting shape: a @ b - b
+        rng = np.random.default_rng(5)
+        a = pd.DataFrame(rng.integers(-3, 7, (3, 3)).astype(float),
+                         index=list("xyz"), columns=list("xyz"))
+        b = pd.DataFrame(rng.integers(-3, 7, (3, 3)).astype(float),
+                         index=list("xyz"), columns=list("xyz"))
+        got = self._fe(spark, a=a, b=b).evaluate_to_pandas("a @ b - b").sort_index()
+        exp = (a @ b - b).sort_index()
+        assert np.allclose(got[list(exp.columns)].values, exp.values)
+
     def test_scalar_operand_refuses(self, spark):
         from ssb_coefficient_maker_spark.api import FormulaEvaluator
         from ssb_coefficient_maker_spark.formula.parser import FormulaError
