@@ -450,16 +450,26 @@ class FormulaEvaluator:
         from ssb_coefficient_maker_spark.validation import fill_invalid as _fill
         from ssb_coefficient_maker_spark.validation import invalid_cond
 
-        expr = self.parse_formula(formula)
-        if self.adp_enabled:
-            return self._adp_evaluate_to_parquet(expr, formula, path)
-
         from ssb_coefficient_maker_spark.formula.parser import (
             contains_matmul as _has_mm,
         )
         from ssb_coefficient_maker_spark.formula.parser import (
             contains_transpose as _has_t,
         )
+
+        expr = self.parse_formula(formula)
+        if self.adp_enabled:
+            if _has_mm(expr):
+                # same driver-side refusal as evaluate_formula — without
+                # it the node would only fail inside the executor UDF,
+                # an opaque job error after cluster work is spent
+                raise NotImplementedError(
+                    "matmul ('@') is not supported in ADP mode: the "
+                    "contraction computes in float64, which would "
+                    "silently demote the arbitrary-precision operands. "
+                    "Evaluate with adp_enabled=False."
+                )
+            return self._adp_evaluate_to_parquet(expr, formula, path)
         from ssb_coefficient_maker_spark.plans.triplet import (
             VALUE,
             TripletMatrix,
@@ -697,20 +707,40 @@ class CoefficientCalculator:
                 if self.verbose:
                     print(f"Skipping coefficient {name}: Missing variables {unknown}")
                 continue
+            from ssb_coefficient_maker_spark.formula.parser import (
+                contains_matmul as _has_mm,
+            )
+            from ssb_coefficient_maker_spark.formula.parser import (
+                contains_transpose as _has_t,
+            )
+
             frame_names = frozenset(
                 v
                 for v in variables
                 if isinstance(self.evaluator.datasets[v], Matrix)
             )
-            fusable = frame_names and all(
-                isinstance(self.evaluator.datasets[v], (Matrix, Vector, int, float))
-                for v in variables
+            fusable = (
+                frame_names
+                and all(
+                    isinstance(
+                        self.evaluator.datasets[v], (Matrix, Vector, int, float)
+                    )
+                    for v in variables
+                )
+                # .T/@ compile on the triplet path only — the wide
+                # fused compiler would hard-fail the whole batch on
+                # the first such node; route them to the standard
+                # (auto-routing) path instead, like other non-fusable
+                # rows
+                and not _has_t(expr)
+                and not _has_mm(expr)
             )
             if not fusable:
-                # vector/scalar-only formulas (no scan to share) and
+                # vector/scalar-only formulas (no scan to share),
                 # formulas touching non-fusable operands (TripletMatrix
-                # wide-form) evaluate through the standard single-
-                # formula path and land in extras
+                # wide-form), and matrix-op (.T/@) formulas evaluate
+                # through the standard single-formula path and land in
+                # extras
                 extras[name] = self.evaluator.evaluate_formula(str(formula))
                 continue
             by_frames.setdefault(frame_names, {})[name] = expr

@@ -881,7 +881,13 @@ def cdc_bounds_gear_udf() -> Column:
         al = a & np.uint64(0xFFFF)
         return (al * mult + ((ah * mult) % np.uint64(65536) << np.uint64(16))) % mod32
 
-    def bounds_of(text: str) -> list[int]:
+    def bounds_of(text: str) -> list[int] | None:
+        if text is None:
+            # NULL text -> NULL bounds, matching the JVM expression
+            # this kernel replaced (null-propagating substring/md5) —
+            # pd.Series.map passes None through, so without this the
+            # whole batch would TypeError on one NULL row
+            return None
         n = len(text)
         if n == 0:
             # [0], not [0, 0]: a duplicate bound would emit a

@@ -24,8 +24,10 @@ Tiers, and when each is the right one:
   triangle-inequality cell-pair bound skips every block pair that
   provably cannot contain a qualifying pair. Subquadratic whenever
   the corpus clusters tighter than the threshold demands (any
-  threshold); degrades gracefully to the blocked tier plus one
-  training pass when nothing prunes (isotropic data).
+  threshold); when nothing prunes (isotropic data) the SURVIVING
+  pair count stays ~quadratic and the tier REFUSES past the same
+  block-pair bound as q50 (round 8) — pointing at q57 — instead of
+  silently running the full product.
 - **banded sign-LSH near-dup** (q57) — the scale path for HIGH
   thresholds (cos ≥ ~0.8), where the math works: B bands of r
   hyperplane sign bits; a pair collides in one band with p_bit^r,
@@ -475,10 +477,13 @@ def cosine_neardup_celled(
     rounding the pair kernel applies) and its blocks never join. On a
     corpus whose clusters are tighter than the threshold demands, work
     drops from all block pairs to ~within-cell block pairs (1/n_cells
-    of the products); on an isotropic corpus nothing prunes and cost
-    degrades gracefully to ``cosine_neardup_blocked`` plus one
-    training pass — the q50 docstring derives why NO method can prune
-    the isotropic low-threshold case.
+    of the products); on an isotropic corpus nothing prunes — the q50
+    docstring derives why NO method can prune the isotropic
+    low-threshold case — and since round 8 this tier REFUSES rather
+    than degrade silently: the SURVIVING block-pair count after
+    pruning is checked against ``max_block_pairs`` (same bound as
+    q50) and a ValueError names the q57 alternative. Raise the bound
+    consciously to accept the quadratic cost.
 
     Shape at scale: training touches only k x dim floats driver-side
     (``kmeans_centroids``); assignment + radius is one expression/

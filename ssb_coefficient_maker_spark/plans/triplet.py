@@ -153,6 +153,11 @@ def _rewrite_matrix_ops(
     )
 
     extra: dict[str, TripletMatrix] = {}
+    # structural memo: MatMul/Transpose are frozen dataclasses with
+    # value equality, so '(a @ b) * 2 - a @ b' binds ONE synthetic
+    # operand for both '@' subtrees — one contraction join instead of
+    # two, and no extra alignment join between identical results
+    memo: dict[FormulaExpr, FormulaExpr] = {}
 
     def as_matrix(node: FormulaExpr, ctx: str) -> TripletMatrix:
         """Resolve a matrix-shaped subtree to a TripletMatrix."""
@@ -187,15 +192,20 @@ def _rewrite_matrix_ops(
         return Var(tname)
 
     def rw(node: FormulaExpr) -> FormulaExpr:
-        if isinstance(node, Transpose):
-            base = (
-                f"{node.operand.name}__T"
-                if isinstance(node.operand, Var)
-                else f"__T{len(extra)}__"
-            )
-            return bind(as_matrix(node, "transpose ('.T')"), base)
-        if isinstance(node, MatMul):
-            return bind(as_matrix(node, "matmul ('@')"), f"__mm{len(extra)}__")
+        if isinstance(node, (Transpose, MatMul)):
+            if node in memo:
+                return memo[node]
+            if isinstance(node, Transpose):
+                base = (
+                    f"{node.operand.name}__T"
+                    if isinstance(node.operand, Var)
+                    else f"__T{len(extra)}__"
+                )
+                var = bind(as_matrix(node, "transpose ('.T')"), base)
+            else:
+                var = bind(as_matrix(node, "matmul ('@')"), f"__mm{len(extra)}__")
+            memo[node] = var
+            return var
         if isinstance(node, BinOp):
             return BinOp(node.op, rw(node.left), rw(node.right))
         if isinstance(node, UnaryOp):

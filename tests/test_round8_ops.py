@@ -297,6 +297,109 @@ def test_matmul_plan_is_join_plus_partial_agg(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+# ------------------------------------- round-8 self-review regressions
+
+
+class TestReviewFixes:
+    def test_fused_batch_routes_matrix_ops_to_extras(self, spark):
+        """A coefficient-map row with '@' or '.T' over wide matrices
+        must NOT enter the wide fused compiler (which cannot express
+        matrix ops and would fail the whole batch) — it evaluates via
+        the auto-routing standard path and lands in extras."""
+        import numpy as np
+        import pandas as pd
+
+        from ssb_coefficient_maker_spark.api import CoefficientCalculator
+
+        a = pd.DataFrame(np.arange(9, dtype=float).reshape(3, 3),
+                         index=list("xyz"), columns=list("xyz"))
+        b = pd.DataFrame(np.ones((3, 3)), index=list("xyz"), columns=list("xyz"))
+        cmap = pd.DataFrame(
+            {
+                "kortnavn": ["plain", "mm", "tt"],
+                "formel": ["a + b", "a @ b", "a.T * 2"],
+            }
+        )
+        calc = CoefficientCalculator(
+            {"a": a, "b": b},
+            cmap,
+            "kortnavn",
+            "formel",
+            spark=spark,
+            validation="defer",
+        )
+        groups, extras = calc.compute_coefficients_fused()
+        fused_names = [n for g in groups for n in g.result_cols]
+        assert fused_names == ["plain"]
+        assert set(extras) == {"mm", "tt"}
+        got = (
+            extras["mm"]
+            .toPandas()
+            .pivot(index="__row_id__", columns="__col_id__", values="value")
+            .sort_index()
+        )
+        exp = (a @ b).sort_index()
+        assert np.allclose(got[list(exp.columns)].values, exp.values)
+
+    def test_adp_parquet_matmul_refuses_driver_side(self, spark, tmp_path):
+        """evaluate_to_parquet under ADP must raise the same
+        driver-side NotImplementedError as evaluate_formula for '@' —
+        not an opaque executor failure at write time."""
+        import numpy as np
+        import pandas as pd
+
+        from ssb_coefficient_maker_spark.api import FormulaEvaluator
+
+        a = pd.DataFrame(np.eye(2), index=list("xy"), columns=list("xy"))
+        fe = FormulaEvaluator({"a": a}, spark=spark, adp_enabled=True)
+        with pytest.raises(NotImplementedError, match="float64"):
+            fe.evaluate_to_parquet("a @ a", str(tmp_path / "adp_mm"))
+
+    def test_matmul_common_subexpression_binds_once(self, spark):
+        """'(a @ b) * 2 - a @ b' must bind ONE synthetic operand for
+        both structurally-equal '@' subtrees — one contraction join,
+        not two plus an alignment join between identical results."""
+        import numpy as np
+        import pandas as pd
+
+        from ssb_coefficient_maker_spark.api import FormulaEvaluator
+        from ssb_coefficient_maker_spark.catalog import Matrix
+        from ssb_coefficient_maker_spark.formula.parser import parse_formula
+        from ssb_coefficient_maker_spark.plans.triplet import (
+            _rewrite_matrix_ops,
+        )
+
+        a = pd.DataFrame(np.arange(4, dtype=float).reshape(2, 2))
+        fe = FormulaEvaluator({"a": a}, spark=spark)
+        datasets = fe.datasets
+        expr = parse_formula("(a @ a) * 2 - a @ a")
+        _, extra = _rewrite_matrix_ops(expr, datasets)
+        assert len(extra) == 1  # the repeated subtree deduped
+        # and the value is still right
+        got = fe.evaluate_to_pandas("(a @ a) * 2 - a @ a").sort_index()
+        exp = ((a @ a) * 2 - a @ a).sort_index()
+        assert np.allclose(got[list(exp.columns)].values, exp.values)
+
+    def test_cdc_null_text_yields_null_bounds(self, spark):
+        """NULL text -> NULL bounds (JVM-expression parity), not a
+        batch-killing TypeError inside the Arrow kernel."""
+        from ssb_coefficient_maker_spark.operators.dedup import (
+            cdc_bounds_gear_udf,
+        )
+
+        df = spark.createDataFrame(
+            [(0, None), (1, "some text here")], "doc_id long, text string"
+        )
+        rows = {
+            r["doc_id"]: r["b"]
+            for r in df.select(
+                "doc_id", cdc_bounds_gear_udf()(F.col("text")).alias("b")
+            ).collect()
+        }
+        assert rows[0] is None
+        assert rows[1] == [0, 14]
+
+
 # --------------------------------------------- CDC empty-text bounds
 
 
