@@ -2846,6 +2846,121 @@ FROM top CROSS JOIN t ORDER BY exact_cnt DESC, word
 """
 
 
+# Conservative audit envelope for q219's theta estimates: the default
+# sketch (lgK=12, k=4096) has ~1/sqrt(k) ≈ 1.56% 1σ relative error on
+# the UNION scale, and intersection/difference errors are union-scale
+# too — 8% of the exact union is >5σ for all three ops while staying a
+# real assertion (a broken estimator or wrong set op lands far
+# outside it).
+Q219_REL_BOUND = 0.08
+
+
+def q219_theta_set_algebra_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based SET ALGEBRA audit — the cross-source op plain HLL
+    (q44) cannot express: theta sketches support union, intersection,
+    and difference of distinct-sets, the primitives a 100 TB pipeline
+    uses to answer "how many NEW items today vs the corpus" or "what
+    fraction of source A's users are also in B" WITHOUT a giant
+    distinct join.
+
+    Sets: parts shipped in calendar month 3 vs month 9. Each set's
+    sketch is built as per-YEAR partial sketches merged with
+    ``theta_union_agg`` — the associative daily-rollup pattern (the
+    partials are what a deployment stores; re-merging is free) — then
+    |A ∪ B|, |A ∩ B|, |A \\ B| come from the two merged sketches.
+    Exact twins (one distinct + a two-flag pivot aggregate) ride the
+    same plan, and each estimate's ``in_bound`` flag
+    (|est − exact| ≤ {Q219_REL_BOUND} · exact_union) is pinned to 1
+    by the oracle: a broken estimator, a wrong set op, or a
+    mergeability bug fails the driver hash. Theta sketches keep the k
+    smallest hashes, so estimates are partition-order independent —
+    the flags are deterministic. At sf0.01 the sets (≈2k) are under
+    k=4096 (exact mode); at sf0.1+ (≈18k) the sketch genuinely
+    estimates, so the bound is a live assertion at scale.
+
+    100 TB contract (SCALE_NOTES): ship only the per-partition theta
+    partials (fixed size, associative merge); the exact twins here
+    are the correctness instrument, exactly as q44/q197/q218.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.month("l_shipdate").isin(3, 9)
+    )
+    tagged = li.select(
+        F.when(F.month("l_shipdate") == 3, "m03").otherwise("m09").alias("s"),
+        F.year("l_shipdate").alias("y"),
+        "l_partkey",
+    )
+    partials = tagged.groupBy("s", "y").agg(
+        F.expr("theta_sketch_agg(l_partkey)").alias("psk")
+    )
+    sk = partials.groupBy("s").agg(F.expr("theta_union_agg(psk)").alias("sk"))
+    a = sk.filter(F.col("s") == "m03").select(F.col("sk").alias("ska"))
+    b = sk.filter(F.col("s") == "m09").select(F.col("sk").alias("skb"))
+    est = a.crossJoin(b).select(  # 1-row × 1-row
+        F.expr("theta_sketch_estimate(theta_union(ska, skb))").alias("est_union"),
+        F.expr(
+            "theta_sketch_estimate(theta_intersection(ska, skb))"
+        ).alias("est_inter"),
+        F.expr(
+            "theta_sketch_estimate(theta_difference(ska, skb))"
+        ).alias("est_diff"),
+    )
+    pv = (
+        tagged.select("s", "l_partkey")
+        .distinct()
+        .groupBy("l_partkey")
+        .agg(
+            F.max(F.when(F.col("s") == "m03", 1).otherwise(0)).alias("ia"),
+            F.max(F.when(F.col("s") == "m09", 1).otherwise(0)).alias("ib"),
+        )
+    )
+    exact = pv.agg(
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum(F.col("ia") * F.col("ib")).alias("exact_inter"),
+        F.sum(F.col("ia") * (1 - F.col("ib"))).alias("exact_diff"),
+    )
+    joined = exact.crossJoin(est)  # 1-row × 1-row
+    out = joined.selectExpr(
+        "stack(3, 'difference', exact_diff, est_diff,"
+        " 'intersect', exact_inter, est_inter,"
+        " 'union', exact_union, est_union) AS (op, exact_cnt, est)",
+        "exact_union",
+    )
+    return out.select(
+        "op",
+        F.col("exact_cnt").cast("long").alias("exact_cnt"),
+        (
+            F.abs(F.col("est") - F.col("exact_cnt"))
+            <= Q219_REL_BOUND * F.col("exact_union")
+        )
+        .cast("int")
+        .alias("in_bound"),
+    ).orderBy("op")
+
+
+_Q219_ORACLE = """
+WITH t AS (
+  SELECT CASE WHEN month(l_shipdate) = 3 THEN 'm03' ELSE 'm09' END AS s,
+         l_partkey AS p
+  FROM lineitem WHERE month(l_shipdate) IN (3, 9)
+), d AS (SELECT DISTINCT s, p FROM t),
+pv AS (
+  SELECT p, max(CASE WHEN s = 'm03' THEN 1 ELSE 0 END) AS ia,
+         max(CASE WHEN s = 'm09' THEN 1 ELSE 0 END) AS ib
+  FROM d GROUP BY 1
+), e AS (
+  SELECT CAST(count(*) AS BIGINT) AS u, CAST(sum(ia * ib) AS BIGINT) AS i,
+         CAST(sum(ia * (1 - ib)) AS BIGINT) AS dd
+  FROM pv
+)
+SELECT op, exact_cnt, 1 AS in_bound FROM (
+  SELECT 'difference' AS op, dd AS exact_cnt FROM e
+  UNION ALL SELECT 'intersect', i FROM e
+  UNION ALL SELECT 'union', u FROM e
+) ORDER BY op
+"""
+
+
 def q121_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (multi-dimensional) clustering rewrite — the OPTIMIZE
     flavor q109's single-key compaction can't provide: files
@@ -10053,6 +10168,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "q218_heavy_hitters_audit": QuerySpec(
         q218_heavy_hitters_audit, _Q218_ORACLE, "aggregation"
     ),
+    "q219_theta_set_algebra_audit": QuerySpec(
+        q219_theta_set_algebra_audit, _Q219_ORACLE, "aggregation"
+    ),
     "q150_media_dedup": QuerySpec(q150_media_dedup, _Q150_ORACLE, "multimodal"),
     "q151_top_decile_curation": QuerySpec(
         q151_top_decile_curation, _Q151_ORACLE, "text"
@@ -10518,6 +10636,7 @@ _DRIVER_PRIORITY = (
     "q216_formula_matmul",
     "q217_lsh_probe_append_cycle",
     "q218_heavy_hitters_audit",
+    "q219_theta_set_algebra_audit",
     "q50_embedding_neardup",
     "q115_celled_neardup",
     "q185_cdc_chunking",

@@ -47,6 +47,10 @@ WHITELIST: dict[str, tuple[str, str]] = {
     ),
     "q198_bigram_xent": ("bnlj", "1-row vocabulary-size broadcast"),
     "q218_heavy_hitters_audit": ("bnlj", "1-row sketch+total broadcast"),
+    "q219_theta_set_algebra_audit": (
+        "bnlj",
+        "1-row×1-row sketch and exact-twin broadcasts",
+    ),
     "q166_heaps_law": ("bnlj", "1-row decile-cuts broadcast (lazy percentile agg)"),
     "q211_quality_length_calibration": (
         "bnlj",
