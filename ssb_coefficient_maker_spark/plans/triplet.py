@@ -167,9 +167,15 @@ def _rewrite_matrix_ops(
                 return wide_to_triplet(d)
             if isinstance(d, TripletMatrix):
                 return d
+            hint = (
+                " — for a matrix-vector product, register the Series "
+                "as a single-column (or single-row) DataFrame"
+                if isinstance(d, Vector)
+                else ""
+            )
             raise FormulaError(
                 f"{ctx} of non-matrix operand {node.name!r} "
-                f"({type(d).__name__}) is not defined"
+                f"({type(d).__name__}) is not defined{hint}"
             )
         if isinstance(node, Transpose):
             return transpose_triplet(as_matrix(node.operand, "transpose ('.T')"))

@@ -201,6 +201,29 @@ class TestMatmul:
         with pytest.raises(FormulaError, match="matrix"):
             fe.evaluate_formula("s @ s")
 
+    def test_series_operand_refuses_with_workaround_hint(self, spark):
+        """`m @ v` on a Series refuses with the single-column-matrix
+        hint — and the hinted form actually computes the
+        matrix-vector product (pandas-differential)."""
+        import numpy as np
+        import pandas as pd
+
+        from ssb_coefficient_maker_spark.formula.parser import FormulaError
+
+        a = pd.DataFrame(
+            np.arange(6, dtype=float).reshape(2, 3),
+            index=list("xy"),
+            columns=list("abc"),
+        )
+        v = pd.Series([1.0, 2.0, 3.0], index=list("abc"))
+        fe = self._fe(spark, a=a, v=v)
+        with pytest.raises(FormulaError, match="single-column"):
+            fe.evaluate_formula("a @ v")
+        fe2 = self._fe(spark, a=a, vm=v.to_frame("val"))
+        got = fe2.evaluate_to_pandas("a @ vm").sort_index()
+        exp = a.dot(v).sort_index()
+        assert np.allclose(got["val"].values, exp.values)
+
     def test_elementwise_compound_refuses(self, spark):
         import numpy as np
         import pandas as pd
