@@ -209,17 +209,35 @@ class FormulaEvaluator:
         from ssb_coefficient_maker_spark.formula.parser import (
             contains_matmul as _has_mm,
         )
+        from ssb_coefficient_maker_spark.formula.parser import (
+            contains_transpose as _has_t2,
+        )
 
-        if self.adp_enabled and _has_mm(expr):
-            # matmul contracts labels through a float64 join+sum plan;
-            # running it under ADP would silently demote the
-            # arbitrary-precision operands. Same never-demote-silently
-            # contract as the ADP triplet/Series refusals.
+        # ADP matrix-op guards: .T/@ evaluate on the float64 triplet
+        # path only, so they must refuse DRIVER-SIDE whenever a
+        # string-carried ADP Matrix operand is present (otherwise the
+        # ADP compiler's unknown-node error surfaces only inside the
+        # executor UDF). TripletMatrix-only formulas stay allowed —
+        # triplet inputs under ADP are the documented float64
+        # demotion (test_adp_triplet_operand_routes_to_triplet_path),
+        # so no precision is lost that wasn't already.
+        _adp_matrix = self.adp_enabled and any(
+            isinstance(self.datasets[n], Matrix) for n in names
+        )
+        if _adp_matrix and _has_mm(expr):
             raise NotImplementedError(
                 "matmul ('@') is not supported in ADP mode: the "
                 "contraction computes in float64, which would silently "
                 "demote the arbitrary-precision operands. Evaluate with "
                 "adp_enabled=False."
+            )
+        if _adp_matrix and _has_t2(expr):
+            raise NotImplementedError(
+                "transpose ('.T') is not supported in ADP mode: it "
+                "evaluates on the float64 triplet path, which would "
+                "silently demote the arbitrary-precision operands. "
+                "Transpose the input pandas frame before registering, "
+                "or evaluate with adp_enabled=False."
             )
 
         if self.adp_enabled and any(
@@ -459,15 +477,17 @@ class FormulaEvaluator:
 
         expr = self.parse_formula(formula)
         if self.adp_enabled:
-            if _has_mm(expr):
+            if _has_mm(expr) or _has_t(expr):
                 # same driver-side refusal as evaluate_formula — without
                 # it the node would only fail inside the executor UDF,
-                # an opaque job error after cluster work is spent
+                # an opaque job error after the overwrite-mode write has
+                # already clobbered the destination
+                op = "matmul ('@')" if _has_mm(expr) else "transpose ('.T')"
                 raise NotImplementedError(
-                    "matmul ('@') is not supported in ADP mode: the "
-                    "contraction computes in float64, which would "
-                    "silently demote the arbitrary-precision operands. "
-                    "Evaluate with adp_enabled=False."
+                    f"{op} is not supported in ADP mode: it evaluates in "
+                    "float64, which would silently demote the "
+                    "arbitrary-precision operands. Evaluate with "
+                    "adp_enabled=False."
                 )
             return self._adp_evaluate_to_parquet(expr, formula, path)
         from ssb_coefficient_maker_spark.plans.triplet import (
@@ -666,8 +686,11 @@ class CoefficientCalculator:
         fused DataFrame (``__row_id__`` + ``{result}_{col}`` columns)
         and the result→columns mapping; ``extras`` holds results
         evaluated through the standard single-formula path instead:
-        vector/scalar-only formulas (driver-cheap) and formulas with
-        non-fusable operands (TripletMatrix wide-form). Raises
+        vector/scalar-only formulas (driver-cheap), formulas with
+        non-fusable operands (TripletMatrix wide-form), and matrix-op
+        (``.T``/``@``) formulas — the latter two are LAZY Spark
+        DataFrames, which ``compute_coefficients_fused_to_parquet``
+        writes alongside the fused groups. Raises
         NotImplementedError under ADP (fusing would silently demote
         decimal strings to doubles). Skip rules (empty formula,
         unknown variable, unparseable) match ``compute_coefficients``.
@@ -763,9 +786,15 @@ class CoefficientCalculator:
         (coeff_maker.py:989-1016); here a group of N formulas over the
         same operands costs one scan of each input and one write.
         Returns a manifest: result name → {"path", "columns"} (plus
-        driver-evaluated vector/scalar results under "extras").
+        driver-cheap vector/scalar results under "extras").
         Invalid-count metrics ride each write via ``observe`` — no
-        post-hoc audit scan.
+        post-hoc audit scan. Extras that are themselves Spark
+        DataFrames (matrix-op ``.T``/``@`` formulas and TripletMatrix
+        operands route through the standard path, not the wide fused
+        compiler) are WRITTEN too — one parquet sink per such result
+        at ``{base_path}/extra={name}`` with the same observed
+        metrics — so no coefficient in the map is silently dropped
+        from the batch sink.
         """
         import pyspark.sql.functions as F
         from pyspark.sql import Observation
@@ -773,7 +802,26 @@ class CoefficientCalculator:
         from ssb_coefficient_maker_spark.validation import invalid_cond as _invalid_cond
 
         groups, extras = self.compute_coefficients_fused()
-        manifest: dict[str, Any] = {"extras": extras}
+        manifest: dict[str, Any] = {"extras": {}}
+        for name, value in extras.items():
+            if not isinstance(value, DataFrame):
+                manifest["extras"][name] = value  # driver-cheap Series/scalar
+                continue
+            path = f"{base_path}/extra={name}"
+            vcols = [c for c in value.columns if c not in ("__row_id__", "__col_id__")]
+            obs = Observation()
+            metrics = [F.count(F.lit(1)).alias("rows")] + [
+                F.sum(_invalid_cond(F.col(c)).cast("long")).alias(f"inv_{c}")
+                for c in vcols
+            ]
+            value.observe(obs, *metrics).write.mode("overwrite").parquet(path)
+            got = obs.get
+            manifest[name] = {
+                "path": path,
+                "columns": vcols,
+                "rows": got["rows"],
+                "invalid": sum(got[f"inv_{c}"] or 0 for c in vcols),
+            }
         for gi, g in enumerate(groups):
             path = f"{base_path}/group={gi}"
             obs = Observation()

@@ -153,14 +153,25 @@ def _rewrite_matrix_ops(
     )
 
     extra: dict[str, TripletMatrix] = {}
-    # structural memo: MatMul/Transpose are frozen dataclasses with
+    # structural memos: MatMul/Transpose are frozen dataclasses with
     # value equality, so '(a @ b) * 2 - a @ b' binds ONE synthetic
     # operand for both '@' subtrees — one contraction join instead of
-    # two, and no extra alignment join between identical results
-    memo: dict[FormulaExpr, FormulaExpr] = {}
+    # two, and no extra alignment join between identical results.
+    # tmemo dedupes at the TripletMatrix level so NESTED repeats
+    # ('(a @ b).T - a @ b') reuse the contraction too; vmemo dedupes
+    # the synthetic variable binding at elementwise positions.
+    tmemo: dict[FormulaExpr, TripletMatrix] = {}
+    vmemo: dict[FormulaExpr, FormulaExpr] = {}
 
     def as_matrix(node: FormulaExpr, ctx: str) -> TripletMatrix:
         """Resolve a matrix-shaped subtree to a TripletMatrix."""
+        if node in tmemo:
+            return tmemo[node]
+        t = _as_matrix_uncached(node, ctx)
+        tmemo[node] = t
+        return t
+
+    def _as_matrix_uncached(node: FormulaExpr, ctx: str) -> TripletMatrix:
         if isinstance(node, Var):
             d = datasets[node.name]  # KeyError parity with unknown variables
             if isinstance(d, Matrix):
@@ -169,7 +180,10 @@ def _rewrite_matrix_ops(
                 return d
             hint = (
                 " — for a matrix-vector product, register the Series "
-                "as a single-column (or single-row) DataFrame"
+                "as a single-COLUMN DataFrame when it is the right "
+                "operand (m @ v) or a single-ROW DataFrame when it is "
+                "the left (v @ m); the contraction joins the left's "
+                "column labels against the right's row labels"
                 if isinstance(d, Vector)
                 else ""
             )
@@ -199,8 +213,8 @@ def _rewrite_matrix_ops(
 
     def rw(node: FormulaExpr) -> FormulaExpr:
         if isinstance(node, (Transpose, MatMul)):
-            if node in memo:
-                return memo[node]
+            if node in vmemo:
+                return vmemo[node]
             if isinstance(node, Transpose):
                 base = (
                     f"{node.operand.name}__T"
@@ -210,7 +224,7 @@ def _rewrite_matrix_ops(
                 var = bind(as_matrix(node, "transpose ('.T')"), base)
             else:
                 var = bind(as_matrix(node, "matmul ('@')"), f"__mm{len(extra)}__")
-            memo[node] = var
+            vmemo[node] = var
             return var
         if isinstance(node, BinOp):
             return BinOp(node.op, rw(node.left), rw(node.right))

@@ -2870,7 +2870,7 @@ def q219_theta_set_algebra_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     |A ∪ B|, |A ∩ B|, |A \\ B| come from the two merged sketches.
     Exact twins (one distinct + a two-flag pivot aggregate) ride the
     same plan, and each estimate's ``in_bound`` flag
-    (|est − exact| ≤ {Q219_REL_BOUND} · exact_union) is pinned to 1
+    (|est − exact| ≤ Q219_REL_BOUND (0.08) · exact_union) is pinned to 1
     by the oracle: a broken estimator, a wrong set op, or a
     mergeability bug fails the driver hash. Theta sketches keep the k
     smallest hashes, so estimates are partition-order independent —

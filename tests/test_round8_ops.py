@@ -217,7 +217,7 @@ class TestMatmul:
         )
         v = pd.Series([1.0, 2.0, 3.0], index=list("abc"))
         fe = self._fe(spark, a=a, v=v)
-        with pytest.raises(FormulaError, match="single-column"):
+        with pytest.raises(FormulaError, match="single-COLUMN"):
             fe.evaluate_formula("a @ v")
         fe2 = self._fe(spark, a=a, vm=v.to_frame("val"))
         got = fe2.evaluate_to_pandas("a @ vm").sort_index()
@@ -402,6 +402,107 @@ class TestReviewFixes:
         got = fe.evaluate_to_pandas("(a @ a) * 2 - a @ a").sort_index()
         exp = ((a @ a) * 2 - a @ a).sort_index()
         assert np.allclose(got[list(exp.columns)].values, exp.values)
+
+    def test_adp_transpose_refuses_driver_side(self, spark, tmp_path):
+        """ADP + string-carried Matrix + '.T' must refuse on the
+        DRIVER in both evaluate paths (same class as the '@' guard) —
+        previously it failed opaquely inside the executor UDF, and in
+        the parquet path only after the overwrite had clobbered the
+        destination. TripletMatrix-only ADP formulas keep their
+        documented float64 routing."""
+        import numpy as np
+        import pandas as pd
+
+        from ssb_coefficient_maker_spark.api import FormulaEvaluator
+
+        a = pd.DataFrame(np.eye(2), index=list("xy"), columns=list("xy"))
+        fe = FormulaEvaluator({"a": a}, spark=spark, adp_enabled=True)
+        with pytest.raises(NotImplementedError, match="float64"):
+            fe.evaluate_formula("a.T + a")
+        with pytest.raises(NotImplementedError, match="float64"):
+            fe.evaluate_to_parquet("a.T + a", str(tmp_path / "adp_t"))
+
+    def test_adp_triplet_matrix_ops_keep_float64_routing(self, spark):
+        """ADP + TripletMatrix-only operands: .T/@ stay on the triplet
+        path (triplet inputs under ADP are the documented float64
+        demotion) — the new guards must not break round-6's routing
+        contract."""
+        import pandas as pd
+
+        from ssb_coefficient_maker_spark.api import FormulaEvaluator
+        from ssb_coefficient_maker_spark.plans.triplet import TripletMatrix
+
+        t = TripletMatrix(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    {
+                        "__row_id__": ["0", "0", "1", "1"],
+                        "__col_id__": ["x", "y", "x", "y"],
+                        "value": [1.0, 2.0, 3.0, 4.0],
+                    }
+                )
+            )
+        )
+        fe = FormulaEvaluator({"t": t}, adp_enabled=True, spark=spark)
+        res = fe.evaluate_formula("t.T * 2")
+        got = {
+            (r["__row_id__"], r["__col_id__"]): r["value"] for r in res.collect()
+        }
+        assert got[("y", "1")] == 8.0
+
+    def test_fused_to_parquet_writes_matrix_op_extras(self, spark, tmp_path):
+        """compute_coefficients_fused_to_parquet must WRITE matrix-op
+        extras (they are cluster-scale lazy DataFrames, not
+        driver-cheap Series) — previously they sat unevaluated in the
+        manifest and the coefficient silently produced no parquet."""
+        import numpy as np
+        import pandas as pd
+
+        from ssb_coefficient_maker_spark.api import CoefficientCalculator
+
+        a = pd.DataFrame(np.arange(9, dtype=float).reshape(3, 3),
+                         index=list("xyz"), columns=list("xyz"))
+        cmap = pd.DataFrame(
+            {"kortnavn": ["plain", "mm"], "formel": ["a * 2", "a @ a"]}
+        )
+        calc = CoefficientCalculator(
+            {"a": a}, cmap, "kortnavn", "formel",
+            spark=spark, validation="defer",
+        )
+        manifest = calc.compute_coefficients_fused_to_parquet(str(tmp_path))
+        assert "mm" in manifest and manifest["mm"]["rows"] == 9
+        got = (
+            spark.read.parquet(manifest["mm"]["path"])
+            .toPandas()
+            .pivot(index="__row_id__", columns="__col_id__", values="value")
+            .sort_index()
+        )
+        exp = (a @ a).sort_index()
+        assert np.allclose(got[list(exp.columns)].values, exp.values)
+        assert manifest["extras"] == {}  # nothing driver-cheap here
+
+    def test_nested_matmul_subtree_contracts_once(self, spark, monkeypatch):
+        """'(a @ a).T - a @ a' must run the contraction ONCE: the
+        triplet-level memo dedupes the repeated '@' subtree even when
+        one occurrence is nested inside another matrix op."""
+        import numpy as np
+        import pandas as pd
+
+        from ssb_coefficient_maker_spark.api import FormulaEvaluator
+        from ssb_coefficient_maker_spark.formula.parser import parse_formula
+        from ssb_coefficient_maker_spark.plans import triplet as T
+
+        calls = []
+        real = T.matmul_triplet
+        monkeypatch.setattr(
+            T, "matmul_triplet", lambda x, y: calls.append(1) or real(x, y)
+        )
+        a = pd.DataFrame(np.arange(4, dtype=float).reshape(2, 2))
+        fe = FormulaEvaluator({"a": a}, spark=spark)
+        expr = parse_formula("(a @ a).T - a @ a")
+        _, extra = T._rewrite_matrix_ops(expr, fe.datasets)
+        assert len(calls) == 1  # the nested repeat reused the memo
+        assert len(extra) == 2  # one '@' binding + one '.T' binding
 
     def test_cdc_null_text_yields_null_bounds(self, spark):
         """NULL text -> NULL bounds (JVM-expression parity), not a
