@@ -2772,6 +2772,97 @@ GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# Truncation depth for q220's Neumann series. K=3 keeps every cell an
+# exact float64 integer at any tested scale: sf1 flow cells are ~1e4,
+# so A^3 cells are ~25·1e4·(25·1e4·1e4) ≈ 6e14 < 2^53 — products and
+# sums never round, and the cross-engine value check is exact.
+Q220_TERMS = 3
+
+
+def q220_neumann_flow_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leontief-style TOTAL-REQUIREMENTS construction on the triplet
+    path (plans/triplet.neumann_series) — the flagship matrix op of
+    the reference's input-output domain (reference coeff_maker.py:1-13;
+    total requirements = (I - A)^-1 = Σ A^k), distributed as the
+    truncated series I + A + A² + A³ because a dense inverse does not
+    distribute and the convergent expansion is the plan a cluster
+    actually runs (the convergence-checked variant is
+    leontief_total_requirements, numpy-differential-tested).
+
+    A is the nation→nation trade-flow matrix (supplier's nation →
+    ordering customer's nation, lineitem-count cells), kept as exact
+    integers rather than normalized coefficients so every product and
+    sum is exact in float64 and the driver's value hash needs no
+    rounding snap (same design as q216). Cell (s, c) of the result =
+    the number of length-≤3 supply paths weighted by flow counts —
+    the multi-hop reach a true total-requirements matrix measures,
+    at fixed depth.
+
+    Plan shape: 3 contraction joins (one shuffle each on the
+    25-label nation key, map-side-combined sums) + ONE final
+    union/groupBy — all lazy, no driver actions. 100 TB: the flow
+    build is a standard shuffle aggregate over the fact table; every
+    later operand is |sectors|² triplets, broadcast-sized by
+    construction.
+    """
+    from ssb_coefficient_maker_spark.plans.triplet import (
+        COL_ID,
+        VALUE,
+        TripletMatrix,
+        neumann_series,
+    )
+    from ssb_coefficient_maker_spark.session import ROW_ID
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    flows = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("s_nationkey").cast("string").alias(ROW_ID),
+            F.col("c_nationkey").cast("string").alias(COL_ID),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias(VALUE))
+    )
+    reach = neumann_series(TripletMatrix(flows), Q220_TERMS)
+    return reach.df.select(
+        F.col(ROW_ID).cast("long").alias("src_nation"),
+        F.col(COL_ID).cast("long").alias("dst_nation"),
+        F.col(VALUE).cast("long").alias("reach"),
+    ).orderBy("src_nation", "dst_nation")
+
+
+_Q220_ORACLE = """
+WITH a AS (
+  SELECT CAST(s_nationkey AS VARCHAR) AS r, CAST(c_nationkey AS VARCHAR) AS c,
+         CAST(count(*) AS DOUBLE) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), a2 AS (
+  SELECT x.r, y.c, sum(x.v * y.v) AS v FROM a x JOIN a y ON x.c = y.r
+  GROUP BY 1, 2
+), a3 AS (
+  SELECT x.r, y.c, sum(x.v * y.v) AS v FROM a2 x JOIN a y ON x.c = y.r
+  GROUP BY 1, 2
+), lbl AS (SELECT r AS l FROM a UNION SELECT c FROM a),
+u AS (
+  SELECT l AS r, l AS c, 1.0 AS v FROM lbl
+  UNION ALL SELECT * FROM a
+  UNION ALL SELECT * FROM a2
+  UNION ALL SELECT * FROM a3
+)
+SELECT CAST(r AS BIGINT) AS src_nation, CAST(c AS BIGINT) AS dst_nation,
+       CAST(sum(v) AS BIGINT) AS reach
+FROM u GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 Q218_TOP_K = 12
 Q218_SKETCH_K = 50
 Q218_TRACKED = 1024
@@ -10171,6 +10262,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "q219_theta_set_algebra_audit": QuerySpec(
         q219_theta_set_algebra_audit, _Q219_ORACLE, "aggregation"
     ),
+    "q220_neumann_flow_reach": QuerySpec(
+        q220_neumann_flow_reach, _Q220_ORACLE, "formula"
+    ),
     "q150_media_dedup": QuerySpec(q150_media_dedup, _Q150_ORACLE, "multimodal"),
     "q151_top_decile_curation": QuerySpec(
         q151_top_decile_curation, _Q151_ORACLE, "text"
@@ -10637,6 +10731,7 @@ _DRIVER_PRIORITY = (
     "q217_lsh_probe_append_cycle",
     "q218_heavy_hitters_audit",
     "q219_theta_set_algebra_audit",
+    "q220_neumann_flow_reach",
     "q50_embedding_neardup",
     "q115_celled_neardup",
     "q185_cdc_chunking",

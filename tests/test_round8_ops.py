@@ -550,3 +550,144 @@ class TestCdcEmptyText:
         assert out[1] == [0, 5]
         assert out[2][0] == 0 and out[2][-1] == 64
         assert len(out[2]) == len(set(out[2]))  # no duplicate bounds
+
+
+# ------------------------------ Leontief / Neumann series (triplet)
+
+
+def _triplet(spark, m):
+    """pandas DataFrame -> TripletMatrix (string labels)."""
+    from ssb_coefficient_maker_spark.plans.triplet import (
+        COL_ID,
+        VALUE,
+        TripletMatrix,
+    )
+    from ssb_coefficient_maker_spark.session import ROW_ID
+
+    rows = [
+        (str(r), str(c), float(m.loc[r, c])) for r in m.index for c in m.columns
+    ]
+    return TripletMatrix(
+        spark.createDataFrame(
+            rows, f"{ROW_ID} string, {COL_ID} string, {VALUE} double"
+        )
+    )
+
+
+def _to_numpy(t, labels):
+    """TripletMatrix -> dense numpy over ``labels`` x ``labels``."""
+    import numpy as np
+
+    from ssb_coefficient_maker_spark.plans.triplet import COL_ID, VALUE
+    from ssb_coefficient_maker_spark.session import ROW_ID
+
+    idx = {l: i for i, l in enumerate(labels)}
+    out = np.zeros((len(labels), len(labels)))
+    for row in t.df.collect():
+        out[idx[row[ROW_ID]], idx[row[COL_ID]]] = row[VALUE]
+    return out
+
+
+class TestLeontief:
+    """Neumann series / Leontief total requirements on the triplet
+    path — the reference domain's flagship matrix op (input-output
+    total requirements = (I - A)^-1, reference coeff_maker.py:1-13),
+    reachable now that '@' contracts on triplets. numpy-differential."""
+
+    LBL = [f"s{i}" for i in range(6)]
+
+    def _a(self, seed=5, scale=0.55):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(seed)
+        raw = rng.uniform(0.1, 1.0, size=(6, 6))
+        # column-normalize then shrink: column sums == scale < 1, so
+        # the spectral radius is < 1 and the series converges
+        return pd.DataFrame(
+            raw / raw.sum(axis=0) * scale, index=self.LBL, columns=self.LBL
+        )
+
+    def test_fixed_terms_matches_numpy(self, spark):
+        import numpy as np
+
+        from ssb_coefficient_maker_spark.plans.triplet import neumann_series
+
+        a = self._a()
+        got = _to_numpy(neumann_series(_triplet(spark, a), 3), self.LBL)
+        v = a.values
+        exp = np.eye(6) + v + v @ v + v @ v @ v
+        assert np.allclose(got, exp)
+
+    def test_zero_terms_is_identity(self, spark):
+        import numpy as np
+
+        from ssb_coefficient_maker_spark.plans.triplet import neumann_series
+
+        got = _to_numpy(neumann_series(_triplet(spark, self._a()), 0), self.LBL)
+        assert np.allclose(got, np.eye(6))
+
+    def test_leontief_matches_numpy_inverse(self, spark):
+        import numpy as np
+
+        from ssb_coefficient_maker_spark.plans.triplet import (
+            leontief_total_requirements,
+        )
+
+        a = self._a()
+        t = leontief_total_requirements(_triplet(spark, a), tol=1e-12)
+        got = _to_numpy(t, self.LBL)
+        exp = np.linalg.inv(np.eye(6) - a.values)
+        assert np.allclose(got, exp, atol=1e-9)
+
+    def test_absent_cell_is_zero_not_nan(self, spark):
+        """Sparse linear-algebra semantics: a missing triplet is 0
+        (terms with disjoint support ADD), unlike the elementwise
+        path's pandas NaN alignment — documented deviation."""
+        import numpy as np
+
+        from ssb_coefficient_maker_spark.plans.triplet import (
+            COL_ID,
+            VALUE,
+            TripletMatrix,
+            neumann_series,
+        )
+        from ssb_coefficient_maker_spark.session import ROW_ID
+
+        # strictly upper-triangular 3x3: A = [[0,.5,0],[0,0,.5],[0,0,0]]
+        # stored SPARSELY (zeros absent); A^2 has only cell (0,2)
+        t = TripletMatrix(
+            spark.createDataFrame(
+                [("r0", "r1", 0.5), ("r1", "r2", 0.5)],
+                f"{ROW_ID} string, {COL_ID} string, {VALUE} double",
+            )
+        )
+        got = _to_numpy(neumann_series(t, 2), ["r0", "r1", "r2"])
+        v = np.array([[0, 0.5, 0], [0, 0, 0.5], [0, 0, 0]])
+        assert np.allclose(got, np.eye(3) + v + v @ v)
+
+    def test_divergent_matrix_raises(self, spark):
+        import pytest
+
+        from ssb_coefficient_maker_spark.plans.triplet import (
+            leontief_total_requirements,
+        )
+
+        a = self._a(scale=1.6)  # column sums 1.6: spectral radius > 1
+        with pytest.raises(ValueError, match="converge"):
+            leontief_total_requirements(
+                _triplet(spark, a), tol=1e-10, max_terms=12
+            )
+
+    def test_nan_cell_raises(self, spark):
+        import numpy as np
+        import pytest
+
+        from ssb_coefficient_maker_spark.plans.triplet import (
+            leontief_total_requirements,
+        )
+
+        a = self._a()
+        a.iloc[2, 3] = np.nan
+        with pytest.raises(ValueError, match="NaN"):
+            leontief_total_requirements(_triplet(spark, a), tol=1e-10)
