@@ -226,7 +226,7 @@ class FormulaEvaluator:
         )
         if _adp_matrix and _has_mm(expr):
             raise NotImplementedError(
-                "matmul ('@') is not supported in ADP mode: the "
+                "matmul ('@') / neumann() is not supported in ADP mode: the "
                 "contraction computes in float64, which would silently "
                 "demote the arbitrary-precision operands. Evaluate with "
                 "adp_enabled=False."
@@ -329,8 +329,8 @@ class FormulaEvaluator:
             isinstance(self.datasets[n], (Matrix, TripletMatrix)) for n in names
         ):
             raise FormulaError(
-                "transpose ('.T') and matmul ('@') are only defined for "
-                "matrix operands"
+                "transpose ('.T'), matmul ('@'), and neumann() are only defined "
+                "for matrix operands"
             )
         if _has_t(expr) or _has_mm(expr) or any(
             isinstance(self.datasets[n], TripletMatrix) for n in names
@@ -482,7 +482,7 @@ class FormulaEvaluator:
                 # it the node would only fail inside the executor UDF,
                 # an opaque job error after the overwrite-mode write has
                 # already clobbered the destination
-                op = "matmul ('@')" if _has_mm(expr) else "transpose ('.T')"
+                op = "matmul ('@') / neumann()" if _has_mm(expr) else "transpose ('.T')"
                 raise NotImplementedError(
                     f"{op} is not supported in ADP mode: it evaluates in "
                     "float64, which would silently demote the "

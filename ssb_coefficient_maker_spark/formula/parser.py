@@ -13,9 +13,12 @@ Here the language is explicit:
     unary   := -x, +x
     compare := < <= > >= == !=
     calls   := whitelisted only: abs(x), pow(x, y), where(c, a, b), x.fillna(v)
-    matrix  := m.T (transpose), a @ b (matrix product — an EXTENSION:
-               the reference's pd.eval python engine rejects '@';
-               both evaluate on the triplet path)
+    matrix  := m.T (transpose), a @ b (matrix product), and
+               neumann(a, k) (truncated Neumann series
+               I + a + a@a + ... + a^k — the Leontief
+               total-requirements construction at fixed depth) — all
+               EXTENSIONS: the reference's pd.eval python engine
+               rejects '@' outright; all evaluate on the triplet path
 
 Parsing yields a small typed tree (``FormulaExpr``) that downstream
 compiles either to ``pyspark.sql.Column`` (standard mode) or to an
@@ -91,6 +94,24 @@ class MatMul(FormulaExpr):
     right: FormulaExpr
 
 
+@dataclass(frozen=True)
+class Neumann(FormulaExpr):
+    """``neumann(a, k)`` — the truncated Neumann series
+    ``I + a + a@a + ... + a^k``, i.e. the Leontief total-requirements
+    construction ``(I - a)^-1`` at fixed depth (the reference's
+    domain is input-output coefficient matrices,
+    coeff_maker.py:1-13, where this is THE flagship matrix op; its
+    own pd.eval surface cannot express it — no '@', no identity).
+    ``k`` must be a literal non-negative integer: the depth shapes
+    the PLAN (k contraction joins), so it cannot be data-dependent.
+    Evaluates on the triplet path (plans/triplet.neumann_series) with
+    sparse semantics — the identity term is built over the operand's
+    label universe, and absent cells are 0, not NaN."""
+
+    operand: FormulaExpr
+    terms: int
+
+
 _BINOPS: dict[type[ast.operator], str] = {
     ast.Add: "+",
     ast.Sub: "-",
@@ -110,7 +131,7 @@ _CMPOPS: dict[type[ast.cmpop], str] = {
     ast.NotEq: "!=",
 }
 
-_FUNC_WHITELIST = {"abs", "pow", "where"}
+_FUNC_WHITELIST = {"abs", "pow", "where", "neumann"}
 _METHOD_WHITELIST = {"fillna"}
 
 
@@ -189,6 +210,25 @@ def _convert_call(node: ast.Call, formula: str) -> FormulaExpr:
         name = node.func.id
         if name not in _FUNC_WHITELIST:
             raise FormulaError(f"function {name!r} not in whitelist {_FUNC_WHITELIST}")
+        if name == "neumann":
+            if len(node.args) != 2:
+                raise FormulaError(
+                    "neumann() takes exactly two arguments (matrix, terms)"
+                )
+            operand = _convert(node.args[0], formula)
+            terms_node = node.args[1]
+            if not (
+                isinstance(terms_node, ast.Constant)
+                and isinstance(terms_node.value, int)
+                and not isinstance(terms_node.value, bool)
+                and terms_node.value >= 0
+            ):
+                raise FormulaError(
+                    "neumann() terms must be a literal non-negative integer "
+                    "— the depth shapes the plan (k contraction joins) and "
+                    "cannot be data-dependent"
+                )
+            return Neumann(operand, terms_node.value)
         args = tuple(_convert(a, formula) for a in node.args)
         if name == "abs" and len(args) != 1:
             raise FormulaError("abs() takes exactly one argument")
@@ -237,6 +277,8 @@ def extract_variables(expr: FormulaExpr | str) -> list[str]:
         elif isinstance(node, MatMul):
             walk(node.left)
             walk(node.right)
+        elif isinstance(node, Neumann):
+            walk(node.operand)
 
     walk(expr)
     return seen
@@ -252,6 +294,8 @@ def contains_transpose(expr: FormulaExpr) -> bool:
         return contains_transpose(expr.left) or contains_transpose(expr.right)
     if isinstance(expr, MatMul):
         return contains_transpose(expr.left) or contains_transpose(expr.right)
+    if isinstance(expr, Neumann):
+        return contains_transpose(expr.operand)
     if isinstance(expr, UnaryOp):
         return contains_transpose(expr.operand)
     if isinstance(expr, Call):
@@ -260,10 +304,13 @@ def contains_transpose(expr: FormulaExpr) -> bool:
 
 
 def contains_matmul(expr: FormulaExpr) -> bool:
-    """True iff the parsed formula has an ``@`` anywhere — such
-    formulas route onto the triplet path (the only form where the
-    product is a join + sum aggregate at any width)."""
-    if isinstance(expr, MatMul):
+    """True iff the parsed formula has an ``@`` anywhere — or a
+    ``neumann()`` call, which desugars to a chain of ``@``
+    contractions — such formulas route onto the triplet path (the
+    only form where the product is a join + sum aggregate at any
+    width), and both refuse identically under ADP (the contraction
+    computes in float64)."""
+    if isinstance(expr, (MatMul, Neumann)):
         return True
     if isinstance(expr, BinOp):
         return contains_matmul(expr.left) or contains_matmul(expr.right)

@@ -283,14 +283,24 @@ def _aligned_join(frames: dict[str, Matrix]) -> DataFrame:
 
 
 def _to_column(expr: FormulaExpr, resolve) -> Column:
-    from ssb_coefficient_maker_spark.formula.parser import FormulaError, Transpose
+    from ssb_coefficient_maker_spark.formula.parser import (
+        FormulaError,
+        MatMul,
+        Neumann,
+        Transpose,
+    )
 
-    if isinstance(expr, Transpose):
-        # the evaluator routes .T formulas onto the triplet path
-        # (api.py) before this wide-path projection is built; reaching
-        # here means a direct compile_formula call with a transpose
+    if isinstance(expr, (Transpose, MatMul, Neumann)):
+        # the evaluator routes matrix-op formulas onto the triplet
+        # path (api.py) before this wide-path projection is built;
+        # reaching here means a direct compile_formula call
+        op = {
+            Transpose: "transpose ('.T')",
+            MatMul: "matmul ('@')",
+            Neumann: "neumann()",
+        }[type(expr)]
         raise FormulaError(
-            "transpose ('.T') is supported on the triplet path only — "
+            f"{op} is supported on the triplet path only — "
             "evaluate via FormulaEvaluator (which routes automatically) "
             "or compile_formula_triplet"
         )

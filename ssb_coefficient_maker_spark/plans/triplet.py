@@ -266,8 +266,8 @@ def _rewrite_matrix_ops(
     expr: FormulaExpr,
     datasets: dict[str, TripletMatrix | Matrix | Vector | float],
 ) -> tuple[FormulaExpr, dict[str, TripletMatrix]]:
-    """Replace every matrix-shaped subtree — ``Transpose`` and
-    ``MatMul`` over matrix operands — with a synthetic variable bound
+    """Replace every matrix-shaped subtree — ``Transpose``,
+    ``MatMul``, and ``Neumann`` over matrix operands — with a synthetic variable bound
     to its triplet result, after which the elementwise join/project
     machinery needs no matrix-op awareness. Compositions of the
     matrix ops among themselves are supported (``a.T @ b``,
@@ -279,6 +279,7 @@ def _rewrite_matrix_ops(
         Call,
         FormulaError,
         MatMul,
+        Neumann,
         Transpose,
         UnaryOp,
         Var,
@@ -330,10 +331,14 @@ def _rewrite_matrix_ops(
                 as_matrix(node.left, "matmul ('@')"),
                 as_matrix(node.right, "matmul ('@')"),
             )
+        if isinstance(node, Neumann):
+            return neumann_series(
+                as_matrix(node.operand, "neumann()"), node.terms
+            )
         raise FormulaError(
             f"{ctx} is supported on matrix variables and compositions of "
-            ".T/@ over them, not on elementwise compound expressions — "
-            "bind the subexpression to a name first"
+            ".T/@/neumann() over them, not on elementwise compound "
+            "expressions — bind the subexpression to a name first"
         )
 
     def bind(t: TripletMatrix, base: str) -> FormulaExpr:
@@ -344,7 +349,7 @@ def _rewrite_matrix_ops(
         return Var(tname)
 
     def rw(node: FormulaExpr) -> FormulaExpr:
-        if isinstance(node, (Transpose, MatMul)):
+        if isinstance(node, (Transpose, MatMul, Neumann)):
             if node in vmemo:
                 return vmemo[node]
             if isinstance(node, Transpose):
@@ -354,6 +359,8 @@ def _rewrite_matrix_ops(
                     else f"__T{len(extra)}__"
                 )
                 var = bind(as_matrix(node, "transpose ('.T')"), base)
+            elif isinstance(node, Neumann):
+                var = bind(as_matrix(node, "neumann()"), f"__neu{len(extra)}__")
             else:
                 var = bind(as_matrix(node, "matmul ('@')"), f"__mm{len(extra)}__")
             vmemo[node] = var

@@ -691,3 +691,79 @@ class TestLeontief:
         a.iloc[2, 3] = np.nan
         with pytest.raises(ValueError, match="NaN"):
             leontief_total_requirements(_triplet(spark, a), tol=1e-10)
+
+
+class TestNeumannFormula:
+    """``neumann(a, k)`` in the formula GRAMMAR — the Leontief
+    construction reachable from coefficient-map formula strings
+    (the same surface the reference's metadata maps use)."""
+
+    def _fe(self, spark, **frames):
+        from ssb_coefficient_maker_spark.api import FormulaEvaluator
+
+        return FormulaEvaluator(frames, spark=spark)
+
+    def _a(self):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(21)
+        raw = rng.uniform(0.1, 1.0, size=(4, 4))
+        lbl = list("wxyz")
+        return pd.DataFrame(
+            raw / raw.sum(axis=0) * 0.5, index=lbl, columns=lbl
+        )
+
+    def test_matches_numpy_series(self, spark):
+        import numpy as np
+
+        a = self._a()
+        got = self._fe(spark, a=a).evaluate_to_pandas("neumann(a, 2)")
+        got = got.sort_index()[sorted(got.columns)]
+        v = a.values
+        exp = np.eye(4) + v + v @ v
+        assert np.allclose(got.values, exp)
+
+    def test_composes_elementwise_and_dedupes(self, spark):
+        """neumann(a, 2) - a @ a - a == I (sparse identity term means
+        the diagonal is 1, off-diagonal 0) — and the '@' subtree
+        inside neumann is independent of the explicit 'a @ a' (the
+        series is one bound operand, not re-expanded)."""
+        import numpy as np
+
+        a = self._a()
+        got = self._fe(spark, a=a).evaluate_to_pandas("neumann(a, 2) - a @ a - a")
+        got = got.sort_index()[sorted(got.columns)]
+        assert np.allclose(got.values, np.eye(4), atol=1e-12)
+
+    def test_terms_must_be_literal_int(self, spark):
+        import pytest
+
+        from ssb_coefficient_maker_spark.formula.parser import (
+            FormulaError,
+            parse_formula,
+        )
+
+        for bad in ("neumann(a, 2.5)", "neumann(a, k)", "neumann(a, -1)",
+                    "neumann(a)", "neumann(a, 1 + 1)"):
+            with pytest.raises(FormulaError, match="neumann"):
+                parse_formula(bad)
+
+    def test_adp_refuses_driver_side(self, spark):
+        import pytest
+
+        from ssb_coefficient_maker_spark.api import FormulaEvaluator
+
+        fe = FormulaEvaluator({"a": self._a()}, spark=spark, adp_enabled=True)
+        with pytest.raises(NotImplementedError, match="neumann"):
+            fe.evaluate_formula("neumann(a, 2)")
+
+    def test_non_matrix_operand_refuses(self, spark):
+        import pandas as pd
+        import pytest
+
+        from ssb_coefficient_maker_spark.formula.parser import FormulaError
+
+        fe = self._fe(spark, v=pd.Series([1.0, 2.0], index=["x", "y"]))
+        with pytest.raises(FormulaError):
+            fe.evaluate_formula("neumann(v, 2)")
