@@ -767,3 +767,22 @@ class TestNeumannFormula:
         fe = self._fe(spark, v=pd.Series([1.0, 2.0], index=["x", "y"]))
         with pytest.raises(FormulaError):
             fe.evaluate_formula("neumann(v, 2)")
+
+    def test_full_input_output_workflow(self, spark):
+        """The reference domain's end-to-end ask, entirely in ONE
+        formula string: gross output for a final-demand vector,
+        x = (I - A)^-1 d, evaluated as `neumann(a, 20) @ d` — the
+        Neumann node composing INSIDE a matmul. Truncation at K=20
+        on a 0.5-column-sum matrix leaves < 1e-6 tail."""
+        import numpy as np
+        import pandas as pd
+
+        a = self._a()
+        d = pd.DataFrame(
+            {"demand": [10.0, 20.0, 30.0, 40.0]}, index=list("wxyz")
+        )
+        got = self._fe(spark, a=a, d=d).evaluate_to_pandas("neumann(a, 20) @ d")
+        exp = np.linalg.inv(np.eye(4) - a.values) @ d.values
+        assert np.allclose(
+            got.sort_index()["demand"].values, exp.ravel(), atol=1e-4
+        )
