@@ -786,3 +786,23 @@ class TestNeumannFormula:
         assert np.allclose(
             got.sort_index()["demand"].values, exp.ravel(), atol=1e-4
         )
+
+    def test_evaluate_to_parquet_routes_neumann(self, spark, tmp_path):
+        """The production single-pass sink handles neumann() like the
+        other matrix ops: triplet-routed, observed metrics, parquet
+        written once."""
+        import numpy as np
+        import pandas as pd
+
+        a = self._a()
+        fe = self._fe(spark, a=a)
+        meta = fe.evaluate_to_parquet("neumann(a, 2) - 1", str(tmp_path / "neu"))
+        assert meta["rows"] == 16 and meta["invalid"] == 0
+        got = (
+            pd.read_parquet(tmp_path / "neu")
+            .pivot(index="__row_id__", columns="__col_id__", values="value")
+            .sort_index()
+        )
+        v = a.values
+        exp = np.eye(4) + v + v @ v - 1.0
+        assert np.allclose(got[sorted(got.columns)].values, exp)
