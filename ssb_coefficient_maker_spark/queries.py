@@ -10716,8 +10716,9 @@ REGISTRY: dict[str, QuerySpec] = {
 # ordering contract): round-8 head = the four formula-path names whose
 # imported modules (formula/parser, plans/alignment, plans/triplet,
 # api) changed in rounds 7 AND 8 after their last driver look (VERDICT
-# r7 item 1), the three NEW round-8 queries (matmul, probe-append
-# cycle, heavy-hitter audit), and the three names whose code changed
+# r7 item 1), the five NEW round-8 queries (matmul, probe-append
+# cycle, heavy-hitter audit, theta set algebra, Neumann flow reach),
+# and the three names whose code changed
 # in round 8 (q50/q115 guard rework, q185 empty-text bounds). Then the
 # oldest-verdict rotation (VERDICT r7 item 7): every name whose latest
 # driver sample is round 3, oldest-first — 40 of the 47 fit this
