@@ -227,6 +227,43 @@ def release_ivf_index() -> None:
     from ssb_coefficient_maker_spark.cachereg import get_cache
 
     get_cache("ivf_index").release()
+    get_cache("ivf_ingest_index").release()
+
+
+def ivf_probe(
+    index: tuple[list[list[float]], DataFrame],
+    q: Column,
+    qvals: Sequence[float],
+    k: int = 10,
+    nprobe: int = 3,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Multi-probe scan of an IVF index: pick the ``nprobe`` coarse
+    cells nearest the query DRIVER-SIDE against the tiny centroid
+    matrix (no cluster action — sequential accumulation + stable
+    sort, bit-reproducible in the SQL oracles), then exact cosine
+    top-``k`` over ONLY those buckets of the pinned assignment."""
+    cents, bucketed = index
+    cmat = np.array(cents, dtype=np.float64)
+    acc = np.zeros(len(cmat))
+    for d in range(cmat.shape[1]):
+        acc += cmat[:, d] * qvals[d]
+    sims = acc / (_seq_norms(cmat) * seq_l2_norm(qvals))
+    probes = [int(b) for b in np.argsort(-sims, kind="stable")[:nprobe]]
+    out = bucketed.filter(F.col("bucket").isin(probes))
+    if exclude_id is not None:
+        out = out.filter(F.col("vec_id") != exclude_id)
+    return (
+        out.select(
+            "vec_id",
+            "label",
+            F.round(
+                cosine_const(F.col("embedding"), q, seq_l2_norm(qvals)), 4
+            ).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(k)
+    )
 
 
 def q35_ivf_topk(
@@ -248,28 +285,120 @@ def q35_ivf_topk(
     across a cell boundary; see the recall test vs exact top-k).
     Rows-only check — float-iteration-order-dependent by
     construction."""
-    cents, bucketed = ivf_index(spark, sf_dir, n_centroids=n_centroids)
+    index = ivf_index(spark, sf_dir, n_centroids=n_centroids)
     q, qvals = _query_vector(spark, sf_dir, query_id)
-    cmat = np.array(cents, dtype=np.float64)
-    # sequential accumulation + stable sort: the probe choice must be
-    # bit-reproducible in the SQL oracle (ORDER BY score DESC, bucket)
-    acc = np.zeros(len(cmat))
-    for d in range(cmat.shape[1]):
-        acc += cmat[:, d] * qvals[d]
-    from ssb_coefficient_maker_spark.functions.vectors import seq_l2_norm
+    return ivf_probe(index, q, qvals, k=k, nprobe=nprobe, exclude_id=query_id)
 
-    sims = acc / (_seq_norms(cmat) * seq_l2_norm(qvals))
-    probes = [int(b) for b in np.argsort(-sims, kind="stable")[:nprobe]]
-    return (
-        bucketed.filter(F.col("bucket").isin(probes) & (F.col("vec_id") != query_id))
-        .select(
-            "vec_id",
-            "label",
-            F.round(cosine_const(F.col("embedding"), q, seq_l2_norm(qvals)), 4).alias("cos_sim"),
-        )
-        .orderBy(F.desc("cos_sim"), "vec_id")
-        .limit(k)
+
+# Shared with the DuckDB oracle (queries._Q221_ORACLE): the "new
+# batch" is every 5th vector (vec_id % 5 == 4) — a deterministic ~20%
+# slice standing in for today's embedding ingest, mirroring q215/q217's
+# document-side split.
+Q221_INGEST_MOD = 5
+
+
+def ivf_index_from(
+    emb: DataFrame,
+    corpus_key,
+    n_centroids: int = 20,
+    iters: int = 3,
+) -> tuple[list[list[float]], DataFrame]:
+    """IVF index over an EXPLICIT vector frame (the slice-corpus twin
+    of ``ivf_index``): train the coarse quantizer on ``emb``, pin the
+    assignment, materialize EAGERLY (probes that follow must read only
+    InMemoryTableScans — plan-asserted in tests).
+
+    Lives in its own PinnedCache ('ivf_ingest_index'), NOT q35's
+    'ivf_index': the ingest cycle re-pins under the grown corpus's
+    identity, and sharing a cache would let either query evict the
+    other's pinned index under the cap-at-one contract — the same
+    deliberate double-pin reasoning as ``build_lsh_index``
+    (operators/dedup.py)."""
+    from ssb_coefficient_maker_spark.cachereg import get_cache
+
+    cache = get_cache("ivf_ingest_index")
+    params = (n_centroids, iters)
+    hit = cache.lookup(corpus_key, params)
+    if hit is not None:
+        return hit
+    cents = kmeans_centroids(emb, k=n_centroids, iters=iters)
+    assigned = assign_buckets(emb, cents).persist()
+    assigned.count()
+    return cache.store(corpus_key, params, (cents, assigned), pinned=[assigned])
+
+
+def ivf_append(
+    index: tuple[list[list[float]], DataFrame],
+    new_emb: DataFrame,
+    grown_key,
+    n_centroids: int = 20,
+    iters: int = 3,
+) -> tuple[list[list[float]], DataFrame]:
+    """Ingest a new vector batch into a pinned IVF index WITHOUT
+    retraining — the standard ANN ingest contract: the coarse
+    quantizer is FROZEN (centroid drift is handled by periodic
+    re-trains, not per-batch), so the append is one map-only
+    assignment of the new batch against the centroid literals
+    (``assign_buckets`` — no shuffle, no Lloyd iterations, the corpus
+    is never rescanned) unioned onto the pinned assignment. At 100 TB
+    this is an append of one batch-sized partition set to the
+    bucket-partitioned assignment table.
+
+    The grown assignment is materialized BEFORE it is re-pinned under
+    the grown corpus identity — ``store`` evicts (unpersists) the old
+    entry under the cap-at-one contract, which is only safe once the
+    union no longer needs to recompute from it (same ordering contract
+    as ``append_to_lsh_index``)."""
+    from ssb_coefficient_maker_spark.cachereg import get_cache
+
+    cents, assigned = index
+    grown = assigned.unionByName(assign_buckets(new_emb, cents)).persist()
+    grown.count()
+    cache = get_cache("ivf_ingest_index")
+    return cache.store(
+        grown_key, (n_centroids, iters), (cents, grown), pinned=[grown]
     )
+
+
+def q221_ivf_ingest_probe(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    n_centroids: int = 20,
+    nprobe: int = 3,
+) -> DataFrame:
+    """The ANN side of the daily-ingest cycle (the q215/q217 pattern
+    applied to embeddings): train+pin the IVF index on the corpus
+    slice (vec_id % 5 != 4), APPEND the new batch (vec_id % 5 == 4)
+    with the quantizer frozen — map-only assignment, no retraining,
+    corpus never rescanned — then probe the GROWN index with the
+    vec_id=0 query. The probe's top-k can only be right if the
+    append actually landed the batch in the right cells, so this
+    value-oracles the append half.
+
+    VALUE-oracled end to end: the trained Lloyd loop is
+    bit-replicated by the generated CTE chain (queries._lloyd_cte,
+    restricted to the corpus slice), the frozen-quantizer batch
+    assignment by one more assign CTE, and the multi-probe top-k by
+    the same ordered-fold cosine — the q35/q56 bit-replicability
+    contract extended to the ingest cycle.
+
+    NOTE (bench interpretation): like q217, each call re-runs the
+    whole cycle including the corpus index build (the re-pin under
+    the grown identity evicts the corpus entry, cap-at-one) — the
+    cycle IS the query; a deployment pays the build once and stores
+    the assignment table."""
+    from ssb_coefficient_maker_spark.cachereg import corpus_key_for
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = Q221_INGEST_MOD
+    corpus = emb.filter(F.col("vec_id") % m != m - 1)
+    new_batch = emb.filter(F.col("vec_id") % m == m - 1)
+    base = corpus_key_for(sf_dir)
+    index = ivf_index_from(corpus, (base, "corpus"), n_centroids=n_centroids)
+    grown = ivf_append(index, new_batch, (base, "grown"), n_centroids=n_centroids)
+    q, qvals = _query_vector(spark, sf_dir, 0)
+    return ivf_probe(grown, q, qvals, k=k, nprobe=nprobe, exclude_id=0)
 
 
 def q36_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -7287,7 +7287,29 @@ FROM first_seen GROUP BY 1 ORDER BY hop
 """
 
 
-def _lloyd_cte(k: int, iters: int, dim: int = 64) -> str:
+_IVF_NRM_SQL = "sqrt(list_sum(list_transform(c.cent, x -> x * x)))"
+
+
+def _ivf_assign_sql(name: str, src: str, cent_cte: str) -> str:
+    """One nearest-centroid assignment CTE over source CTE ``src``
+    against centroid CTE ``cent_cte`` — the ordered-fold dot product
+    and lower-bucket tie-break that bit-match the engine's
+    ``assign_buckets`` (see ``_lloyd_cte`` for the contract). Shared
+    by the Lloyd chain and q221's frozen-quantizer batch assignment."""
+    dot = (
+        f"list_sum(list_transform(list_zip({src}.embedding, c.cent), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+    )
+    return (
+        f"{name} AS (SELECT vec_id, label, embedding, bucket FROM ("
+        f"SELECT {src}.vec_id, {src}.label, {src}.embedding, c.bucket, "
+        f"row_number() OVER (PARTITION BY {src}.vec_id "
+        f"ORDER BY {dot} / {_IVF_NRM_SQL} DESC, c.bucket) AS rn "
+        f"FROM {src} CROSS JOIN {cent_cte} c) WHERE rn = 1)"
+    )
+
+
+def _lloyd_cte(k: int, iters: int, dim: int = 64, where: str = "") -> str:
     """Generated CTE chain replicating the engine's trained k-means
     (`operators/similarity.py: kmeans_centroids` + `assign_buckets`)
     bit-for-bit, so the iterative IVF queries (q35/q56) get VALUE
@@ -7310,30 +7332,22 @@ def _lloyd_cte(k: int, iters: int, dim: int = 64) -> str:
       across iterations.
 
     ``dim`` is the testdata embedding width (TESTDATA.md: 64).
-    Produces CTEs ``e`` (vectors), ``c{0..iters}`` (centroids per
-    iteration) and ``afinal`` (assignment under the trained
-    centroids, with label carried through).
+    ``where`` optionally restricts the training corpus (q221 trains
+    on the non-batch slice). Produces CTEs ``e`` (vectors),
+    ``c{0..iters}`` (centroids per iteration) and ``afinal``
+    (assignment under the trained centroids, with label carried
+    through).
     """
-    dot = (
-        "list_sum(list_transform(list_zip(e.embedding, c.cent), "
-        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-    )
-    nrm = "sqrt(list_sum(list_transform(c.cent, x -> x * x)))"
     mean_list = ", ".join(
         f"round(avg(CAST(embedding[{i + 1}] AS DOUBLE)), 6)" for i in range(dim)
     )
 
     def assign(name: str, cent_cte: str) -> str:
-        return (
-            f"{name} AS (SELECT vec_id, label, embedding, bucket FROM ("
-            f"SELECT e.vec_id, e.label, e.embedding, c.bucket, "
-            f"row_number() OVER (PARTITION BY e.vec_id "
-            f"ORDER BY {dot} / {nrm} DESC, c.bucket) AS rn "
-            f"FROM e CROSS JOIN {cent_cte} c) WHERE rn = 1)"
-        )
+        return _ivf_assign_sql(name, "e", cent_cte)
 
     parts = [
-        "e AS (SELECT vec_id, label, embedding FROM embeddings)",
+        f"e AS (SELECT vec_id, label, embedding FROM embeddings"
+        f"{' ' + where if where else ''})",
         f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS bucket, "
         f"list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent "
         f"FROM e ORDER BY vec_id LIMIT {k})",
@@ -7384,6 +7398,41 @@ SELECT a.vec_id, a.label,
           * sqrt(list_sum(list_transform(qv.q, x -> x * x)))),
        4) AS cos_sim
 FROM afinal a JOIN probes p USING (bucket) CROSS JOIN qv
+WHERE a.vec_id != 0
+ORDER BY cos_sim DESC, a.vec_id LIMIT 10
+"""
+
+# q221: the ANN ingest cycle — train the same Lloyd chain on the
+# CORPUS slice only (vec_id % 5 != 4), assign the new batch with the
+# FROZEN final centroids (one more assign CTE — no retraining), union
+# the assignments, then the q35-shape multi-probe top-10 over the
+# grown index. Value-matches only if the engine's append landed the
+# batch in the same cells.
+_Q221_ORACLE = f"""
+WITH {_lloyd_cte(k=20, iters=3, where="WHERE vec_id % 5 != 4")},
+nb AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 5 = 4),
+{_ivf_assign_sql("anew", "nb", "c3")},
+allv AS (SELECT * FROM afinal UNION ALL SELECT * FROM anew),
+qv AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+       FROM embeddings WHERE vec_id = 0),
+probes AS (
+  SELECT bucket FROM (
+    SELECT c.bucket, row_number() OVER (ORDER BY
+      list_sum(list_transform(list_zip(c.cent, qv.q), p -> p[1] * p[2]))
+      / (sqrt(list_sum(list_transform(c.cent, x -> x * x)))
+       * sqrt(list_sum(list_transform(qv.q, x -> x * x)))) DESC,
+      c.bucket) AS rn
+    FROM c3 c CROSS JOIN qv) WHERE rn <= 3
+)
+SELECT a.vec_id, a.label,
+       round(
+         list_sum(list_transform(list_zip(a.embedding, qv.q),
+                  p -> CAST(p[1] AS DOUBLE) * p[2]))
+         / (sqrt(list_sum(list_transform(a.embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+          * sqrt(list_sum(list_transform(qv.q, x -> x * x)))),
+       4) AS cos_sim
+FROM allv a JOIN probes p USING (bucket) CROSS JOIN qv
 WHERE a.vec_id != 0
 ORDER BY cos_sim DESC, a.vec_id LIMIT 10
 """
@@ -10310,6 +10359,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "q137_grouped_ols": QuerySpec(q137_grouped_ols, _Q137_ORACLE, "aggregation"),
     "q35_ivf_topk": QuerySpec(similarity.q35_ivf_topk, _Q35_ORACLE, "similarity"),
+    "q221_ivf_ingest_probe": QuerySpec(
+        similarity.q221_ivf_ingest_probe, _Q221_ORACLE, "similarity"
+    ),
     "q56_kmeans_ivf": QuerySpec(similarity.q56_kmeans_ivf, _Q56_ORACLE, "similarity"),
     "q81_pq_topk": QuerySpec(similarity.q81_pq_topk, _Q81_ORACLE, "similarity"),
     "q36_embedding_stats": QuerySpec(
@@ -10716,10 +10768,11 @@ REGISTRY: dict[str, QuerySpec] = {
 # ordering contract): round-8 head = the four formula-path names whose
 # imported modules (formula/parser, plans/alignment, plans/triplet,
 # api) changed in rounds 7 AND 8 after their last driver look (VERDICT
-# r7 item 1), the five NEW round-8 queries (matmul, probe-append
-# cycle, heavy-hitter audit, theta set algebra, Neumann flow reach),
-# and the three names whose code changed
-# in round 8 (q50/q115 guard rework, q185 empty-text bounds). Then the
+# r7 item 1), the six NEW round-8 queries (matmul, probe-append
+# cycle, heavy-hitter audit, theta set algebra, Neumann flow reach,
+# IVF ingest cycle), and the five names whose code changed
+# in round 8 (q50/q115 guard rework, q185 empty-text bounds,
+# q35/q56 via the ivf_probe refactor). Then the
 # oldest-verdict rotation (VERDICT r7 item 7): every name whose latest
 # driver sample is round 3, oldest-first — 40 of the 47 fit this
 # round's 50-slot sample; the remainder lead the next rotation.
@@ -10733,6 +10786,9 @@ _DRIVER_PRIORITY = (
     "q218_heavy_hitters_audit",
     "q219_theta_set_algebra_audit",
     "q220_neumann_flow_reach",
+    "q221_ivf_ingest_probe",
+    "q35_ivf_topk",
+    "q56_kmeans_ivf",
     "q50_embedding_neardup",
     "q115_celled_neardup",
     "q185_cdc_chunking",
@@ -10827,8 +10883,6 @@ _DRIVER_PRIORITY = (
     "q126_scd2_build",
     "q129_cumulative_distinct_users",
     "q81_pq_topk",
-    "q35_ivf_topk",
-    "q56_kmeans_ivf",
     "q133_equal_freq_binning",
     "q134_mad_outliers",
     "q135_nation_pagerank",

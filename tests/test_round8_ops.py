@@ -806,3 +806,118 @@ class TestNeumannFormula:
         v = a.values
         exp = np.eye(4) + v + v @ v - 1.0
         assert np.allclose(got[sorted(got.columns)].values, exp)
+
+
+# --------------------------------------- q221 IVF ingest cycle (ANN)
+
+
+class TestIvfIngest:
+    """The ANN daily-ingest cycle (q221): frozen-quantizer append into
+    the pinned IVF index, probe of the grown index."""
+
+    def _release(self):
+        from ssb_coefficient_maker_spark.operators.similarity import (
+            release_ivf_index,
+        )
+
+        release_ivf_index()
+
+    def test_append_never_retrains_or_rescans_corpus(self, spark, sf_dir, monkeypatch):
+        """ivf_append must be map-only over the NEW batch: zero
+        kmeans_centroids calls (the quantizer is frozen), and the
+        union it materializes reads the corpus from the pinned
+        assignment (InMemoryTableScan) with parquet scanned only for
+        the batch."""
+        import sys
+        from collections import Counter
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+        import plan_audit
+
+        import ssb_coefficient_maker_spark.operators.similarity as S
+
+        self._release()
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = emb.filter(F.col("vec_id") % 5 != 4)
+        batch = emb.filter(F.col("vec_id") % 5 == 4)
+        index = S.ivf_index_from(corpus, ("test", "corpus"), n_centroids=8)
+
+        calls = []
+        real = S.kmeans_centroids
+        monkeypatch.setattr(
+            S, "kmeans_centroids", lambda *a, **k: calls.append(1) or real(*a, **k)
+        )
+        # the lazy union ivf_append materializes, reconstructed here
+        cents, assigned = index
+        lazy = assigned.unionByName(S.assign_buckets(batch, cents))
+        nodes = Counter(
+            n.nodeName()
+            for n in plan_audit._walk(lazy._jdf.queryExecution().executedPlan())
+        )
+        assert nodes["InMemoryTableScan"] == 1, nodes
+        assert sum(v for k, v in nodes.items() if k.startswith("Scan parquet")) == 1, nodes
+
+        grown = S.ivf_append(index, batch, ("test", "grown"), n_centroids=8)
+        assert calls == []  # frozen quantizer: no retraining
+        assert grown[0] == cents  # same centroid matrix, by identity
+        self._release()
+
+    def test_probe_of_grown_index_reads_only_cache(self, spark, sf_dir):
+        """After the append, the probe plan must contain NO parquet
+        scan of the embeddings at all — the grown index serves
+        everything from executor memory."""
+        import sys
+        from collections import Counter
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+        import plan_audit
+
+        import ssb_coefficient_maker_spark.operators.similarity as S
+        from ssb_coefficient_maker_spark.operators.similarity import (
+            _query_vector,
+        )
+
+        self._release()
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = emb.filter(F.col("vec_id") % 5 != 4)
+        batch = emb.filter(F.col("vec_id") % 5 == 4)
+        index = S.ivf_index_from(corpus, ("t2", "corpus"), n_centroids=8)
+        grown = S.ivf_append(index, batch, ("t2", "grown"), n_centroids=8)
+        q, qvals = _query_vector(spark, sf_dir, 0)
+        probe = S.ivf_probe(grown, q, qvals, k=5, nprobe=2, exclude_id=0)
+        nodes = Counter(
+            n.nodeName()
+            for n in plan_audit._walk(probe._jdf.queryExecution().executedPlan())
+        )
+        assert nodes["InMemoryTableScan"] == 1, nodes
+        assert not any(k.startswith("Scan parquet") for k in nodes), nodes
+        self._release()
+
+    def test_grown_index_equals_from_scratch_assignment(self, spark, sf_dir):
+        """Probing the grown index returns vectors from BOTH slices,
+        and the grown assignment equals assigning the full corpus
+        against the same frozen centroids (the append is exact, not
+        approximate, given the frozen quantizer)."""
+        import ssb_coefficient_maker_spark.operators.similarity as S
+
+        self._release()
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = emb.filter(F.col("vec_id") % 5 != 4)
+        batch = emb.filter(F.col("vec_id") % 5 == 4)
+        index = S.ivf_index_from(corpus, ("t3", "corpus"), n_centroids=8)
+        cents = index[0]
+        grown = S.ivf_append(index, batch, ("t3", "grown"), n_centroids=8)
+        got = {
+            (r["vec_id"], r["bucket"])
+            for r in grown[1].select("vec_id", "bucket").collect()
+        }
+        exp = {
+            (r["vec_id"], r["bucket"])
+            for r in S.assign_buckets(emb, cents)
+            .select("vec_id", "bucket")
+            .collect()
+        }
+        assert got == exp
+        self._release()
