@@ -3052,6 +3052,138 @@ SELECT op, exact_cnt, 1 AS in_bound FROM (
 """
 
 
+# q222 portable bloom filter: m bits as 63-bit bigint words, k probe
+# positions per key from the md5_hash60 family — BOTH engines compute
+# identical bits, so even the false-positive COUNT is value-oracled
+# (Spark's native bloom_filter_agg is not SQL-registered and its bits
+# would not be portable anyway). Members are the customers ordering
+# in ONE month (1995-03, ~1/77 of orders) so the probe set is
+# dominated by true non-members, and m is sized for a LIVE
+# false-positive regime at the largest tested scale: sf1 has ~17k
+# member keys, kn/m ≈ 0.2, fpp ≈ 6e-3 → hundreds of exact-checked
+# false positives; sf0.01/sf0.1 sit in the near-zero-FP regime (the
+# q219 pattern: small scales exact-ish, large scales genuinely
+# estimating — every count value-oracled either way).
+Q222_BLOOM_BITS = 1 << 18
+Q222_BLOOM_K = 3
+
+
+def q222_bloom_membership_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership audit — the last member of the audited
+    mergeable-summary family (quantiles q197, distinct q44/q207,
+    frequency q218, set algebra q219, membership here), and the
+    verification instrument for the runtime-filter/bloom-join class
+    (q106 uses Spark's internal one). Build: the distinct ordering
+    customers' keys hash to k=3 positions in an m=2^21-bit filter
+    held as 32k bigint words — one map-side-combined ``bit_or``
+    aggregate, a fixed-size summary merged associatively across
+    partitions/days exactly like the other sketches. Probe: every
+    customer key tests its 3 bits against the BROADCAST word table —
+    membership screening without touching the members table, the
+    100 TB join-pruning pattern.
+
+    The audit is exact on both sides of the contract: ``members_hit``
+    must equal ``n_members`` (bloom filters have NO false negatives —
+    a structural property, not a bound), and ``false_positives`` is
+    the exact count of non-ordering customers the filter wrongly
+    admits — bit-identical in DuckDB because every position comes
+    from the portable md5 family (`md5_hash60`), so a broken hash,
+    wrong word/bit split, or bad merge fails the value hash rather
+    than hiding behind a rate flag."""
+    from ssb_coefficient_maker_spark.operators.dedup import md5_hash60
+
+    m, kh = Q222_BLOOM_BITS, Q222_BLOOM_K
+    members = (
+        load_table(spark, sf_dir, "orders")
+        .filter((F.year("o_orderdate") == 1995) & (F.month("o_orderdate") == 3))
+        .select(F.col("o_custkey").alias("k"))
+        .distinct()
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k")
+    )
+
+    def positions(df: DataFrame) -> DataFrame:
+        pos = md5_hash60(
+            F.concat(F.col("k").cast("string"), F.lit(":"), F.col("i").cast("string"))
+        ) % m
+        return (
+            df.select(
+                "k", F.explode(F.array(*[F.lit(i) for i in range(kh)])).alias("i")
+            )
+            .select("k", pos.alias("pos"))
+            .select(
+                "k",
+                # 63 bits per word: DuckDB's signed << overflows at
+                # bit 63, so both engines pack bits 0..62 only
+                F.expr("pos DIV 63").alias("word"),
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 63 AS INT))").alias(
+                    "mask"
+                ),
+            )
+        )
+
+    bloom = positions(members).groupBy("word").agg(
+        F.expr("bit_or(mask)").alias("bits")
+    )
+    hit = (F.col("bits").isNotNull() & (F.col("bits").bitwiseAND(F.col("mask")) != 0)).cast("int")
+    flagged = (
+        positions(cust)
+        .join(F.broadcast(bloom), "word", "left")
+        .groupBy("k")
+        .agg((F.sum(hit) == kh).cast("int").alias("flagged"))
+    )
+    truth = flagged.join(
+        members.withColumn("is_member", F.lit(1)), "k", "left"
+    ).select("flagged", F.coalesce("is_member", F.lit(0)).alias("is_member"))
+    return truth.agg(
+        F.sum("is_member").alias("n_members"),
+        F.sum(F.lit(1) - F.col("is_member")).alias("n_nonmembers"),
+        F.sum(F.col("is_member") * F.col("flagged")).alias("members_hit"),
+        F.sum((F.lit(1) - F.col("is_member")) * F.col("flagged")).alias(
+            "false_positives"
+        ),
+    )
+
+
+_Q222_ORACLE = f"""
+WITH members AS (SELECT DISTINCT o_custkey AS k FROM orders
+  WHERE year(o_orderdate) = 1995 AND month(o_orderdate) = 3),
+seeds AS (SELECT unnest(range({Q222_BLOOM_K})) AS i),
+mpos AS (
+  SELECT k,
+         ('0x' || substr(md5(k::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT
+           % {Q222_BLOOM_BITS} AS pos
+  FROM members CROSS JOIN seeds
+), bloom AS (
+  SELECT pos // 63 AS word, bit_or(1::BIGINT << (pos % 63)::INT) AS bits
+  FROM mpos GROUP BY 1
+), cpos AS (
+  SELECT c_custkey AS k,
+         ('0x' || substr(md5(c_custkey::VARCHAR || ':' || i::VARCHAR), 1, 15))::BIGINT
+           % {Q222_BLOOM_BITS} AS pos
+  FROM customer CROSS JOIN seeds
+), probe AS (
+  SELECT c.k,
+         CASE WHEN b.bits IS NOT NULL
+               AND (b.bits & (1::BIGINT << (c.pos % 63)::INT)) != 0
+              THEN 1 ELSE 0 END AS hit
+  FROM cpos c LEFT JOIN bloom b ON c.pos // 63 = b.word
+), flagged AS (
+  SELECT k, CASE WHEN sum(hit) = {Q222_BLOOM_K} THEN 1 ELSE 0 END AS flagged
+  FROM probe GROUP BY 1
+), truth AS (
+  SELECT f.flagged, CASE WHEN m.k IS NULL THEN 0 ELSE 1 END AS is_member
+  FROM flagged f LEFT JOIN members m ON f.k = m.k
+)
+SELECT CAST(sum(is_member) AS BIGINT) AS n_members,
+       CAST(sum(1 - is_member) AS BIGINT) AS n_nonmembers,
+       CAST(sum(is_member * flagged) AS BIGINT) AS members_hit,
+       CAST(sum((1 - is_member) * flagged) AS BIGINT) AS false_positives
+FROM truth
+"""
+
+
 def q121_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (multi-dimensional) clustering rewrite — the OPTIMIZE
     flavor q109's single-key compaction can't provide: files
@@ -10314,6 +10446,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "q220_neumann_flow_reach": QuerySpec(
         q220_neumann_flow_reach, _Q220_ORACLE, "formula"
     ),
+    "q222_bloom_membership_audit": QuerySpec(
+        q222_bloom_membership_audit, _Q222_ORACLE, "aggregation"
+    ),
     "q150_media_dedup": QuerySpec(q150_media_dedup, _Q150_ORACLE, "multimodal"),
     "q151_top_decile_curation": QuerySpec(
         q151_top_decile_curation, _Q151_ORACLE, "text"
@@ -10768,9 +10903,10 @@ REGISTRY: dict[str, QuerySpec] = {
 # ordering contract): round-8 head = the four formula-path names whose
 # imported modules (formula/parser, plans/alignment, plans/triplet,
 # api) changed in rounds 7 AND 8 after their last driver look (VERDICT
-# r7 item 1), the six NEW round-8 queries (matmul, probe-append
+# r7 item 1), the seven NEW round-8 queries (matmul, probe-append
 # cycle, heavy-hitter audit, theta set algebra, Neumann flow reach,
-# IVF ingest cycle), and the five names whose code changed
+# IVF ingest cycle, bloom membership audit), and the five names
+# whose code changed
 # in round 8 (q50/q115 guard rework, q185 empty-text bounds,
 # q35/q56 via the ivf_probe refactor). Then the
 # oldest-verdict rotation (VERDICT r7 item 7): every name whose latest
@@ -10787,6 +10923,7 @@ _DRIVER_PRIORITY = (
     "q219_theta_set_algebra_audit",
     "q220_neumann_flow_reach",
     "q221_ivf_ingest_probe",
+    "q222_bloom_membership_audit",
     "q35_ivf_topk",
     "q56_kmeans_ivf",
     "q50_embedding_neardup",
