@@ -3184,6 +3184,324 @@ FROM truth
 """
 
 
+# q223: quasi-identifier audit thresholds. The QI tuple
+# (nation, segment, acctbal-kilobin) has a BOUNDED domain
+# (25 x 5 x 11 = 1,375 cells max), so the cell table is
+# broadcast-sized at ANY corpus scale — the audit cost is one
+# map-side-combined groupBy, never a big shuffle.
+Q223_K_THRESHOLDS = (2, 5, 10, 25)
+Q223_L_THRESHOLDS = (2, 3, 5)
+
+
+def q223_anonymity_risk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity + l-diversity re-identification risk audit — the
+    MEASUREMENT half of the privacy family whose masking half is q101
+    (PII redaction): before a table is released into a training
+    corpus, count how many rows sit in quasi-identifier cells smaller
+    than k (k-anonymity) and how many sit in cells whose SENSITIVE
+    attribute (market segment) takes fewer than l distinct values
+    (l-diversity — the homogeneity attack k-anonymity alone misses).
+
+    QI = (nationkey, acctbal kilo-bin) with segment as the sensitive
+    column; the k-audit treats the full (QI, sensitive) tuple as the
+    fingerprint. One row per (audit, threshold): total cells,
+    violating cells, exposed rows, exposed share. Every value is an
+    exact integer (share rounded 1e-6), so the driver hash pins the
+    whole risk report. The regime is scale-dependent and live at all
+    tested scales: at sf0.01 most cells are singletons (97% of rows
+    exposed at k=5); at sf1 the same cells hold ~100 rows each and
+    the k=5 exposure collapses — the audit, not the data, is the
+    invariant.
+
+    100 TB contract (SCALE_NOTES): the QI domain is bounded, so the
+    cell table is a map-side-combined aggregate that stays kilobytes
+    at any row count; the threshold sweep joins a literal table
+    against that aggregate (broadcast, no second scan of the base
+    table). Generalization loops (coarsening bins until risk clears)
+    re-aggregate the CELL table, never the corpus.
+    """
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("int").alias("bal_bin"),
+    )
+    cells = cust.groupBy("nk", "seg", "bal_bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    lcells = cells.groupBy("nk", "bal_bin").agg(
+        F.sum("cnt").alias("cnt"), F.countDistinct("seg").alias("nseg")
+    )
+    n_rows = cust.agg(F.count(F.lit(1)).alias("n_rows"))
+
+    def audit(cell_df: DataFrame, breach: str, name: str, ts: tuple) -> DataFrame:
+        thr = spark.createDataFrame([(t,) for t in ts], "threshold int")
+        hit = F.col(breach) < F.col("threshold")
+        return (
+            cell_df.crossJoin(F.broadcast(thr))
+            .groupBy("threshold")
+            .agg(
+                F.count(F.lit(1)).alias("n_cells"),
+                F.sum(hit.cast("long")).alias("violating_cells"),
+                F.sum(F.when(hit, F.col("cnt")).otherwise(0)).alias(
+                    "exposed_rows"
+                ),
+            )
+            .withColumn("audit", F.lit(name))
+        )
+
+    out = audit(cells, "cnt", "k_anonymity", Q223_K_THRESHOLDS).unionByName(
+        audit(lcells, "nseg", "l_diversity", Q223_L_THRESHOLDS)
+    )
+    return (
+        out.crossJoin(F.broadcast(n_rows))
+        .select(
+            "audit",
+            "threshold",
+            "n_cells",
+            "violating_cells",
+            "exposed_rows",
+            F.round(F.col("exposed_rows") / F.col("n_rows"), 6).alias(
+                "exposed_share"
+            ),
+        )
+        .orderBy("audit", "threshold")
+    )
+
+
+_Q223_ORACLE = f"""
+WITH cust AS (
+  SELECT c_nationkey AS nk, c_mktsegment AS seg,
+         CAST(floor(c_acctbal / 1000) AS INT) AS bal_bin
+  FROM customer
+), cells AS (
+  SELECT nk, seg, bal_bin, count(*) AS cnt FROM cust GROUP BY 1, 2, 3
+), lcells AS (
+  SELECT nk, bal_bin, sum(cnt) AS cnt, count(DISTINCT seg) AS nseg
+  FROM cells GROUP BY 1, 2
+), tot AS (SELECT count(*) AS n_rows FROM cust),
+k_audit AS (
+  SELECT 'k_anonymity' AS audit, t.threshold,
+         CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(CASE WHEN c.cnt < t.threshold THEN 1 ELSE 0 END) AS BIGINT)
+           AS violating_cells,
+         CAST(sum(CASE WHEN c.cnt < t.threshold THEN c.cnt ELSE 0 END)
+              AS BIGINT) AS exposed_rows
+  FROM cells c
+  CROSS JOIN (SELECT unnest({list(Q223_K_THRESHOLDS)}) AS threshold) t
+  GROUP BY 2
+), l_audit AS (
+  SELECT 'l_diversity' AS audit, t.threshold,
+         CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(CASE WHEN c.nseg < t.threshold THEN 1 ELSE 0 END) AS BIGINT)
+           AS violating_cells,
+         CAST(sum(CASE WHEN c.nseg < t.threshold THEN c.cnt ELSE 0 END)
+              AS BIGINT) AS exposed_rows
+  FROM lcells c
+  CROSS JOIN (SELECT unnest({list(Q223_L_THRESHOLDS)}) AS threshold) t
+  GROUP BY 2
+)
+SELECT audit, CAST(threshold AS INT) AS threshold, n_cells, violating_cells,
+       exposed_rows,
+       round(CAST(exposed_rows AS DOUBLE) / (SELECT n_rows FROM tot), 6)
+         AS exposed_share
+FROM (SELECT * FROM k_audit UNION ALL SELECT * FROM l_audit)
+ORDER BY audit, threshold
+"""
+
+
+# q224: deterministic-seed Laplace release. Uniforms come from 52-bit
+# md5 slices so (h + 0.5) / 2^52 is EXACT in float64 on both engines
+# (60-bit slices exceed the 53-bit mantissa and the engines round the
+# +0.5 differently — measured, not theoretical); ln() then bit-matched
+# across Spark/DuckDB on every released value in the dev harness. The
+# |noise| bound is structural: the worst grid point has
+# 1 - 2|u - 0.5| = 2^-52, so |ln(...)| <= 52*ln(2) < 37.
+Q224_EPSILONS = (("e05", 0.5), ("e20", 2.0))
+Q224_SEED_TAG = ":dp42"
+Q224_NOISE_CAP = 37.0
+
+
+def q224_dp_noised_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private noised-count release with DETERMINISTIC
+    seeded noise — the release half of the privacy family (q101
+    masks, q223 measures risk, this publishes): per-segment customer
+    counts plus Laplace(1/epsilon) noise at two budgets
+    (sensitivity 1 for a unit count). Production DP uses a
+    cryptographic RNG; a *pipeline* needs the seeded variant so a
+    re-run, an audit, or a downstream engine reproduces the exact
+    release — the same portable-randomness contract as the q78/q96
+    Knuth splits, here driving inverse-CDF Laplace:
+    u = (md5_52(segment:eps:seed) + 0.5) / 2^52,
+    noise = -(1/eps) * sign(u - 0.5) * ln(1 - 2|u - 0.5|).
+
+    The release artifact is (segment, epsilon, noised_cnt); exact_cnt
+    rides along as the audit twin (the q218/q222 pattern) and
+    ``in_bound`` pins |noise| <= 37/epsilon — structural for 52-bit
+    uniforms, so a broken hash, a wrong CDF branch, or a lost seed
+    fails the value hash rather than hiding inside "random" noise.
+
+    100 TB contract (SCALE_NOTES): one map-side-combined groupBy to
+    the released grain; the noise join is a literal epsilon table
+    against that aggregate — noise cost is independent of corpus
+    size, and partial counts merge associatively BEFORE noise is
+    applied (noise is a post-aggregation map, so daily partials stay
+    exact until release time).
+    """
+    seg_counts = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+    )
+    eps = spark.createDataFrame(list(Q224_EPSILONS), "lbl string, epsilon double")
+    h52 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    "segment", F.lit(":"), "lbl", F.lit(Q224_SEED_TAG)
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h52.cast("double") + F.lit(0.5)) / F.lit(float(1 << 52))
+    noise = (
+        -(F.lit(1.0) / F.col("epsilon"))
+        * F.when(F.col("u") >= 0.5, 1.0).otherwise(-1.0)
+        * F.log(F.lit(1.0) - 2.0 * F.abs(F.col("u") - 0.5))
+    )
+    return (
+        seg_counts.crossJoin(F.broadcast(eps))
+        .withColumn("u", u)
+        .withColumn("noise", noise)
+        .select(
+            "segment",
+            "epsilon",
+            "exact_cnt",
+            F.round(F.col("exact_cnt") + F.col("noise"), 6).alias("noised_cnt"),
+            (F.abs("noise") <= Q224_NOISE_CAP / F.col("epsilon"))
+            .cast("int")
+            .alias("in_bound"),
+        )
+        .orderBy("segment", "epsilon")
+    )
+
+
+_Q224_ORACLE = f"""
+WITH seg_counts AS (
+  SELECT c_mktsegment AS segment, count(*) AS exact_cnt
+  FROM customer GROUP BY 1
+), eps AS (
+  SELECT * FROM (VALUES ('e05', 0.5), ('e20', 2.0)) AS t(lbl, epsilon)
+), noised AS (
+  SELECT segment, CAST(epsilon AS DOUBLE) AS epsilon,
+         CAST(exact_cnt AS BIGINT) AS exact_cnt,
+         -(1.0 / epsilon)
+           * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+           * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise
+  FROM (
+    SELECT segment, epsilon, exact_cnt,
+           (CAST(('0x' || substr(md5(segment || ':' || lbl
+                                      || '{Q224_SEED_TAG}'), 1, 13))::BIGINT
+                 AS DOUBLE) + 0.5) / 4503599627370496.0 AS u
+    FROM seg_counts CROSS JOIN eps
+  )
+)
+SELECT segment, epsilon, exact_cnt,
+       round(exact_cnt + noise, 6) AS noised_cnt,
+       CASE WHEN abs(noise) <= {Q224_NOISE_CAP} / epsilon THEN 1 ELSE 0 END
+         AS in_bound
+FROM noised ORDER BY segment, epsilon
+"""
+
+
+# q225: bottom-k gets k=64 — small enough that the driver-side merge
+# of per-partition top-k heaps is trivial at any partition count,
+# large enough that the (k-1)/h_k cardinality estimate is a live
+# assertion (1σ ≈ 1/sqrt(63) ≈ 12.6%; the flag allows 5σ).
+Q225_SAMPLE_K = 64
+
+
+def q225_bottomk_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bottom-k (KMV) consistent sample — the SAMPLING member of the
+    audited mergeable-summary family (quantiles q197, distinct
+    q44/q207, frequency q218, set algebra q219, membership q222):
+    keep the k documents with the smallest portable hash of their id.
+    Unlike random sampling (q78/q96/q138 pick a RATE), bottom-k is a
+    fixed-SIZE uniform sample that is (a) mergeable — the bottom-k of
+    a union is the bottom-k of the parts' bottom-ks, the property
+    that lets 1,000 executors each ship 64 rows and the day's sample
+    merge associatively across days — and (b) consistent: a document
+    stays in successive snapshots' samples until displaced, so
+    longitudinal QA looks at the SAME documents each day.
+
+    The same summary doubles as a cardinality sketch: with h_k the
+    k-th smallest 60-bit hash, (k-1) * 2^60 / h_k estimates the
+    distinct count (Bar-Yossef et al.'s KMV estimator). Output: the
+    64 sampled (doc_id, lang) rows — value-pinned, any hash or merge
+    bug changes the membership — plus the exact corpus count and the
+    estimator's 5σ ``in_bound`` flag, deterministic because both
+    engines compute identical hash integers and IEEE division.
+
+    100 TB contract (SCALE_NOTES): Catalyst executes orderBy+limit as
+    TakeOrderedAndProject — per-partition bottom-k heaps, then ONE
+    k-row merge on the driver; no global sort, no shuffle of the
+    corpus. The hash is the q31 portable-verification family; a
+    production deployment swaps xxhash64 for speed and keeps the
+    structure.
+    """
+    from ssb_coefficient_maker_spark.operators.dedup import md5_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        "lang",
+        md5_hash60(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":bk"))
+        ).alias("hk"),
+    )
+    sample = hashed.orderBy("hk", "doc_id").limit(Q225_SAMPLE_K)
+    stats = sample.agg(
+        F.max("hk").alias("hk_max"), F.count(F.lit(1)).alias("k")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    est = (
+        (F.col("k") - 1).cast("double")
+        * F.lit(float(1 << 60))
+        / F.col("hk_max").cast("double")
+    )
+    in_bound = (
+        F.abs(est - F.col("n_docs"))
+        <= 5.0 * F.col("n_docs") / F.sqrt((F.col("k") - 1).cast("double"))
+    ).cast("int")
+    return (
+        sample.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "lang", "n_docs", in_bound.alias("in_bound"))
+        .orderBy("doc_id")
+    )
+
+
+_Q225_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR || ':bk'), 1, 15))::BIGINT AS hk
+  FROM documents
+), s AS (SELECT * FROM h ORDER BY hk, doc_id LIMIT {Q225_SAMPLE_K}),
+st AS (SELECT max(hk) AS hk_max, count(*) AS k FROM s),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT s.doc_id, s.lang, CAST(n.n_docs AS BIGINT) AS n_docs,
+       CASE WHEN abs(CAST(st.k - 1 AS DOUBLE) * 1152921504606846976.0
+                       / CAST(st.hk_max AS DOUBLE) - n.n_docs)
+                 <= 5.0 * n.n_docs / sqrt(CAST(st.k - 1 AS DOUBLE))
+            THEN 1 ELSE 0 END AS in_bound
+FROM s CROSS JOIN st CROSS JOIN n
+ORDER BY s.doc_id
+"""
+
+
 def q121_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (multi-dimensional) clustering rewrite — the OPTIMIZE
     flavor q109's single-key compaction can't provide: files
@@ -10449,6 +10767,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "q222_bloom_membership_audit": QuerySpec(
         q222_bloom_membership_audit, _Q222_ORACLE, "aggregation"
     ),
+    "q223_anonymity_risk_audit": QuerySpec(
+        q223_anonymity_risk_audit, _Q223_ORACLE, "aggregation"
+    ),
+    "q224_dp_noised_release": QuerySpec(
+        q224_dp_noised_release, _Q224_ORACLE, "aggregation"
+    ),
+    "q225_bottomk_sample_audit": QuerySpec(
+        q225_bottomk_sample_audit, _Q225_ORACLE, "aggregation"
+    ),
     "q150_media_dedup": QuerySpec(q150_media_dedup, _Q150_ORACLE, "multimodal"),
     "q151_top_decile_curation": QuerySpec(
         q151_top_decile_curation, _Q151_ORACLE, "text"
@@ -10913,6 +11240,10 @@ REGISTRY: dict[str, QuerySpec] = {
 # driver sample is round 3, oldest-first — 40 of the 47 fit this
 # round's 50-slot sample; the remainder lead the next rotation.
 _DRIVER_PRIORITY = (
+    # -- new this round: never driver-sampled --
+    "q223_anonymity_risk_audit",
+    "q224_dp_noised_release",
+    "q225_bottomk_sample_audit",
     "q24_formula_coeffmap",
     "q58_fused_coeffmap",
     "q73_adp_precision",

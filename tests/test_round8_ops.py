@@ -921,3 +921,145 @@ class TestIvfIngest:
         }
         assert got == exp
         self._release()
+
+
+# --------------------------------- privacy family (q223/q224/q225)
+
+
+class TestAnonymityAudit:
+    def test_report_matches_pandas(self, spark, sf_dir):
+        """Full pandas differential of the k-anonymity half: exposed
+        rows per threshold recomputed from raw cell sizes."""
+        from ssb_coefficient_maker_spark.queries import (
+            Q223_K_THRESHOLDS,
+            q223_anonymity_risk_audit,
+        )
+
+        out = q223_anonymity_risk_audit(spark, sf_dir).toPandas()
+        pdf = load_table(spark, sf_dir, "customer").toPandas()
+        pdf["bal_bin"] = (pdf.c_acctbal / 1000).apply(
+            lambda x: int(__import__("math").floor(x))
+        )
+        sizes = pdf.groupby(
+            ["c_nationkey", "c_mktsegment", "bal_bin"]
+        ).size()
+        for k in Q223_K_THRESHOLDS:
+            row = out[
+                (out.audit == "k_anonymity") & (out.threshold == k)
+            ].iloc[0]
+            assert row.violating_cells == int((sizes < k).sum())
+            assert row.exposed_rows == int(sizes[sizes < k].sum())
+            assert row.n_cells == len(sizes)
+
+    def test_exposure_monotone_in_threshold(self, spark, sf_dir):
+        """Raising k (or l) can only expose more rows — monotone by
+        construction; a non-monotone report means a broken audit."""
+        from ssb_coefficient_maker_spark.queries import (
+            q223_anonymity_risk_audit,
+        )
+
+        out = q223_anonymity_risk_audit(spark, sf_dir).toPandas()
+        for audit, grp in out.groupby("audit"):
+            grp = grp.sort_values("threshold")
+            assert grp.exposed_rows.is_monotonic_increasing, audit
+            assert grp.violating_cells.is_monotonic_increasing, audit
+        # bounded QI domain: the cell table can never outgrow it
+        assert (out.n_cells <= 25 * 5 * 11).all()
+
+
+class TestDpNoisedRelease:
+    def test_noise_matches_pure_python_laplace(self, spark, sf_dir):
+        """Recompute every released value from hashlib + math.log —
+        the portable-randomness contract, independent of both
+        engines."""
+        import hashlib
+        import math
+
+        from ssb_coefficient_maker_spark.queries import (
+            Q224_EPSILONS,
+            Q224_SEED_TAG,
+            q224_dp_noised_release,
+        )
+
+        out = q224_dp_noised_release(spark, sf_dir).toPandas()
+        lbl = dict((e, l) for l, e in Q224_EPSILONS)
+        for r in out.itertuples():
+            h = int(
+                hashlib.md5(
+                    f"{r.segment}:{lbl[r.epsilon]}{Q224_SEED_TAG}".encode()
+                ).hexdigest()[:13],
+                16,
+            )
+            u = (h + 0.5) / 2.0**52
+            noise = (
+                -(1.0 / r.epsilon)
+                * math.copysign(1.0, u - 0.5)
+                * math.log(1.0 - 2.0 * abs(u - 0.5))
+            )
+            assert abs(r.noised_cnt - round(r.exact_cnt + noise, 6)) <= 1e-6
+            assert r.in_bound == 1
+
+    def test_release_is_deterministic(self, spark, sf_dir):
+        """Two independent evaluations produce the identical release —
+        the property that makes a seeded DP release auditable."""
+        from ssb_coefficient_maker_spark.queries import (
+            q224_dp_noised_release,
+        )
+
+        a = q224_dp_noised_release(spark, sf_dir).toPandas()
+        b = q224_dp_noised_release(spark, sf_dir).toPandas()
+        assert a.equals(b)
+        # epsilon matters: the same segment gets different noise at
+        # different budgets (u differs via the label, scale via eps)
+        piv = a.pivot(index="segment", columns="epsilon", values="noised_cnt")
+        assert (piv[0.5] != piv[2.0]).all()
+
+
+class TestBottomkSample:
+    def test_merge_of_partial_bottomks_is_global_bottomk(self, spark, sf_dir):
+        """THE bottom-k property: union the two halves' bottom-ks and
+        re-take the bottom-k — membership equals the global sample.
+        This is what lets per-executor/per-day partials merge."""
+        from ssb_coefficient_maker_spark.operators.dedup import md5_hash60
+        from ssb_coefficient_maker_spark.queries import (
+            Q225_SAMPLE_K,
+            q225_bottomk_sample_audit,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        hashed = docs.select(
+            "doc_id",
+            md5_hash60(
+                F.concat(F.col("doc_id").cast("string"), F.lit(":bk"))
+            ).alias("hk"),
+        )
+        halves = [
+            hashed.filter(F.col("doc_id") % 2 == p)
+            .orderBy("hk", "doc_id")
+            .limit(Q225_SAMPLE_K)
+            for p in (0, 1)
+        ]
+        merged = (
+            halves[0]
+            .unionByName(halves[1])
+            .orderBy("hk", "doc_id")
+            .limit(Q225_SAMPLE_K)
+        )
+        got = {r.doc_id for r in merged.collect()}
+        want = {
+            r.doc_id
+            for r in q225_bottomk_sample_audit(spark, sf_dir).collect()
+        }
+        assert got == want
+
+    def test_plan_is_partition_topk_not_global_sort(self, spark, sf_dir):
+        """orderBy+limit must compile to TakeOrderedAndProject
+        (per-partition heaps + driver merge), not a global sort
+        exchange of the corpus."""
+        from ssb_coefficient_maker_spark.queries import (
+            q225_bottomk_sample_audit,
+        )
+
+        df = q225_bottomk_sample_audit(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan

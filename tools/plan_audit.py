@@ -47,6 +47,19 @@ WHITELIST: dict[str, tuple[str, str]] = {
     ),
     "q198_bigram_xent": ("bnlj", "1-row vocabulary-size broadcast"),
     "q218_heavy_hitters_audit": ("bnlj", "1-row sketch+total broadcast"),
+    "q223_anonymity_risk_audit": (
+        "bnlj",
+        "threshold literal table x bounded-domain QI cell aggregate "
+        "(<=1,375 cells) + 1-row corpus-total broadcast",
+    ),
+    "q224_dp_noised_release": (
+        "bnlj",
+        "epsilon literal table x released-grain aggregate (5 segments)",
+    ),
+    "q225_bottomk_sample_audit": (
+        "bnlj",
+        "64-row bottom-k sample x 1-row estimator-stats broadcasts",
+    ),
     "q219_theta_set_algebra_audit": (
         "bnlj",
         "1-row×1-row sketch and exact-twin broadcasts",
