@@ -437,3 +437,162 @@ SELECT lang, count(*) AS n_docs, round(avg(h), 4) AS avg_entropy,
        round(max(h), 4) AS max_entropy
 FROM ent GROUP BY lang ORDER BY lang
 """
+
+
+# ------------------------------------------------------------------
+# BPE tokenizer-training merge rounds (q226)
+# ------------------------------------------------------------------
+
+BPE_ROUNDS = 3
+
+
+def _bpe_merge_round(vocab: DataFrame, r: int) -> tuple[DataFrame, DataFrame]:
+    """One BPE training round over the weighted vocabulary
+    ``(word, cnt, seq)`` — ``seq`` is the word's current
+    space-joined token sequence. Returns (merged vocab, 1-row
+    summary (round, new_token, pair_count, corpus_tokens_after)).
+
+    The merge applies the learned pair GREEDILY LEFT-TO-RIGHT and
+    NON-OVERLAPPING — the actual BPE contract. A naive string
+    ``replace`` on the joined sequence gets this wrong (adjacent
+    occurrences share the delimiter space, 'a a a' chains share a
+    token), so the merge is a gaps-and-islands pass instead: mark
+    match positions, group CONSECUTIVE match positions into islands
+    (overlap chains only arise there), keep every other island
+    offset, rewrite kept positions to the merged token and drop the
+    consumed successors. Every step is a word-partitioned window or
+    a vocab-sized join — no global window, no driver round-trip: the
+    chosen pair stays in the plan as a 1-row broadcast.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("word").orderBy("pos")
+    tk = vocab.select(
+        "word", "cnt", F.posexplode(F.split("seq", " ")).alias("pos", "tok")
+    )
+    pairs = (
+        tk.withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(F.concat("tok", F.lit(" "), "nxt").alias("pair"), "cnt")
+    )
+    best = (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), F.asc("pair"))
+        .limit(1)
+        .select(
+            "pair_count",
+            F.split("pair", " ").getItem(0).alias("pa"),
+            F.split("pair", " ").getItem(1).alias("pb"),
+        )
+        .withColumn("new_token", F.concat("pa", "pb"))
+    )
+    mt = (
+        tk.crossJoin(F.broadcast(best))
+        .withColumn("nxt", F.lead("tok").over(w))
+        .withColumn(
+            "m",
+            ((F.col("tok") == F.col("pa")) & (F.col("nxt") == F.col("pb"))).cast(
+                "int"
+            ),
+        )
+    )
+    dec = (
+        mt.filter(F.col("m") == 1)
+        .withColumn("isl", F.col("pos") - F.row_number().over(w))
+        .withColumn(
+            "k",
+            F.row_number().over(
+                Window.partitionBy("word", "isl").orderBy("pos")
+            ),
+        )
+        .filter(F.col("k") % 2 == 1)
+        .select("word", F.col("pos").alias("dpos"))
+    )
+    starts = dec.select("word", F.col("dpos").alias("pos"), F.lit(1).alias("take"))
+    consumed = dec.select(
+        "word", (F.col("dpos") + 1).alias("pos"), F.lit(1).alias("drop")
+    )
+    merged = (
+        mt.select("word", "cnt", "pos", "tok", "new_token")
+        .join(starts, ["word", "pos"], "left")
+        .join(consumed, ["word", "pos"], "left")
+        .filter(F.col("drop").isNull())
+        .withColumn(
+            "tok2",
+            F.when(F.col("take") == 1, F.col("new_token")).otherwise(
+                F.col("tok")
+            ),
+        )
+        .groupBy("word", "cnt")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(pos, tok2))), x -> x.tok2), ' ')"
+            ).alias("seq")
+        )
+    )
+    total = merged.agg(
+        F.sum(F.col("cnt") * F.size(F.split("seq", " "))).alias(
+            "corpus_tokens_after"
+        )
+    )
+    summary = (
+        best.select(
+            F.lit(r).cast("int").alias("round"), "new_token", "pair_count"
+        )
+        .crossJoin(F.broadcast(total))
+    )
+    return merged, summary
+
+
+def bpe_merge_rounds(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """Distributed BPE tokenizer-training rounds (the Sennrich et al.
+    2016 algorithm HuggingFace trainers implement): learn ``rounds``
+    merge rules from a document corpus and report, per round, the
+    learned token, its pair frequency, and the corpus token count
+    AFTER applying the merge — the last column pins the merge
+    APPLICATION (greedy, non-overlapping), not just the argmax
+    selection.
+
+    Corpus-scale work is exactly ONE map-side-combined word-count
+    groupBy; every round after that operates on the weighted VOCAB
+    aggregate (the standard trainer design — HF pre-tokenizes to
+    word counts for the same reason), so round cost is independent
+    of corpus size. Ties break (count desc, pair asc) — total order,
+    engine-independent. ``rounds`` is a plan-shaping literal (each
+    round adds a fixed operator subtree); a production 30k-merge
+    trainer wraps this round body in a driver loop with periodic
+    localCheckpoint lineage cuts, the q220 convergence-variant
+    pattern.
+    """
+    words = docs.select(
+        F.explode(words_col(F.col("text"))).alias("word")
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "seq", F.trim(F.regexp_replace("word", "(.)", "$1 "))
+        )
+    )
+    summaries = []
+    for r in range(1, rounds + 1):
+        vocab, summary = _bpe_merge_round(vocab, r)
+        summaries.append(summary)
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("round")
+
+
+def q226_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training rounds over the documents corpus —
+    tokenizer TRAINING, the LLM-pipeline step the token-counting
+    surface (q27/q178/q196) consumes but nothing else in the
+    registry produces. See ``bpe_merge_rounds``. Value-oracled: the
+    DuckDB replica mirrors the pair-count/argmax/greedy-merge rounds
+    CTE-for-stage, so a wrong tie-break, an overlapping merge, or a
+    lost occurrence shifts either a learned token or the post-merge
+    corpus total and fails the driver hash."""
+    return bpe_merge_rounds(load_table(spark, sf_dir, "documents"))

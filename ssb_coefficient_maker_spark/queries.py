@@ -3502,6 +3502,201 @@ ORDER BY s.doc_id
 """
 
 
+def q227_streaming_upsert_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MERGE-ON-READ upsert sink — the CDC-materialization
+    pattern the batch MERGE (q97) and the idempotent aggregate sink
+    (q80) between them don't cover: a keyed stream materialized as
+    per-user latest-state WITHOUT rewriting the table per batch.
+    Each micro-batch is compacted INSIDE foreachBatch to one delta
+    row per user (latest event by (ts, event_id) + the batch's event
+    count) and appended idempotently to its own epoch directory (the
+    q80 overwrite-per-epoch contract — a replayed batch can't
+    duplicate). The read side resolves the log: last-write-wins on
+    the state columns, SUM on the additive ones — Hudi/Paimon's MOR
+    design re-expressed as parquet epochs + a read-time window.
+
+    The result is provably batching-independent: last-wins over
+    per-batch last-wins equals global last-wins (same total order
+    (ts, event_id)), and per-batch counts sum to the global count —
+    so the value oracle holds no matter how the file source split
+    micro-batches, and the driver hash pins the whole upsert cycle.
+
+    100 TB contract (SCALE_NOTES): write path shuffles each batch
+    once on user_id (to its per-key compaction) and appends
+    delta-sized files — no table rewrite, no read-modify-write race;
+    the log grows by |active keys| per epoch, bounded by periodic
+    compaction (q109's job applied to the log), and the resolve is
+    one user_id-partitioned window over the log — never the raw
+    stream history.
+    """
+    import os
+
+    from ssb_coefficient_maker_spark.sources.derived import prefixed_cache_root
+    from ssb_coefficient_maker_spark.sources.loaders import _ensure_session_confs
+    from ssb_coefficient_maker_spark.streaming.windows import stream_events
+
+    _ensure_session_confs(spark)
+    root = prefixed_cache_root("q227", sf_dir)
+    out, ckpt = os.path.join(root, "log"), os.path.join(root, "ckpt")
+
+    def write_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        delta = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .withColumn(
+                "n_in_batch",
+                F.count(F.lit(1)).over(Window.partitionBy("user_id")),
+            )
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id", "event_id", "ts", "event_type", "value", "n_in_batch"
+            )
+        )
+        delta.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+
+    def run_stream() -> None:
+        q = (
+            stream_events(spark, sf_dir)
+            .writeStream.outputMode("append")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_stream()
+    if not os.path.isdir(out) or not os.listdir(out):
+        import shutil
+
+        shutil.rmtree(ckpt, ignore_errors=True)
+        run_stream()
+    from pyspark.sql import Window
+
+    log = spark.read.parquet(out)
+    # same total order as the write-side compaction: last-wins over
+    # per-batch last-wins == global last-wins
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    resolved = (
+        log.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_events",
+            F.sum("n_in_batch").over(Window.partitionBy("user_id")),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return resolved.select(
+        "user_id",
+        "n_events",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 4).alias("last_value"),
+    ).orderBy("user_id")
+
+
+_Q227_ORACLE = """
+WITH latest AS (
+  SELECT user_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+)
+SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       event_type AS last_event_type,
+       round(value, 4) AS last_value
+FROM latest WHERE rn = 1 ORDER BY user_id
+"""
+
+
+def _bpe_round_oracle_sql(r: int) -> str:
+    """One BPE training round as DuckDB CTEs — mirrors
+    ``operators/text.py:_bpe_merge_round`` stage for stage (pair
+    stats from a word-partitioned lead window, argmax with the
+    count-desc/pair-asc tie-break, greedy non-overlapping merge via
+    the same gaps-and-islands decision), so the engine's merge rules
+    AND their application are value-checked."""
+    prev = f"v{r - 1}"
+    return f"""
+tk{r} AS (
+  SELECT word, cnt, i.i AS pos, string_split(seq, ' ')[i.i] AS tok
+  FROM {prev},
+       unnest(range(1, array_length(string_split(seq, ' ')) + 1)) AS i(i)
+), pr{r} AS (
+  SELECT t.tok || ' ' || lead(t.tok) OVER (PARTITION BY t.word ORDER BY t.pos)
+           AS pair,
+         t.cnt
+  FROM tk{r} t
+), b{r} AS (
+  SELECT pair, pair_count, replace(pair, ' ', '') AS new_token,
+         string_split(pair, ' ')[1] AS pa, string_split(pair, ' ')[2] AS pb
+  FROM (SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_count
+        FROM pr{r} WHERE pair IS NOT NULL GROUP BY pair
+        ORDER BY pair_count DESC, pair LIMIT 1)
+), mt{r} AS (
+  SELECT t.word, t.pos,
+         CASE WHEN t.tok = b.pa
+               AND lead(t.tok) OVER (PARTITION BY t.word ORDER BY t.pos) = b.pb
+              THEN 1 ELSE 0 END AS m
+  FROM tk{r} t CROSS JOIN b{r} b
+), isl{r} AS (
+  SELECT word, pos,
+         pos - row_number() OVER (PARTITION BY word ORDER BY pos) AS isl
+  FROM mt{r} WHERE m = 1
+), dec{r} AS (
+  SELECT word, pos FROM (
+    SELECT word, pos,
+           row_number() OVER (PARTITION BY word, isl ORDER BY pos) AS k
+    FROM isl{r}) WHERE k % 2 = 1
+), v{r} AS (
+  SELECT t.word, t.cnt,
+         string_agg(CASE WHEN d.pos IS NOT NULL THEN b.new_token ELSE t.tok END,
+                    ' ' ORDER BY t.pos) AS seq
+  FROM tk{r} t
+  CROSS JOIN b{r} b
+  LEFT JOIN dec{r} d ON t.word = d.word AND t.pos = d.pos
+  LEFT JOIN dec{r} d2 ON t.word = d2.word AND t.pos = d2.pos + 1
+  WHERE d2.pos IS NULL
+  GROUP BY t.word, t.cnt
+), s{r} AS (
+  SELECT {r} AS round, b.new_token, b.pair_count,
+         (SELECT CAST(sum(cnt * array_length(string_split(seq, ' '))) AS BIGINT)
+          FROM v{r}) AS corpus_tokens_after
+  FROM b{r} b
+)"""
+
+
+def _bpe_oracle_sql(rounds: int) -> str:
+    union = " UNION ALL ".join(f"SELECT * FROM s{r}" for r in range(1, rounds + 1))
+    return (
+        """
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents
+), v0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+         trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+  FROM w GROUP BY 1
+),"""
+        + ",".join(_bpe_round_oracle_sql(r) for r in range(1, rounds + 1))
+        + f"""
+SELECT CAST(round AS INT) AS round, new_token, pair_count, corpus_tokens_after
+FROM ({union})
+ORDER BY round
+"""
+    )
+
+
+_Q226_ORACLE = _bpe_oracle_sql(text.BPE_ROUNDS)
+
+
 def q121_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (multi-dimensional) clustering rewrite — the OPTIMIZE
     flavor q109's single-key compaction can't provide: files
@@ -10776,6 +10971,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "q225_bottomk_sample_audit": QuerySpec(
         q225_bottomk_sample_audit, _Q225_ORACLE, "aggregation"
     ),
+    "q226_bpe_merge_rounds": QuerySpec(
+        text.q226_bpe_merge_rounds, _Q226_ORACLE, "text"
+    ),
+    "q227_streaming_upsert_mor": QuerySpec(
+        q227_streaming_upsert_mor, _Q227_ORACLE, "streaming"
+    ),
     "q150_media_dedup": QuerySpec(q150_media_dedup, _Q150_ORACLE, "multimodal"),
     "q151_top_decile_curation": QuerySpec(
         q151_top_decile_curation, _Q151_ORACLE, "text"
@@ -11244,6 +11445,8 @@ _DRIVER_PRIORITY = (
     "q223_anonymity_risk_audit",
     "q224_dp_noised_release",
     "q225_bottomk_sample_audit",
+    "q226_bpe_merge_rounds",
+    "q227_streaming_upsert_mor",
     "q24_formula_coeffmap",
     "q58_fused_coeffmap",
     "q73_adp_precision",

@@ -1063,3 +1063,183 @@ class TestBottomkSample:
         df = q225_bottomk_sample_audit(spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
+
+
+# ------------------------------------ BPE tokenizer training (q226)
+
+
+def _bpe_reference(word_counts, rounds):
+    """Pure-python BPE (Sennrich et al.): pair counts over the
+    weighted vocab, argmax (count desc, pair asc), greedy
+    left-to-right non-overlapping merge."""
+    vocab = {w: list(w) for w in word_counts}
+    out = []
+    for r in range(1, rounds + 1):
+        pc = {}
+        for w, toks in vocab.items():
+            for i in range(len(toks) - 1):
+                p = (toks[i], toks[i + 1])
+                pc[p] = pc.get(p, 0) + word_counts[w]
+        mx = max(pc.values())
+        a, b = min(p for p, c in pc.items() if c == mx)
+        for w, toks in vocab.items():
+            merged, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(toks[i])
+                    i += 1
+            vocab[w] = merged
+        total = sum(word_counts[w] * len(t) for w, t in vocab.items())
+        out.append((r, a + b, mx, total))
+    return out
+
+
+class TestBpeMergeRounds:
+    def test_matches_reference_on_corpus(self, spark, sf_dir):
+        from ssb_coefficient_maker_spark.operators.text import (
+            BPE_ROUNDS,
+            q226_bpe_merge_rounds,
+        )
+
+        got = [
+            (r.round, r.new_token, r.pair_count, r.corpus_tokens_after)
+            for r in q226_bpe_merge_rounds(spark, sf_dir).collect()
+        ]
+        counts: dict = {}
+        for row in load_table(spark, sf_dir, "documents").select("text").collect():
+            for w in row.text.strip().split():
+                counts[w] = counts.get(w, 0) + 1
+        assert got == _bpe_reference(counts, BPE_ROUNDS)
+
+    def test_greedy_nonoverlapping_chains(self, spark):
+        """The cases a naive string-replace merge gets wrong: same-
+        token chains ('aaaa' with pair a,a must yield aa,aa) and
+        adjacent repeats ('abab' with pair a,b must merge BOTH
+        occurrences). Weighted so (a,a) then (ab-like) pairs win."""
+        from ssb_coefficient_maker_spark.operators.text import bpe_merge_rounds
+
+        texts = ["aaaa aaaa aaaa ab", "aaa ab ab abab", "abab baba aa"]
+        docs = spark.createDataFrame([(t,) for t in texts], "text string")
+        got = [
+            (r.round, r.new_token, r.pair_count, r.corpus_tokens_after)
+            for r in bpe_merge_rounds(docs, rounds=3).collect()
+        ]
+        counts: dict = {}
+        for t in texts:
+            for w in t.split():
+                counts[w] = counts.get(w, 0) + 1
+        want = _bpe_reference(counts, 3)
+        assert got == want
+
+    def test_token_budget_shrinks_every_round(self, spark, sf_dir):
+        from ssb_coefficient_maker_spark.operators.text import (
+            q226_bpe_merge_rounds,
+        )
+
+        rows = q226_bpe_merge_rounds(spark, sf_dir).collect()
+        totals = [r.corpus_tokens_after for r in rows]
+        assert all(a > b for a, b in zip(totals, totals[1:]))
+        assert all(r.pair_count > 0 for r in rows)
+
+
+# -------------------------- streaming merge-on-read upsert (q227)
+
+
+class TestStreamingUpsertMor:
+    def test_multi_batch_resolve_equals_batch_truth(self, spark, tmp_path):
+        """Force THREE micro-batches (maxFilesPerTrigger=1 over three
+        part files) and assert the merge-on-read resolve equals the
+        batch-computed truth — the batching-independence property the
+        docstring claims. Also asserts the log really has multiple
+        epoch deltas (the test exercised MOR, not a single batch)."""
+        import os
+
+        from pyspark.sql import Window
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        src = str(tmp_path / "ev")
+        # 3 files split by event_id range so every batch holds a mix
+        # of users (forces genuine cross-batch last-wins resolution)
+        ev.withColumn("bucket", F.col("event_id") % 3).write.partitionBy(
+            "bucket"
+        ).parquet(src)
+        schema = spark.read.parquet(src).drop("bucket").schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/bucket=*")
+        )
+        out = str(tmp_path / "log")
+        ckpt = str(tmp_path / "ckpt")
+
+        def write_batch(batch_df, epoch_id):
+            w = Window.partitionBy("user_id").orderBy(
+                F.desc("ts"), F.desc("event_id")
+            )
+            delta = (
+                batch_df.withColumn("rn", F.row_number().over(w))
+                .withColumn(
+                    "n_in_batch",
+                    F.count(F.lit(1)).over(Window.partitionBy("user_id")),
+                )
+                .filter(F.col("rn") == 1)
+                .select(
+                    "user_id", "event_id", "ts", "event_type", "value",
+                    "n_in_batch",
+                )
+            )
+            delta.write.mode("overwrite").parquet(f"{out}/epoch={epoch_id}")
+
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        epochs = [d for d in os.listdir(out) if d.startswith("epoch=")]
+        assert len(epochs) >= 3, epochs
+
+        log = spark.read.parquet(out)
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        resolved = (
+            log.withColumn("rn", F.row_number().over(w))
+            .withColumn(
+                "n_events",
+                F.sum("n_in_batch").over(Window.partitionBy("user_id")),
+            )
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "n_events")
+        )
+        truth = (
+            ev.withColumn("rn", F.row_number().over(w))
+            .withColumn(
+                "n_events",
+                F.count(F.lit(1)).over(Window.partitionBy("user_id")),
+            )
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "n_events")
+        )
+        got = {(r.user_id, r.event_id, r.n_events) for r in resolved.collect()}
+        want = {(r.user_id, r.event_id, r.n_events) for r in truth.collect()}
+        assert got == want
+
+    def test_registry_rerun_is_stable(self, spark, sf_dir):
+        """Second invocation replays zero new data off the persisted
+        checkpoint and returns the identical resolve."""
+        from ssb_coefficient_maker_spark.queries import (
+            q227_streaming_upsert_mor,
+        )
+
+        a = q227_streaming_upsert_mor(spark, sf_dir).toPandas()
+        b = q227_streaming_upsert_mor(spark, sf_dir).toPandas()
+        assert a.equals(b)
+        assert len(a) > 0

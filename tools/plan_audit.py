@@ -60,6 +60,11 @@ WHITELIST: dict[str, tuple[str, str]] = {
         "bnlj",
         "64-row bottom-k sample x 1-row estimator-stats broadcasts",
     ),
+    "q226_bpe_merge_rounds": (
+        "bnlj",
+        "1-row best-pair + 1-row corpus-total broadcasts, once per "
+        "BPE round (vocab-sized operands otherwise)",
+    ),
     "q219_theta_set_algebra_audit": (
         "bnlj",
         "1-row×1-row sketch and exact-twin broadcasts",
