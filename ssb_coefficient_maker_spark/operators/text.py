@@ -596,3 +596,68 @@ def q226_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     lost occurrence shifts either a learned token or the post-merge
     corpus total and fails the driver hash."""
     return bpe_merge_rounds(load_table(spark, sf_dir, "documents"))
+
+
+def bpe_trained_vocab(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """Train ``rounds`` BPE merges (see ``bpe_merge_rounds``) and
+    return the final weighted vocabulary ``(word, cnt, seq)`` — the
+    APPLY artifact: tokenizing a corpus is then one broadcast join of
+    its word instances against this table (BPE is word-local, so the
+    per-word token sequence is the whole tokenizer)."""
+    words = docs.select(F.explode(words_col(F.col("text"))).alias("word"))
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("seq", F.trim(F.regexp_replace("word", "(.)", "$1 ")))
+    )
+    for r in range(1, rounds + 1):
+        vocab, _ = _bpe_merge_round(vocab, r)
+    return vocab
+
+
+def q229_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility / fairness audit — the APPLY half of the
+    BPE story (q226 trains): tokenize the corpus with the trained
+    vocab and report, per language, words, tokens, characters,
+    FERTILITY (tokens per word — the cross-language fairness metric:
+    languages the tokenizer under-serves pay more tokens for the same
+    text) and COMPRESSION (chars per token). Applying BPE is one
+    BROADCAST join of per-(lang, word) counts against the vocab's
+    (word → token count) — the text column itself never reshuffles,
+    and the tokenizer table is broadcast-sized by construction (it is
+    the vocabulary). Value-oracled end to end: the DuckDB replica
+    re-trains the same merges (the q226 CTE chain) and re-applies
+    them, so a training drift OR an application bug lands in the
+    fertility numbers and fails the driver hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = bpe_trained_vocab(docs)
+    lw = (
+        docs.select("lang", F.explode(words_col(F.col("text"))).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tok = vocab.select(
+        "word",
+        F.size(F.split("seq", " ")).alias("n_toks"),
+        F.length("word").alias("n_chars_w"),
+    )
+    return (
+        lw.join(F.broadcast(tok), "word")
+        .groupBy("lang")
+        .agg(
+            F.sum("n").alias("n_words"),
+            F.sum(F.col("n") * F.col("n_toks")).alias("n_tokens"),
+            F.sum(F.col("n") * F.col("n_chars_w")).alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            "n_chars",
+            F.round(F.col("n_tokens") / F.col("n_words"), 4).alias("fertility"),
+            F.round(F.col("n_chars") / F.col("n_tokens"), 4).alias(
+                "compression"
+            ),
+        )
+        .orderBy("lang")
+    )

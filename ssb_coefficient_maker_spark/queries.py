@@ -3616,6 +3616,160 @@ FROM latest WHERE rn = 1 ORDER BY user_id
 """
 
 
+# q228: fixed 20-query evaluation panel — bounded at EVERY scale
+# (vec_id % 97 == 0 below 1940), so the exact brute-force twin stays
+# a 20-row broadcast against one corpus scan no matter the corpus
+# size. k/nprobe are the standard IVF recall knobs.
+Q228_QUERY_MOD = 97
+Q228_QUERY_CAP = 1940
+Q228_TOP_K = 10
+Q228_NPROBE = 3
+Q228_CENTROIDS = 20
+
+
+def q228_ann_recall_audit(
+    spark: SparkSession, sf_dir: str, nprobe: int = Q228_NPROBE
+) -> DataFrame:
+    """ANN recall@k audit — the accuracy instrument for the ANN
+    family (IVF q35/q221, PQ q81, sign-LSH q57), applying the audited-
+    summary discipline (q44/q197/q218/q219/q222/q225) to retrieval:
+    for a fixed 20-query panel, compute the EXACT cosine top-k (the
+    q72 batched brute-force shape — the correctness twin) and the IVF
+    multi-probe top-k over the SAME pinned index q35 probes, and
+    report per-query hit counts and recall@k. Both engines rank by
+    (rounded cosine desc, vec_id) — a total order on bit-identical
+    scores (ordered fold + IEEE ops, the q35/q56/q221 contract), so
+    top-k MEMBERSHIP, hits, and recall are all value-pinned: a broken
+    quantizer, a probe-selection bug, or a scoring drift changes a
+    set member and fails the driver hash. Recall is genuinely < 1
+    here (nprobe=3 of 20 cells misses boundary neighbors) — the
+    audit measures the real speed/recall trade, not a tautology.
+
+    100 TB contract (SCALE_NOTES): the exact twin costs ONE corpus
+    scan for the whole panel (20-row broadcast, per-query window on
+    a qid-keyed slice); the IVF side scans only the probed buckets of
+    the bucket-partitioned assignment. A deployment runs this audit
+    on a sampled slice to tune nprobe, then ships the index; the
+    audit's cost is the one brute-force scan, amortized over the
+    panel."""
+    from ssb_coefficient_maker_spark.functions.vectors import cosine
+    from ssb_coefficient_maker_spark.operators.similarity import ivf_index
+    from pyspark.sql import Window
+
+    cents, assigned = ivf_index(spark, sf_dir, n_centroids=Q228_CENTROIDS)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(
+        (F.col("vec_id") % Q228_QUERY_MOD == 0)
+        & (F.col("vec_id") < Q228_QUERY_CAP)
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "bucket int, cent array<double>",
+    )
+    wprobe = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("bucket"))
+    probes = (
+        qs.crossJoin(F.broadcast(cent_df))
+        .withColumn("score", cosine(F.col("cent"), F.col("qv")))
+        .withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "qv", "bucket")
+    )
+    wrank = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+
+    def topk(scored: DataFrame) -> DataFrame:
+        return (
+            scored.filter(F.col("vec_id") != F.col("qid"))
+            .withColumn("rank", F.row_number().over(wrank))
+            .filter(F.col("rank") <= Q228_TOP_K)
+            .select("qid", "vec_id")
+        )
+
+    exact = topk(
+        emb.crossJoin(F.broadcast(qs)).select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("cos_sim"),
+        )
+    )
+    ivf = topk(
+        assigned.join(F.broadcast(probes), "bucket").select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("cos_sim"),
+        )
+    )
+    hits = (
+        exact.join(ivf, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        exact.groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.lit(float(Q228_TOP_K)), 4
+            ).alias("recall"),
+        )
+        .orderBy("qid")
+    )
+
+
+_Q228_COS = (
+    "list_sum(list_transform(list_zip(e.embedding, q.qv), "
+    "p -> CAST(p[1] AS DOUBLE) * p[2])) "
+    "/ (sqrt(list_sum(list_transform(e.embedding, "
+    "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) "
+    "* sqrt(list_sum(list_transform(q.qv, x -> x * x))))"
+)
+
+# formatted with the shared Lloyd CTE chain below (defined next to
+# the other IVF oracles): _Q228_ORACLE = _Q228_ORACLE_TMPL.format(...)
+_Q228_ORACLE_TMPL = f"""
+WITH {{lloyd}},
+qs AS (
+  SELECT vec_id AS qid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings
+  WHERE vec_id % {Q228_QUERY_MOD} = 0 AND vec_id < {Q228_QUERY_CAP}
+), probes AS (
+  SELECT qid, qv, bucket FROM (
+    SELECT q.qid, q.qv, c.bucket, row_number() OVER (PARTITION BY q.qid
+      ORDER BY list_sum(list_transform(list_zip(c.cent, q.qv), p -> p[1] * p[2]))
+        / (sqrt(list_sum(list_transform(c.cent, x -> x * x)))
+         * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) DESC,
+      c.bucket) AS rn
+    FROM c3 c CROSS JOIN qs q) WHERE rn <= {Q228_NPROBE}
+), exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+      ORDER BY round({_Q228_COS}, 4) DESC, e.vec_id) AS rank
+    FROM embeddings e CROSS JOIN qs q WHERE e.vec_id != q.qid
+  ) WHERE rank <= {Q228_TOP_K}
+), ivf AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id, row_number() OVER (PARTITION BY q.qid
+      ORDER BY round({_Q228_COS}, 4) DESC, e.vec_id) AS rank
+    FROM afinal e JOIN probes q ON e.bucket = q.bucket
+    WHERE e.vec_id != q.qid
+  ) WHERE rank <= {Q228_TOP_K}
+), hits AS (
+  SELECT x.qid, CAST(count(*) AS BIGINT) AS n_hits
+  FROM exact x JOIN ivf i ON x.qid = i.qid AND x.vec_id = i.vec_id
+  GROUP BY 1
+)
+SELECT e.qid, CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(coalesce(any_value(h.n_hits), 0) AS BIGINT) AS n_hits,
+       round(coalesce(any_value(h.n_hits), 0) / {float(Q228_TOP_K)}, 4)
+         AS recall
+FROM exact e LEFT JOIN hits h ON e.qid = h.qid
+GROUP BY e.qid ORDER BY e.qid
+"""
+
+
 def _bpe_round_oracle_sql(r: int) -> str:
     """One BPE training round as DuckDB CTEs — mirrors
     ``operators/text.py:_bpe_merge_round`` stage for stage (pair
@@ -3695,6 +3849,42 @@ ORDER BY round
 
 
 _Q226_ORACLE = _bpe_oracle_sql(text.BPE_ROUNDS)
+
+
+def _q229_oracle_sql(rounds: int) -> str:
+    """Re-train the q226 merge chain, then re-APPLY it: per-(lang,
+    word) counts joined to the final vocab's token counts."""
+    return (
+        """
+WITH wl AS (
+  SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents
+), v0 AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+         trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS seq
+  FROM wl GROUP BY 1
+),"""
+        + ",".join(_bpe_round_oracle_sql(r) for r in range(1, rounds + 1))
+        + f""",
+lw AS (
+  SELECT lang, word, CAST(count(*) AS BIGINT) AS n FROM wl GROUP BY 1, 2
+), tok AS (
+  SELECT word, array_length(string_split(seq, ' ')) AS n_toks,
+         length(word) AS n_chars_w
+  FROM v{rounds}
+)
+SELECT lang, CAST(sum(n) AS BIGINT) AS n_words,
+       CAST(sum(n * n_toks) AS BIGINT) AS n_tokens,
+       CAST(sum(n * n_chars_w) AS BIGINT) AS n_chars,
+       round(CAST(sum(n * n_toks) AS DOUBLE) / sum(n), 4) AS fertility,
+       round(CAST(sum(n * n_chars_w) AS DOUBLE) / sum(n * n_toks), 4)
+         AS compression
+FROM lw JOIN tok USING (word) GROUP BY lang ORDER BY lang
+"""
+    )
+
+
+_Q229_ORACLE = _q229_oracle_sql(text.BPE_ROUNDS)
 
 
 def q121_zorder_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -8047,6 +8237,13 @@ WHERE a.vec_id != 0
 ORDER BY cos_sim DESC, a.vec_id LIMIT 10
 """
 
+# q228: same trained quantizer as q35 (k=20, iters=3), 20-query
+# panel, exact-vs-probed top-k membership (template defined with the
+# q228 constants above).
+_Q228_ORACLE = _Q228_ORACLE_TMPL.format(
+    lloyd=_lloyd_cte(k=Q228_CENTROIDS, iters=3)
+)
+
 # q221: the ANN ingest cycle — train the same Lloyd chain on the
 # CORPUS slice only (vec_id % 5 != 4), assign the new batch with the
 # FROZEN final centroids (one more assign CTE — no retraining), union
@@ -10977,6 +11174,12 @@ REGISTRY: dict[str, QuerySpec] = {
     "q227_streaming_upsert_mor": QuerySpec(
         q227_streaming_upsert_mor, _Q227_ORACLE, "streaming"
     ),
+    "q228_ann_recall_audit": QuerySpec(
+        q228_ann_recall_audit, _Q228_ORACLE, "similarity"
+    ),
+    "q229_tokenizer_fertility": QuerySpec(
+        text.q229_tokenizer_fertility, _Q229_ORACLE, "text"
+    ),
     "q150_media_dedup": QuerySpec(q150_media_dedup, _Q150_ORACLE, "multimodal"),
     "q151_top_decile_curation": QuerySpec(
         q151_top_decile_curation, _Q151_ORACLE, "text"
@@ -11447,6 +11650,8 @@ _DRIVER_PRIORITY = (
     "q225_bottomk_sample_audit",
     "q226_bpe_merge_rounds",
     "q227_streaming_upsert_mor",
+    "q228_ann_recall_audit",
+    "q229_tokenizer_fertility",
     "q24_formula_coeffmap",
     "q58_fused_coeffmap",
     "q73_adp_precision",

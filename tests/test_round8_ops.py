@@ -1243,3 +1243,111 @@ class TestStreamingUpsertMor:
         b = q227_streaming_upsert_mor(spark, sf_dir).toPandas()
         assert a.equals(b)
         assert len(a) > 0
+
+
+# ----------------------------------- ANN recall@k audit (q228)
+
+
+class TestAnnRecallAudit:
+    def test_recall_is_live_and_bounded(self, spark, sf_dir):
+        """Structural bounds plus liveness: hits can never exceed the
+        exact top-k, and at default nprobe the panel must show a real
+        speed/recall trade (not a tautological all-1.0 audit)."""
+        from ssb_coefficient_maker_spark.queries import (
+            Q228_TOP_K,
+            q228_ann_recall_audit,
+        )
+
+        out = q228_ann_recall_audit(spark, sf_dir).toPandas()
+        assert len(out) > 0
+        assert (out.n_hits <= out.n_exact).all()
+        assert (out.n_exact <= Q228_TOP_K).all()
+        assert out.recall.between(0.0, 1.0).all()
+        assert (out.recall < 1.0).any(), "audit should measure a real trade"
+        assert (out.recall > 0.0).any()
+
+    def test_full_probe_recovers_exact_topk(self, spark, sf_dir):
+        """Probing ALL cells degenerates IVF to brute force: recall
+        must be exactly 1.0 for every panel query — the correctness
+        anchor that separates 'recall loss from nprobe' (expected)
+        from 'recall loss from a broken index' (a bug)."""
+        from ssb_coefficient_maker_spark.queries import (
+            Q228_CENTROIDS,
+            q228_ann_recall_audit,
+        )
+
+        out = q228_ann_recall_audit(
+            spark, sf_dir, nprobe=Q228_CENTROIDS
+        ).toPandas()
+        assert (out.recall == 1.0).all()
+        assert (out.n_hits == out.n_exact).all()
+
+
+# ------------------------------ tokenizer fertility audit (q229)
+
+
+class TestTokenizerFertility:
+    def test_matches_python_reference_apply(self, spark, sf_dir):
+        """Re-train 3 merges in pure python, re-apply to per-lang word
+        counts, and match every reported number."""
+        from ssb_coefficient_maker_spark.operators.text import (
+            BPE_ROUNDS,
+            q229_tokenizer_fertility,
+        )
+
+        got = q229_tokenizer_fertility(spark, sf_dir).toPandas()
+        rows = (
+            load_table(spark, sf_dir, "documents")
+            .select("lang", "text")
+            .collect()
+        )
+        counts: dict = {}
+        lang_words: dict = {}
+        for r in rows:
+            for w in r.text.strip().split():
+                counts[w] = counts.get(w, 0) + 1
+                lang_words.setdefault(r.lang, {})
+                lang_words[r.lang][w] = lang_words[r.lang].get(w, 0) + 1
+        # replay training to get the final vocab
+        vocab = {w: list(w) for w in counts}
+        for _ in range(BPE_ROUNDS):
+            pc: dict = {}
+            for w, toks in vocab.items():
+                for i in range(len(toks) - 1):
+                    p = (toks[i], toks[i + 1])
+                    pc[p] = pc.get(p, 0) + counts[w]
+            mx = max(pc.values())
+            a, b = min(p for p, c in pc.items() if c == mx)
+            for w, toks in vocab.items():
+                merged, i = [], 0
+                while i < len(toks):
+                    if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                        merged.append(a + b)
+                        i += 2
+                    else:
+                        merged.append(toks[i])
+                        i += 1
+                vocab[w] = merged
+        for row in got.itertuples():
+            lw = lang_words[row.lang]
+            n_words = sum(lw.values())
+            n_tokens = sum(n * len(vocab[w]) for w, n in lw.items())
+            n_chars = sum(n * len(w) for w, n in lw.items())
+            assert row.n_words == n_words
+            assert row.n_tokens == n_tokens
+            assert row.n_chars == n_chars
+            assert abs(row.fertility - round(n_tokens / n_words, 4)) <= 1e-9
+            assert (
+                abs(row.compression - round(n_chars / n_tokens, 4)) <= 1e-9
+            )
+
+    def test_structural_bounds(self, spark, sf_dir):
+        from ssb_coefficient_maker_spark.operators.text import (
+            q229_tokenizer_fertility,
+        )
+
+        out = q229_tokenizer_fertility(spark, sf_dir).toPandas()
+        assert (out.fertility >= 1.0).all()  # a word is >= 1 token
+        assert (out.compression >= 1.0).all()  # a token is >= 1 char
+        assert (out.n_tokens <= out.n_chars).all()
+        assert (out.n_words <= out.n_tokens).all()

@@ -60,6 +60,11 @@ WHITELIST: dict[str, tuple[str, str]] = {
         "bnlj",
         "64-row bottom-k sample x 1-row estimator-stats broadcasts",
     ),
+    "q228_ann_recall_audit": (
+        "bnlj",
+        "20-row query-panel and centroid-literal broadcasts (the "
+        "exact brute-force twin is one corpus scan x 20 queries)",
+    ),
     "q226_bpe_merge_rounds": (
         "bnlj",
         "1-row best-pair + 1-row corpus-total broadcasts, once per "
