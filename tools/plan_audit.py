@@ -65,11 +65,6 @@ WHITELIST: dict[str, tuple[str, str]] = {
         "20-row query-panel and centroid-literal broadcasts (the "
         "exact brute-force twin is one corpus scan x 20 queries)",
     ),
-    "q226_bpe_merge_rounds": (
-        "bnlj",
-        "1-row best-pair + 1-row corpus-total broadcasts, once per "
-        "BPE round (vocab-sized operands otherwise)",
-    ),
     "q219_theta_set_algebra_audit": (
         "bnlj",
         "1-row×1-row sketch and exact-twin broadcasts",
