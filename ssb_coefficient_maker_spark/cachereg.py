@@ -84,6 +84,40 @@ class PinnedCache:
         self._entries[param_key] = (value, pinned_list)
         return value
 
+    def rekey(
+        self,
+        new_corpus_key: Hashable,
+        keep: dict[Hashable, Hashable],
+    ) -> None:
+        """Succeed the current corpus with ``new_corpus_key`` — the
+        LINEAGE transition an in-place append makes (the new corpus is
+        the old one grown by a batch, not an unrelated corpus).
+        Entries named in ``keep`` (new_param_key -> old_param_key) are
+        carried across WITHOUT unpersisting their frames; everything
+        else is unpersisted exactly as in ``release``. Because a later
+        rekey only carries what ITS caller names, a lineage chain
+        never accumulates more generations than the callers explicitly
+        keep (the LSH append keeps one parent: bound = 2 generations).
+        """
+        if self._corpus == new_corpus_key:
+            return
+        carried = {
+            new_p: self._entries.pop(old_p)
+            for new_p, old_p in keep.items()
+            if old_p in self._entries
+        }
+        self.release()
+        self._corpus = new_corpus_key
+        self._entries.update(carried)
+
+    def lookup_lineage(self, param_key: Hashable) -> Any | None:
+        """Entry under the CURRENT corpus by param key alone — how a
+        lineage parent (stored by ``rekey`` under e.g.
+        ``('parent', old_corpus_key)``) is found after the corpus
+        identity has moved on to the grown key."""
+        entry = self._entries.get(param_key)
+        return entry[0] if entry is not None else None
+
     def release(self) -> None:
         """Unpersist and forget everything (safe to call any time)."""
         for _value, frames in self._entries.values():

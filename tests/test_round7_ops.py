@@ -24,6 +24,7 @@ def _release_index():
     from ssb_coefficient_maker_spark.cachereg import get_cache
 
     get_cache("lsh_corpus_index").release()
+    get_cache("lsh_cycle_index").release()
 
 
 # --------------------------------------------------------------------- q215

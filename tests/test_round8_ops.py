@@ -1351,3 +1351,88 @@ class TestTokenizerFertility:
         assert (out.compression >= 1.0).all()  # a token is >= 1 char
         assert (out.n_tokens <= out.n_chars).all()
         assert (out.n_words <= out.n_tokens).all()
+
+
+# ------------------------------------- LSH index lineage (round 8)
+
+
+class TestLshLineage:
+    """The idempotent/lineage-preserving append (append_to_lsh_index +
+    PinnedCache.rekey): a warm daily cycle must be probe-only, the
+    parent generation must survive the handoff, and the chain must be
+    bounded at two generations."""
+
+    CACHE = "t8_lsh_lineage"
+
+    def _release(self):
+        from ssb_coefficient_maker_spark.cachereg import get_cache
+
+        get_cache(self.CACHE).release()
+
+    def test_warm_cycle_hits_parent_and_union(self, spark, sf_dir):
+        from ssb_coefficient_maker_spark.operators.dedup import (
+            append_to_lsh_index,
+            build_lsh_index,
+        )
+
+        self._release()
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+        corpus = docs.filter(F.col("doc_id") % 5 <= 2)
+        batch = docs.filter(F.col("doc_id") % 5 == 3)
+
+        idx0 = build_lsh_index(corpus, family="md5", cache_name=self.CACHE)
+        grown = append_to_lsh_index(corpus, batch, family="md5", cache_name=self.CACHE)
+
+        # re-append: idempotent cache hit, nothing rebuilt
+        grown2 = append_to_lsh_index(corpus, batch, family="md5", cache_name=self.CACHE)
+        assert grown2[0] is grown[0] and grown2[1] is grown[1]
+
+        # re-build of the PRE-append corpus: lineage-parent hit — the
+        # handoff did not evict day-0's index
+        idx0_again = build_lsh_index(corpus, family="md5", cache_name=self.CACHE)
+        assert idx0_again[0] is idx0[0] and idx0_again[1] is idx0[1]
+        self._release()
+
+    def test_lineage_bounded_at_two_generations(self, spark, sf_dir):
+        from ssb_coefficient_maker_spark.cachereg import get_cache
+        from ssb_coefficient_maker_spark.operators.dedup import (
+            append_to_lsh_index,
+            build_lsh_index,
+        )
+
+        self._release()
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+        corpus = docs.filter(F.col("doc_id") % 5 <= 2)
+        batch1 = docs.filter(F.col("doc_id") % 5 == 3)
+        batch2 = docs.filter(F.col("doc_id") % 5 == 4)
+
+        gen0 = build_lsh_index(corpus, family="md5", cache_name=self.CACHE)
+        gen1 = append_to_lsh_index(corpus, batch1, family="md5", cache_name=self.CACHE)
+        gen2 = append_to_lsh_index(
+            corpus.unionByName(batch1), batch2, family="md5", cache_name=self.CACHE
+        )
+
+        cache = get_cache(self.CACHE)
+        frames = cache.pinned_frames()
+        # exactly gen2 (primary) + gen1 (parent): 2 frames each
+        assert len(frames) == 4, len(frames)
+        ids = {id(df) for df in frames}
+        assert {id(gen2[0]), id(gen2[1]), id(gen1[0]), id(gen1[1])} == ids
+        # the grandparent was released (its frames no longer cached)
+        assert not gen0[0].is_cached and not gen0[1].is_cached
+        # parent still served, grandparent rebuilds fresh
+        assert build_lsh_index(
+            corpus.unionByName(batch1), family="md5", cache_name=self.CACHE
+        )[0] is gen1[0]
+        self._release()
+
+    def test_rekey_same_corpus_is_noop(self, spark):
+        from ssb_coefficient_maker_spark.cachereg import PinnedCache
+
+        c = PinnedCache("t8_noop")
+        df = spark.range(3).persist()
+        c.store("k1", (), "v", pinned=[df])
+        c.rekey("k1", keep={})
+        assert c.lookup("k1", ()) == "v"
+        assert df.is_cached
+        c.release()
