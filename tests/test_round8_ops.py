@@ -1436,3 +1436,31 @@ class TestLshLineage:
         assert c.lookup("k1", ()) == "v"
         assert df.is_cached
         c.release()
+
+    def test_ivf_append_idempotent_and_parent_carried(self, spark, sf_dir):
+        from ssb_coefficient_maker_spark.cachereg import get_cache
+        from ssb_coefficient_maker_spark.operators.similarity import (
+            ivf_append,
+            ivf_index_from,
+        )
+
+        get_cache("ivf_ingest_index").release()
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = emb.filter(F.col("vec_id") % 5 != 4)
+        batch = emb.filter(F.col("vec_id") % 5 == 4)
+
+        idx = ivf_index_from(corpus, ("t8", "corpus"), n_centroids=4, iters=1)
+        grown = ivf_append(
+            idx, batch, ("t8", "grown"), n_centroids=4, iters=1,
+            parent_key=("t8", "corpus"),
+        )
+        # idempotent re-append: cache hit, same objects
+        grown2 = ivf_append(
+            idx, batch, ("t8", "grown"), n_centroids=4, iters=1,
+            parent_key=("t8", "corpus"),
+        )
+        assert grown2[1] is grown[1]
+        # pre-append corpus index survived the handoff (no retrain)
+        idx2 = ivf_index_from(corpus, ("t8", "corpus"), n_centroids=4, iters=1)
+        assert idx2[1] is idx[1] and idx2[0] == idx[0]
+        get_cache("ivf_ingest_index").release()
