@@ -954,3 +954,76 @@ def cdc_bounds_gear_udf() -> Column:
         return s.map(bounds_of)
 
     return F.pandas_udf(batch, "array<long>")
+
+
+# ------------------------------------------- segment-level dedup (q231)
+
+# Segment width in WORDS, shared with the DuckDB oracle: small enough
+# that the synthetic corpus's small vocabulary produces real cross-doc
+# segment collisions (~6% at width 5, measured), the regime line-level
+# dedup (RefinedWeb/FineWeb "remove repeated lines/paragraphs") targets.
+Q231_SEG_WIDTH = 5
+
+
+def q231_segment_dedup(
+    spark: SparkSession, sf_dir: str, width: int = Q231_SEG_WIDTH
+) -> DataFrame:
+    """Corpus-wide SEGMENT-level exact dedup with document
+    reconstruction — the line/paragraph dedup step of a web-scale
+    curation pipeline (RefinedWeb §3/FineWeb dedup both remove
+    repeated spans corpus-wide, not whole documents): split every
+    document into fixed ``width``-word segments, keep only the FIRST
+    occurrence of each distinct segment corpus-wide (ordered by
+    (doc_id, seg_idx) — deterministic), and rebuild each document
+    from its surviving segments in order. Returns per-document
+    (doc_id, n_segs, n_kept, dedup_fp) where dedup_fp is the md5 of
+    the reconstructed text ('' when every segment was seen earlier) —
+    the value proof that reconstruction, not just counting, is right.
+
+    Plan shape: segmentation is MAP-ONLY (one JVM transform builds
+    the per-doc segment array — the words array is never duplicated
+    per segment — then posexplode); first-occurrence is ONE window
+    shuffle keyed on the segment; reconstruction is one groupBy
+    doc_id. Two key-bounded shuffles total, no text column in either
+    beyond the ~width-word segment itself. At 100 TB the window key
+    becomes xxhash64(seg) so only digests shuffle (same portable-vs-
+    production split as q30/q31); the oracle keys on the segment
+    string, which both engines hold identically.
+
+    Distinct from q30 (whole-doc dedup), q90 (within-doc repetition
+    DETECTION, no rewrite) and q154 (dup-gram coverage measurement):
+    this is the tier that REWRITES the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    segs = (
+        docs.select("doc_id", F.split("text", " ").alias("ws"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(0, (size(ws) + {width - 1}) div {width} - 1), "
+                f"i -> concat_ws(' ', slice(ws, i * {width} + 1, {width})))"
+            ).alias("segs"),
+        )
+        .select("doc_id", F.posexplode("segs").alias("seg_idx", "seg"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    ranked = segs.withColumn("rn", F.row_number().over(w))
+    kept = F.when(F.col("rn") == 1, F.struct("seg_idx", "seg"))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segs"),
+            F.count(kept).alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(F.collect_list(kept)), lambda s: s["seg"]
+                    ),
+                )
+            ).alias("dedup_fp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1071,6 +1071,100 @@ def q57_lsh_neardup(spark: SparkSession, sf_dir: str, threshold: float = 0.9) ->
     ).orderBy("vec_a", "vec_b")
 
 
+# ------------------------------------------------------ semantic dedup (q230)
+
+# Planted-copy offset shared with the DuckDB oracle (queries.py): each
+# base vector (vec_id < 2000 slice, q57's derived corpus) gets a
+# perturbed copy at vec_id + 1e6 (dim0 + 0.3 → cos ≈ 0.95..0.97).
+Q230_PLANT_OFFSET = 1000000
+
+
+def q230_semantic_dedup(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup (partition-then-prune; Abbas et
+    al. 2023, "SemDeDup", arXiv:2303.09540 — public): train a coarse
+    k-means quantizer, assign every vector to its cluster, and prune
+    WITHIN clusters only — drop vector b when a lower-id vector a in
+    the SAME cluster has cos(a, b) ≥ threshold. Returns the
+    per-cluster reduction report (bucket, n_vectors, n_dropped,
+    n_kept).
+
+    Where this sits among the near-dup tiers (module docstring): the
+    clustering BOUNDS the candidate set without any hashing — within
+    a cluster the rule is exhaustive and exact; the deliberate recall
+    trade is cross-cluster pairs (a near-dup split across two cells is
+    missed — the SemDeDup operating point, chosen because at high
+    thresholds near-dups co-assign with overwhelming probability).
+    Contrast q57 (banded LSH: global, probabilistic per-pair recall)
+    and q115 (exact celled: no recall loss, pays cell-pair products).
+
+    100 TB: candidate volume is Σ size(cluster)² — k is the knob and
+    grows with n (n²/k per-cluster work stays linear at k ∝ n); the
+    intra-cluster join shuffles on the bucket key only. The derived
+    corpus + trained assignment is a pinned build-once index
+    (PinnedCache 'semantic_dedup_index', same lifecycle as q57's key
+    table); warm calls run ONLY the in-cluster dominance join.
+
+    VALUE-oracled end to end: the Lloyd chain is bit-replicated by
+    the generated CTE (queries._lloyd_cte over the derived corpus),
+    the dominance join by the same ordered-fold cosine rounded to 4
+    before the threshold compare on both engines."""
+    from ssb_coefficient_maker_spark.cachereg import corpus_key_for, get_cache
+
+    cache = get_cache("semantic_dedup_index")
+    params = (2000, k, 3)
+    corpus_id = corpus_key_for(sf_dir)
+    hit = cache.lookup(corpus_id, params)
+    if hit is None:
+        emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 2000)
+        base = emb.select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
+        planted = base.select(
+            (F.col("vec_id") + Q230_PLANT_OFFSET).alias("vec_id"),
+            "label",
+            F.concat(
+                F.array(F.element_at("embedding", 1) + F.lit(0.3)),
+                F.expr("slice(embedding, 2, size(embedding) - 1)"),
+            ).alias("embedding"),
+        )
+        corpus = base.unionAll(planted)
+        cents = kmeans_centroids(corpus, k=k, iters=3)
+        assigned = assign_buckets(corpus, cents).persist()
+        assigned.count()
+        hit = cache.store(corpus_id, params, assigned, pinned=[assigned])
+    assigned = hit
+    a = assigned.select(
+        "bucket", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
+    )
+    b = assigned.select(
+        "bucket", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
+    )
+    dropped = (
+        a.join(b, "bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(F.round(cosine(F.col("ea"), F.col("eb")), 4) >= threshold)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("hit", F.lit(1)), "vec_id", "left")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count("hit").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("hit")).alias("n_kept"),
+        )
+        .orderBy("bucket")
+    )
+
+
 # ------------------------------------------------------- product quantization
 
 

@@ -8144,7 +8144,7 @@ def _ivf_assign_sql(name: str, src: str, cent_cte: str) -> str:
     )
 
 
-def _lloyd_cte(k: int, iters: int, dim: int = 64, where: str = "") -> str:
+def _lloyd_cte(k: int, iters: int, dim: int = 64, where: str = "", e_sql: str = "") -> str:
     """Generated CTE chain replicating the engine's trained k-means
     (`operators/similarity.py: kmeans_centroids` + `assign_buckets`)
     bit-for-bit, so the iterative IVF queries (q35/q56) get VALUE
@@ -8168,7 +8168,10 @@ def _lloyd_cte(k: int, iters: int, dim: int = 64, where: str = "") -> str:
 
     ``dim`` is the testdata embedding width (TESTDATA.md: 64).
     ``where`` optionally restricts the training corpus (q221 trains
-    on the non-batch slice). Produces CTEs ``e`` (vectors),
+    on the non-batch slice); ``e_sql`` replaces the corpus subquery
+    entirely (q230 trains on a DERIVED corpus — base ∪ planted
+    copies — that no WHERE over the raw table can express; it must
+    yield vec_id, label, embedding). Produces CTEs ``e`` (vectors),
     ``c{0..iters}`` (centroids per iteration) and ``afinal``
     (assignment under the trained centroids, with label carried
     through).
@@ -8181,7 +8184,9 @@ def _lloyd_cte(k: int, iters: int, dim: int = 64, where: str = "") -> str:
         return _ivf_assign_sql(name, "e", cent_cte)
 
     parts = [
-        f"e AS (SELECT vec_id, label, embedding FROM embeddings"
+        f"e AS ({e_sql})"
+        if e_sql
+        else f"e AS (SELECT vec_id, label, embedding FROM embeddings"
         f"{' ' + where if where else ''})",
         f"c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS bucket, "
         f"list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent "
@@ -8277,6 +8282,42 @@ SELECT a.vec_id, a.label,
 FROM allv a JOIN probes p USING (bucket) CROSS JOIN qv
 WHERE a.vec_id != 0
 ORDER BY cos_sim DESC, a.vec_id LIMIT 10
+"""
+
+# q230: SemDeDup — the same Lloyd chain trained on the DERIVED corpus
+# (base vec_id < 2000 ∪ planted copies at +1e6 with dim0 + 0.3, q57's
+# planting), then the in-cluster dominance rule: b is dropped when a
+# lower-id a in the SAME bucket has round(cos, 4) >= 0.9 (the identical
+# ordered-fold cosine + round-before-compare as the engine).
+_Q230_E_SQL = """SELECT vec_id, label,
+       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS embedding
+FROM embeddings WHERE vec_id < 2000
+UNION ALL
+SELECT vec_id + 1000000 AS vec_id, label,
+       list_concat([CAST(embedding[1] AS DOUBLE) + 0.3],
+                   list_transform(embedding[2:], x -> CAST(x AS DOUBLE)))
+           AS embedding
+FROM embeddings WHERE vec_id < 2000"""
+
+_Q230_ORACLE = f"""
+WITH {_lloyd_cte(k=10, iters=3, e_sql=_Q230_E_SQL)},
+nrm AS (
+  SELECT vec_id, bucket, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> x * x))) AS nrm
+  FROM afinal
+),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM nrm a JOIN nrm b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+              p -> p[1] * p[2])) / (a.nrm * b.nrm), 4) >= 0.9
+)
+SELECT CAST(a.bucket AS INTEGER) AS bucket,
+       count(*) AS n_vectors,
+       count(d.vec_id) AS n_dropped,
+       count(*) - count(d.vec_id) AS n_kept
+FROM afinal a LEFT JOIN dropped d USING (vec_id)
+GROUP BY 1 ORDER BY 1
 """
 
 
@@ -10907,6 +10948,37 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         "dedup",
     ),
+    "q231_segment_dedup": QuerySpec(
+        dedup.q231_segment_dedup,
+        # same fixed-width word segmentation (width 5), corpus-wide
+        # first-occurrence rule (row_number over the segment string,
+        # ordered by doc_id, seg_idx) and in-order reconstruction; the
+        # md5 fingerprint of the rebuilt text proves both engines kept
+        # the SAME segments in the SAME order ('' when nothing kept)
+        """
+        WITH words AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        segs AS (
+          SELECT doc_id, i AS seg_idx,
+                 array_to_string(ws[(i*5+1):(i*5+5)], ' ') AS seg
+          FROM words, unnest(range(0, (len(ws) + 4) // 5)) t(i)
+        ),
+        ranked AS (
+          SELECT doc_id, seg_idx, seg,
+                 row_number() OVER (PARTITION BY seg
+                                    ORDER BY doc_id, seg_idx) AS rn
+          FROM segs
+        )
+        SELECT doc_id,
+               count(*) AS n_segs,
+               count(*) FILTER (WHERE rn = 1) AS n_kept,
+               md5(coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                            FILTER (WHERE rn = 1), '')) AS dedup_fp
+        FROM ranked GROUP BY 1 ORDER BY 1
+        """,
+        "dedup",
+    ),
     "q31_minhash_neardup": QuerySpec(
         dedup.q31_minhash_neardup,
         # full MinHash-LSH replica on the portable md5 hash family:
@@ -11227,6 +11299,9 @@ REGISTRY: dict[str, QuerySpec] = {
     "q35_ivf_topk": QuerySpec(similarity.q35_ivf_topk, _Q35_ORACLE, "similarity"),
     "q221_ivf_ingest_probe": QuerySpec(
         similarity.q221_ivf_ingest_probe, _Q221_ORACLE, "similarity"
+    ),
+    "q230_semantic_dedup": QuerySpec(
+        similarity.q230_semantic_dedup, _Q230_ORACLE, "dedup"
     ),
     "q56_kmeans_ivf": QuerySpec(similarity.q56_kmeans_ivf, _Q56_ORACLE, "similarity"),
     "q81_pq_topk": QuerySpec(similarity.q81_pq_topk, _Q81_ORACLE, "similarity"),
@@ -11645,6 +11720,8 @@ REGISTRY: dict[str, QuerySpec] = {
 # round's 50-slot sample; the remainder lead the next rotation.
 _DRIVER_PRIORITY = (
     # -- new this round: never driver-sampled --
+    "q230_semantic_dedup",
+    "q231_segment_dedup",
     "q223_anonymity_risk_audit",
     "q224_dp_noised_release",
     "q225_bottomk_sample_audit",
@@ -11663,6 +11740,10 @@ _DRIVER_PRIORITY = (
     "q220_neumann_flow_reach",
     "q221_ivf_ingest_probe",
     "q222_bloom_membership_audit",
+    # -- round-8 session-2 edits: lineage cache (cachereg/dedup/similarity) --
+    "q215_incremental_neardup_probe",
+    "q31_minhash_neardup",
+    "q57_lsh_neardup",
     "q35_ivf_topk",
     "q56_kmeans_ivf",
     "q50_embedding_neardup",

@@ -1464,3 +1464,125 @@ class TestLshLineage:
         idx2 = ivf_index_from(corpus, ("t8", "corpus"), n_centroids=4, iters=1)
         assert idx2[1] is idx[1] and idx2[0] == idx[0]
         get_cache("ivf_ingest_index").release()
+
+
+# --------------------------------- q230 semantic dedup / q231 segment dedup
+
+
+class TestSemanticDedup:
+    def test_report_shape_and_drop_rule(self, spark, sf_dir):
+        """Every drop must be a PLANTED copy (natural max pairwise cos
+        on this corpus is ~0.51, measured — far under 0.9), totals must
+        be consistent, and the planted copies that co-cluster with
+        their source must actually be dropped."""
+        from ssb_coefficient_maker_spark.cachereg import get_cache
+        from ssb_coefficient_maker_spark.functions.vectors import cosine
+        from ssb_coefficient_maker_spark.operators.similarity import (
+            Q230_PLANT_OFFSET,
+            q230_semantic_dedup,
+        )
+
+        get_cache("semantic_dedup_index").release()
+        rep = q230_semantic_dedup(spark, sf_dir).toPandas()
+        assert list(rep.columns) == ["bucket", "n_vectors", "n_dropped", "n_kept"]
+        assert (rep.n_vectors == rep.n_dropped + rep.n_kept).all()
+        n_base = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") < 2000)
+            .count()
+        )
+        assert rep.n_vectors.sum() == 2 * n_base
+        assert rep.n_dropped.sum() > 0
+
+        # reconstruct the dropped set from the pinned assignment and
+        # check every dropped id is a planted copy
+        assigned = get_cache("semantic_dedup_index").pinned_frames()[0]
+        a = assigned.select(
+            "bucket", F.col("vec_id").alias("va"), F.col("embedding").alias("ea")
+        )
+        b = assigned.select(
+            "bucket", F.col("vec_id").alias("vb"), F.col("embedding").alias("eb")
+        )
+        dropped = (
+            a.join(b, "bucket")
+            .filter(F.col("va") < F.col("vb"))
+            .filter(F.round(cosine(F.col("ea"), F.col("eb")), 4) >= 0.9)
+            .select("vb")
+            .distinct()
+            .toPandas()
+        )
+        assert len(dropped) == rep.n_dropped.sum()
+        assert (dropped.vb >= Q230_PLANT_OFFSET).all()
+
+        # warm call reuses the pinned index (same frame object)
+        q230_semantic_dedup(spark, sf_dir)
+        assert get_cache("semantic_dedup_index").pinned_frames()[0] is assigned
+        get_cache("semantic_dedup_index").release()
+
+
+class TestSegmentDedup:
+    def test_matches_pandas_reference(self, spark, sf_dir):
+        """Differential: the whole pipeline (segment, first-occurrence
+        corpus-wide, reconstruct, fingerprint) against a direct pandas
+        reimplementation."""
+        import hashlib
+
+        from ssb_coefficient_maker_spark.operators.dedup import (
+            Q231_SEG_WIDTH,
+            q231_segment_dedup,
+        )
+
+        got = q231_segment_dedup(spark, sf_dir).toPandas()
+        docs = (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .toPandas()
+            .sort_values("doc_id")
+        )
+        w = Q231_SEG_WIDTH
+        seen: set[str] = set()
+        want = []
+        for _, r in docs.iterrows():
+            ws = r.text.split(" ")
+            segs = [
+                " ".join(ws[i * w : (i + 1) * w])
+                for i in range((len(ws) + w - 1) // w)
+            ]
+            kept = []
+            for s in segs:
+                if s not in seen:
+                    seen.add(s)
+                    kept.append(s)
+            want.append(
+                (
+                    r.doc_id,
+                    len(segs),
+                    len(kept),
+                    hashlib.md5(" ".join(kept).encode()).hexdigest(),
+                )
+            )
+        import pandas as pd
+
+        want_df = pd.DataFrame(
+            want, columns=["doc_id", "n_segs", "n_kept", "dedup_fp"]
+        )
+        got = got.sort_values("doc_id").reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got.astype({"n_segs": "int64", "n_kept": "int64"}),
+            want_df.astype({"n_segs": "int64", "n_kept": "int64"}),
+        )
+
+    def test_untouched_doc_fingerprint_is_md5_of_text(self, spark, sf_dir):
+        """A document that keeps every segment reconstructs to its
+        exact original text (single-space corpus), so dedup_fp ==
+        md5(text) — the reconstruction correctness proof."""
+        from ssb_coefficient_maker_spark.operators.dedup import q231_segment_dedup
+
+        got = q231_segment_dedup(spark, sf_dir)
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", F.md5("text").alias("orig_fp")
+        )
+        joined = got.join(docs, "doc_id").toPandas()
+        untouched = joined[joined.n_kept == joined.n_segs]
+        assert len(untouched) > 0
+        assert (untouched.dedup_fp == untouched.orig_fp).all()
