@@ -10979,6 +10979,44 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         "dedup",
     ),
+    "q232_segment_dedup_ingest": QuerySpec(
+        dedup.q232_segment_dedup_ingest,
+        # the cumulative rule: a day-2 segment is kept iff not in the
+        # day-0 ∪ day-1 segment set (doc_id % 5 <= 3 — rewrite
+        # invariance: the rewritten corpus has the same segment SET as
+        # the raw union) and first within day-2 by (doc_id, seg_idx)
+        """
+        WITH words AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        ),
+        segs AS (
+          SELECT doc_id, i AS seg_idx,
+                 array_to_string(ws[(i*5+1):(i*5+5)], ' ') AS seg
+          FROM words, unnest(range(0, (len(ws) + 4) // 5)) t(i)
+        ),
+        corpus_segs AS (
+          SELECT DISTINCT seg FROM segs WHERE doc_id % 5 <= 3
+        ),
+        b2 AS (
+          SELECT doc_id, seg_idx, seg,
+                 row_number() OVER (PARTITION BY seg
+                                    ORDER BY doc_id, seg_idx) AS rn
+          FROM segs WHERE doc_id % 5 = 4
+        ),
+        flagged AS (
+          SELECT b2.*, (c.seg IS NOT NULL) AS in_corpus
+          FROM b2 LEFT JOIN corpus_segs c USING (seg)
+        )
+        SELECT doc_id,
+               count(*) AS n_segs,
+               count(*) FILTER (WHERE NOT in_corpus AND rn = 1) AS n_kept,
+               md5(coalesce(string_agg(seg, ' ' ORDER BY seg_idx)
+                            FILTER (WHERE NOT in_corpus AND rn = 1), ''))
+                   AS dedup_fp
+        FROM flagged GROUP BY 1 ORDER BY 1
+        """,
+        "dedup",
+    ),
     "q31_minhash_neardup": QuerySpec(
         dedup.q31_minhash_neardup,
         # full MinHash-LSH replica on the portable md5 hash family:

@@ -1586,3 +1586,92 @@ class TestSegmentDedup:
         untouched = joined[joined.n_kept == joined.n_segs]
         assert len(untouched) > 0
         assert (untouched.dedup_fp == untouched.orig_fp).all()
+
+
+class TestSegmentDedupIngest:
+    def _release(self):
+        from ssb_coefficient_maker_spark.cachereg import get_cache
+
+        get_cache("segment_dedup_index").release()
+
+    def test_rewrite_invariance(self, spark, sf_dir):
+        """The property the append relies on: the segment SET of
+        corpus ∪ REWRITTEN batch equals that of corpus ∪ raw batch —
+        dropped segments were dropped precisely because the set
+        already holds them."""
+        from ssb_coefficient_maker_spark.operators.dedup import (
+            _segment_table,
+            build_segment_index,
+            probe_segment_index,
+        )
+
+        self._release()
+        docs = load_table(spark, sf_dir, "documents")
+        corpus = docs.filter(F.col("doc_id") % 5 <= 2)
+        batch = docs.filter(F.col("doc_id") % 5 == 3)
+        idx = build_segment_index(corpus)
+        report = probe_segment_index(batch, idx).toPandas()
+
+        corpus_segs = set(
+            r.seg for r in _segment_table(corpus).select("seg").distinct().collect()
+        )
+        batch_segs = _segment_table(batch).toPandas()
+        raw_union = corpus_segs | set(batch_segs.seg)
+        # reconstruct the kept segments from the rule and form the
+        # rewritten union set
+        kept_segs = set()
+        seen = set(corpus_segs)
+        for _, r in batch_segs.sort_values(["doc_id", "seg_idx"]).iterrows():
+            if r.seg not in seen:
+                seen.add(r.seg)
+                kept_segs.add(r.seg)
+        assert corpus_segs | kept_segs == raw_union
+        # and the report agrees with the python rule
+        assert report.n_kept.sum() == len(kept_segs)
+        self._release()
+
+    def test_append_never_resegments_corpus(self, spark, sf_dir):
+        """The grown index plan reads the corpus from the pinned index
+        (InMemoryTableScan) and scans parquet ONLY for the batch; the
+        cycle is idempotent and carries the parent generation."""
+        import sys
+        from collections import Counter
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+        import plan_audit
+
+        from ssb_coefficient_maker_spark.cachereg import get_cache
+        from ssb_coefficient_maker_spark.operators.dedup import (
+            _segment_table,
+            append_to_segment_index,
+            build_segment_index,
+        )
+
+        self._release()
+        docs = load_table(spark, sf_dir, "documents")
+        corpus = docs.filter(F.col("doc_id") % 5 <= 2)
+        batch = docs.filter(F.col("doc_id") % 5 == 3)
+        idx0 = build_segment_index(corpus)
+
+        lazy_union = idx0.unionByName(
+            _segment_table(batch).select("seg").distinct().join(idx0, "seg", "left_anti")
+        )
+        nodes = Counter(
+            n.nodeName()
+            for n in plan_audit._walk(lazy_union._jdf.queryExecution().executedPlan())
+        )
+        assert nodes["InMemoryTableScan"] == 2, nodes  # union side + anti-join side
+        assert sum(v for k, v in nodes.items() if k.startswith("Scan parquet")) == 1, nodes
+
+        grown = append_to_segment_index(corpus, batch)
+        grown2 = append_to_segment_index(corpus, batch)
+        assert grown2 is grown
+        idx0_again = build_segment_index(corpus)
+        assert idx0_again is idx0
+        # grown set == distinct segments of the raw union
+        want = (
+            _segment_table(corpus.unionByName(batch)).select("seg").distinct().count()
+        )
+        assert grown.count() == want
+        self._release()
