@@ -11760,6 +11760,7 @@ _DRIVER_PRIORITY = (
     # -- new this round: never driver-sampled --
     "q230_semantic_dedup",
     "q231_segment_dedup",
+    "q232_segment_dedup_ingest",
     "q223_anonymity_risk_audit",
     "q224_dp_noised_release",
     "q225_bottomk_sample_audit",

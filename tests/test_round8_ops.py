@@ -1675,3 +1675,73 @@ class TestSegmentDedupIngest:
         )
         assert grown.count() == want
         self._release()
+
+
+class TestPinnedCacheRekey:
+    """Spark-free contract tests for PinnedCache.rekey: carried frames
+    survive untouched, everything else is freed, and arbitrary
+    build/append chains never hold more than the carried generations."""
+
+    class FakeDF:
+        def __init__(self):
+            self.cached = True
+
+        def unpersist(self, blocking=False):
+            self.cached = False
+
+    def test_carried_entry_survives_others_freed(self):
+        from ssb_coefficient_maker_spark.cachereg import PinnedCache
+
+        c = PinnedCache("t8_rekey")
+        keep_df, drop_df = self.FakeDF(), self.FakeDF()
+        c.store("gen0", "keep", "v_keep", pinned=[keep_df])
+        c.store("gen0", "drop", "v_drop", pinned=[drop_df])
+        c.rekey("gen1", keep={("parent", "gen0"): "keep"})
+        assert c.lookup_lineage(("parent", "gen0")) == "v_keep"
+        assert keep_df.cached and not drop_df.cached
+        assert c.lookup("gen0", "keep") is None  # corpus moved on
+        assert c.lookup("gen1", ("parent", "gen0")) == "v_keep"
+
+    def test_missing_old_param_is_not_an_error(self):
+        from ssb_coefficient_maker_spark.cachereg import PinnedCache
+
+        c = PinnedCache("t8_rekey2")
+        df = self.FakeDF()
+        c.store("gen0", (), "v", pinned=[df])
+        c.rekey("gen1", keep={("parent", "gen0"): "no_such_param"})
+        assert not df.cached  # nothing carried -> released
+        assert c.lookup_lineage(("parent", "gen0")) is None
+
+    def test_random_append_chains_bounded(self):
+        import random
+
+        from ssb_coefficient_maker_spark.cachereg import PinnedCache
+
+        rng = random.Random(42)
+        for _trial in range(50):
+            c = PinnedCache("t8_chain")
+            live: list[tuple[str, "TestPinnedCacheRekey.FakeDF"]] = []
+            gen = 0
+            df = self.FakeDF()
+            c.store(f"g{gen}", (), f"v{gen}", pinned=[df])
+            live.append((f"g{gen}", df))
+            for _step in range(rng.randint(1, 8)):
+                new_gen = gen + 1
+                ndf = self.FakeDF()
+                old_param = (
+                    () if c.lookup(f"g{gen}", ()) is not None
+                    else ("parent", f"g{gen}")
+                )
+                c.rekey(f"g{new_gen}", keep={("parent", f"g{gen}"): old_param})
+                c.store(f"g{new_gen}", (), f"v{new_gen}", pinned=[ndf])
+                live.append((f"g{new_gen}", ndf))
+                gen = new_gen
+                # invariant: at most the primary + one parent cached
+                cached = [d for _n, d in live if d.cached]
+                assert len(cached) == min(2, len(live))
+                assert c.lookup(f"g{gen}", ()) == f"v{gen}"
+                assert c.lookup_lineage(("parent", f"g{gen - 1}")) == f"v{gen - 1}"
+                if gen >= 2:
+                    assert c.lookup_lineage(("parent", f"g{gen - 2}")) is None
+            c.release()
+            assert not any(d.cached for _n, d in live)
