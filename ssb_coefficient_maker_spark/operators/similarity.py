@@ -1140,19 +1140,7 @@ def q230_semantic_dedup(
         assigned.count()
         hit = cache.store(corpus_id, params, assigned, pinned=[assigned])
     assigned = hit
-    a = assigned.select(
-        "bucket", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea")
-    )
-    b = assigned.select(
-        "bucket", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb")
-    )
-    dropped = (
-        a.join(b, "bucket")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(F.round(cosine(F.col("ea"), F.col("eb")), 4) >= threshold)
-        .select(F.col("vec_b").alias("vec_id"))
-        .distinct()
-    )
+    dropped = _dominance_dropped(assigned, threshold)
     return (
         assigned.join(dropped.withColumn("hit", F.lit(1)), "vec_id", "left")
         .groupBy("bucket")
@@ -1162,6 +1150,46 @@ def q230_semantic_dedup(
             (F.count(F.lit(1)) - F.count("hit")).alias("n_kept"),
         )
         .orderBy("bucket")
+    )
+
+
+def _dominance_dropped(assigned: DataFrame, threshold: float) -> DataFrame:
+    """The in-cluster dominance rule as ONE Arrow grouped map: per
+    cluster, a dense pairwise cosine product in numpy drops every
+    vector with a lower-id neighbor at round(cos, 4) ≥ threshold.
+
+    Dense kernel, not a per-pair JVM fold: the candidate set is
+    Σ size(cluster)² pairs — at sf0.1 ~1.6M × 64 dims, which the
+    zip_with cosine expression ground through Catalyst HOFs in ~12 s
+    warm, while this per-cluster outer-product loop (the q50 blocked
+    kernel's shape: sequential per-dimension accumulation, so the
+    scores stay bit-identical to DuckDB's ordered list_sum) runs it
+    in well under a second — the module's measured rule that dense
+    BLOCK products amortize the Arrow hop (contrast
+    ``_verify_pairs_exact``, where candidate-sized inputs keep the
+    JVM form ahead). One shuffle on the bucket key; each cluster's
+    size² score matrix is the per-group memory bound — k is the
+    SemDeDup knob that keeps clusters Arrow-sized (guarded upstream
+    by the corpus being the bounded planted slice)."""
+    import pandas as pd
+
+    def per_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)[order]
+        acc = np.zeros((len(ids), len(ids)))
+        for d in range(mat.shape[1]):
+            acc += np.outer(mat[:, d], mat[:, d])
+        nrm = _seq_norms(mat)
+        cos = np.round(acc / np.outer(nrm, nrm), 4)
+        mask = np.triu(cos >= threshold, k=1)
+        return pd.DataFrame({"vec_id": ids[np.unique(np.nonzero(mask)[1])]})
+
+    return (
+        assigned.select("bucket", "vec_id", "embedding")
+        .groupBy("bucket")
+        .applyInPandas(per_cluster, "vec_id long")
     )
 
 
