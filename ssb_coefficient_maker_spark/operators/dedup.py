@@ -994,20 +994,18 @@ def q231_segment_dedup(
     DETECTION, no rewrite) and q154 (dup-gram coverage measurement):
     this is the tier that REWRITES the corpus.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    segs = (
-        docs.select("doc_id", F.split("text", " ").alias("ws"))
-        .select(
-            "doc_id",
-            F.expr(
-                f"transform(sequence(0, (size(ws) + {width - 1}) div {width} - 1), "
-                f"i -> concat_ws(' ', slice(ws, i * {width} + 1, {width})))"
-            ).alias("segs"),
-        )
-        .select("doc_id", F.posexplode("segs").alias("seg_idx", "seg"))
-    )
+    return segment_dedup_report(load_table(spark, sf_dir, "documents"), width)
+
+
+def segment_dedup_report(
+    docs: DataFrame, width: int = Q231_SEG_WIDTH
+) -> DataFrame:
+    """q231's core over an explicit (doc_id, text) frame — factored so
+    the property tests can fuzz it against the python reference on
+    synthetic corpora (see q231 docstring for semantics and shape)."""
     from pyspark.sql import Window
 
+    segs = _segment_table(docs, width)
     w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
     ranked = segs.withColumn("rn", F.row_number().over(w))
     kept = F.when(F.col("rn") == 1, F.struct("seg_idx", "seg"))

@@ -1745,3 +1745,88 @@ class TestPinnedCacheRekey:
                     assert c.lookup_lineage(("parent", f"g{gen - 2}")) is None
             c.release()
             assert not any(d.cached for _n, d in live)
+
+
+# --------------------------- q231/q232 property fuzz (hypothesis)
+
+
+def _py_segment_dedup(texts: list[str], width: int, preseen: set[str] | None = None):
+    """Pure-python reference for the segment-dedup rule."""
+    import hashlib
+
+    seen = set(preseen or ())
+    out = []
+    for doc_id, text in enumerate(texts):
+        ws = text.split(" ")
+        segs = [
+            " ".join(ws[i * width : (i + 1) * width])
+            for i in range((len(ws) + width - 1) // width)
+        ]
+        kept = []
+        for s in segs:
+            if s not in seen:
+                seen.add(s)
+                kept.append(s)
+        out.append(
+            (
+                doc_id,
+                len(segs),
+                len(kept),
+                hashlib.md5(" ".join(kept).encode()).hexdigest(),
+            )
+        )
+    return out
+
+
+class TestSegmentDedupFuzz:
+    def test_hypothesis_matches_python_reference(self, spark):
+        import pandas as pd
+        from hypothesis import HealthCheck, given, settings
+        from hypothesis import strategies as st
+
+        from ssb_coefficient_maker_spark.operators.dedup import segment_dedup_report
+
+        word = st.sampled_from(["a", "bb", "ccc", "dd", "e"])  # tiny vocab -> collisions
+        text = st.lists(word, min_size=1, max_size=23).map(" ".join)
+
+        @settings(
+            max_examples=12,
+            deadline=None,
+            suppress_health_check=[HealthCheck.too_slow],
+        )
+        @given(st.lists(text, min_size=1, max_size=8), st.integers(2, 4))
+        def check(texts, width):
+            docs = spark.createDataFrame(
+                [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+            )
+            got = (
+                segment_dedup_report(docs, width)
+                .toPandas()
+                .sort_values("doc_id")
+                .reset_index(drop=True)
+            )
+            want = pd.DataFrame(
+                _py_segment_dedup(texts, width),
+                columns=["doc_id", "n_segs", "n_kept", "dedup_fp"],
+            )
+            pd.testing.assert_frame_equal(
+                got.astype({"n_segs": "int64", "n_kept": "int64"}), want
+            )
+
+        check()
+
+    def test_single_word_and_repeated_docs(self, spark):
+        from ssb_coefficient_maker_spark.operators.dedup import segment_dedup_report
+
+        docs = spark.createDataFrame(
+            [(0, "x"), (1, "x"), (2, "x y z"), (3, "x y z")],
+            "doc_id long, text string",
+        )
+        got = segment_dedup_report(docs, 5).toPandas().set_index("doc_id")
+        assert got.loc[0].n_kept == 1
+        assert got.loc[1].n_kept == 0  # exact dup of doc 0's only segment
+        assert got.loc[2].n_kept == 1
+        assert got.loc[3].n_kept == 0
+        import hashlib
+
+        assert got.loc[1].dedup_fp == hashlib.md5(b"").hexdigest()
