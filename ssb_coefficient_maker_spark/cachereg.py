@@ -1,14 +1,23 @@
 """Unified lifecycle for every session-scoped pinned-DataFrame cache.
 
-The engine keeps three build-once/probe-many artifacts persisted in
-executor memory: the MinHash shingle table (operators/dedup.py), the
-IVF coarse index, and the PQ code table (operators/similarity.py). At
-100 TB each of these is a materialized table on storage; the persisted
-DataFrame is the local-session stand-in. Round 3 gave each its own
-module-global dict with a manual ``release_*`` hook — which meant a
-long-lived session pointing at corpus after corpus accumulated pinned
-DataFrames until someone remembered to call release (round-3 VERDICT
-"what's wrong" #4).
+The engine keeps its build-once/probe-many artifacts persisted in
+executor memory — as of round 8 twelve named caches: the MinHash
+shingle table, the LSH corpus index + the ingest cycle's own slot
+(operators/dedup.py), the distinct-segment index (q232), the IVF
+index + its ingest slot, the PQ code table, the q57 planted key
+table, the semantic-dedup assignment (operators/similarity.py), the
+dedup cluster map, basket pairs, and BFS reach (queries.py). At
+100 TB each is a materialized table on storage; the persisted
+DataFrame is the local-session stand-in. Budget: every cache pins AT
+MOST one corpus (cap-at-one below), and the three ingest-lineage
+caches (LSH cycle, IVF ingest, segment index) at most one extra
+carried PARENT generation during/after a handoff (``rekey``) — so
+total executor-memory footprint is bounded by a fixed count of
+corpus-sized artifacts, never by session lifetime. Round 3 gave each
+its own module-global dict with a manual ``release_*`` hook — which
+meant a long-lived session pointing at corpus after corpus
+accumulated pinned DataFrames until someone remembered to call
+release (round-3 VERDICT "what's wrong" #4).
 
 ``PinnedCache`` makes the bound structural instead of manual: each
 cache pins AT MOST ONE corpus. Storing an entry for a different

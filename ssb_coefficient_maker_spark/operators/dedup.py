@@ -1173,3 +1173,124 @@ def q232_segment_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     build_segment_index(corpus0)
     idx1 = append_to_segment_index(corpus0, batch1)
     return probe_segment_index(batch2, idx1)
+
+
+# --------------------------------------- LSH banding recall audit (q233)
+
+# Prefix-keep fractions for the planted recall ladder, shared with the
+# DuckDB oracle: a variant keeps floor(f·n) leading words and replaces
+# the rest with level-unique markers, so its 5-shingle Jaccard against
+# the base is ≈ f/(2-f) — 0.33 / 0.60 / 0.82 / 1.00. Level 4 (exact
+# copy) is the structural anchor: identical shingle sets give identical
+# signatures and band keys, so banding recall at J=1 MUST read 1.0.
+Q233_LEVELS = ((1, 0.5), (2, 0.75), (3, 0.9), (4, 1.0))
+Q233_BASE_MAX_ID = 250
+Q233_VARIANT_STRIDE = 1000000
+
+
+def q233_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding recall audit for the MinHash-LSH tier — q228's
+    audited-instrument discipline applied to q31's candidate
+    generator: EXACT shingle-Jaccard ground truth on a bounded
+    planted slice vs the band-collision candidate set, reported as
+    recall per Jaccard bin. With the default banding (4 bands × 8
+    rows) the analytic per-pair recall is 1-(1-J^8)^4: ~0.0006 at
+    J=0.33, ~0.065 at J=0.60, ~0.60 at J=0.82, exactly 1 at J=1 —
+    the audit MEASURES that collapse on real hashes (the q31
+    docstring's "targets J≳0.85" claim, now an instrument instead of
+    a formula), and the J=1 bin anchors the other end: identical
+    docs collide structurally, so recall there must read 1.0.
+
+    The planted ladder: each base doc (doc_id < 250 — bounded at
+    every scale, the q228 "tune on a sampled slice" contract) gets
+    four variants keeping floor(f·n) leading words (f per
+    Q233_LEVELS) with the tail replaced by level-unique markers.
+    Exact truth is an inverted-index join on shingle hashes (output-
+    bounded: only genuinely overlapping docs pair); candidates are
+    the _band_table self-join — the same Arrow signature kernel and
+    band keys q31 ships. Everything is value-oracled on the md5
+    family: the DuckDB replica re-derives the corpus, the exact
+    pairs, the signatures, the banding, and the per-bin counts."""
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < Q233_BASE_MAX_ID)
+        .select("doc_id", normalized_text(F.col("text")).alias("t"))
+    )
+    base = docs.select("doc_id", F.split("t", " ").alias("ws"))
+    parts = [base.select("doc_id", F.concat_ws(" ", "ws").alias("text"))]
+    for lvl, f in Q233_LEVELS:
+        n_keep = F.floor(F.size("ws") * F.lit(f)).cast("int")
+        kept = F.slice("ws", 1, n_keep)
+        tail = F.expr(
+            f"transform(slice(ws, {'n_keep'} + 1, size(ws) - {'n_keep'}), "
+            f"w -> concat(w, '_{lvl}_', doc_id))"
+        )
+        parts.append(
+            base.withColumn("n_keep", n_keep).select(
+                (F.col("doc_id") + lvl * Q233_VARIANT_STRIDE).alias("doc_id"),
+                F.concat_ws(" ", F.concat(kept, tail)).alias("text"),
+            )
+        )
+    corpus = parts[0]
+    for p in parts[1:]:
+        corpus = corpus.unionByName(p)
+
+    sh_tbl = corpus.select(
+        "doc_id", shingles_col(F.col("text"), family="md5").alias("sh")
+    ).persist()
+    # exact truth: inverted-index join on shingle hashes
+    ex = sh_tbl.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
+    a, b = ex.alias("a"), ex.alias("b")
+    truth = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("na"),
+            F.col("b.n").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("nc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("nc").cast("double") / (F.col("na") + F.col("nb") - F.col("nc")),
+                4,
+            ).alias("j"),
+        )
+        .filter(F.col("j") >= 0.2)
+    )
+    bands = _band_table(sh_tbl)
+    cand = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .withColumn("hit", F.lit(1))
+    )
+    bin_lo = (
+        F.when(F.col("j") < 0.45, F.lit(0.2))
+        .when(F.col("j") < 0.7, F.lit(0.45))
+        .when(F.col("j") < 0.95, F.lit(0.7))
+        .otherwise(F.lit(0.95))
+    )
+    out = (
+        truth.join(cand, ["doc_a", "doc_b"], "left")
+        .select(bin_lo.alias("bin_lo"), "hit")
+        .groupBy("bin_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("hit").alias("n_recovered"),
+            F.round(F.count("hit") / F.count(F.lit(1)), 4).alias("recall"),
+        )
+        .orderBy("bin_lo")
+    )
+    sh_tbl.unpersist()
+    return out

@@ -1524,13 +1524,16 @@ def _decontamination_oracle_sql(
         """
 
 
-def _minhash_cte_prefix(k: int = 5) -> str:
+def _minhash_cte_prefix(k: int = 5, d_sql: str = "") -> str:
     """Shared DuckDB CTE prefix replicating shingles → Mersenne
     signatures → band keys for the portable md5 family
     (``shingles_col(family="md5")`` + ``_band_table``): the SAME hash
     integers Spark computes, end to end. Constants come from
-    operators.dedup so Spark and oracle can't drift. Used by both the
-    batch pair oracle (q31) and the incremental probe oracle (q215)."""
+    operators.dedup so Spark and oracle can't drift. Used by the
+    batch pair oracle (q31), the incremental probe oracle (q215), and
+    — via ``d_sql``, which replaces the default word-array corpus
+    subquery (must yield doc_id, ws) — the banding recall audit's
+    DERIVED planted corpus (q233)."""
     p = dedup.MERSENNE
     minima = ",\n            ".join(
         f"min((h * {2 * i + 1} + {104729 * (i + 1)}) % {p}) AS m{i}"
@@ -1545,11 +1548,12 @@ def _minhash_cte_prefix(k: int = 5) -> str:
         )
         for b in range(dedup.N_BANDS)
     )
+    default_d = """SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+          FROM documents"""
     return f"""
         WITH d AS (
-          SELECT doc_id,
-                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
-          FROM documents
+          {d_sql or default_d}
         ), sh AS (
           SELECT doc_id,
                  CASE WHEN len(ws) >= {k} THEN
@@ -1591,6 +1595,54 @@ def _minhash_oracle_sql(k: int = 5, threshold: float = 0.4) -> str:
         JOIN sizes sb ON sb.doc_id = c.doc_b
         WHERE round(CAST(c.nc AS DOUBLE) / (sa.n + sb.n - c.nc), 4) >= {threshold}
         ORDER BY doc_a, doc_b
+        """
+
+
+def _lsh_recall_oracle_sql(k: int = 5) -> str:
+    """DuckDB replica of ``q233_lsh_recall_audit``: re-derives the
+    planted prefix-keep corpus (levels/stride from operators.dedup so
+    the engines can't drift), reuses the shared signature/banding
+    prefix over it via ``d_sql``, computes exact shingle-Jaccard truth
+    by the same inverted-index join, and reports per-bin recall of the
+    band-collision candidate set."""
+    base = f"""SELECT doc_id,
+                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+          FROM documents WHERE doc_id < {dedup.Q233_BASE_MAX_ID}"""
+    variants = "\n          UNION ALL ".join(
+        f"""SELECT doc_id + {lvl * dedup.Q233_VARIANT_STRIDE} AS doc_id,
+              list_concat(ws[1:nk],
+                          list_transform(ws[nk+1:], w -> w || '_{lvl}_' || base_id)) AS ws
+          FROM (SELECT doc_id, doc_id AS base_id,
+                       CAST(floor(len(ws) * {f}) AS INT) AS nk, ws
+                FROM ({base}))"""
+        for lvl, f in dedup.Q233_LEVELS
+    )
+    d_sql = f"SELECT doc_id, ws FROM ({base})\n          UNION ALL {variants}"
+    return f"""{_minhash_cte_prefix(k, d_sql=d_sql)}, sizes AS (
+          SELECT doc_id, len(shs) AS n FROM sh
+        ), common AS (
+          SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS nc
+          FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), truth AS (
+          SELECT da, db,
+                 round(CAST(nc AS DOUBLE) / (sa.n + sb.n - nc), 4) AS j
+          FROM common
+          JOIN sizes sa ON sa.doc_id = da
+          JOIN sizes sb ON sb.doc_id = db
+          WHERE round(CAST(nc AS DOUBLE) / (sa.n + sb.n - nc), 4) >= 0.2
+        ), cand AS (
+          SELECT DISTINCT l.doc_id AS da, r.doc_id AS db
+          FROM bands l JOIN bands r
+            ON l.band = r.band AND l.bh = r.bh AND l.doc_id < r.doc_id
+        )
+        SELECT CAST(CASE WHEN j < 0.45 THEN 0.2 WHEN j < 0.7 THEN 0.45
+                         WHEN j < 0.95 THEN 0.7 ELSE 0.95 END AS DOUBLE) AS bin_lo,
+               count(*) AS n_true,
+               count(c.da) AS n_recovered,
+               round(CAST(count(c.da) AS DOUBLE) / count(*), 4) AS recall
+        FROM truth t LEFT JOIN cand c ON c.da = t.da AND c.db = t.db
+        GROUP BY 1 ORDER BY 1
         """
 
 
@@ -10994,6 +11046,9 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         "dedup",
     ),
+    "q233_lsh_recall_audit": QuerySpec(
+        dedup.q233_lsh_recall_audit, _lsh_recall_oracle_sql(), "dedup"
+    ),
     "q232_segment_dedup_ingest": QuerySpec(
         dedup.q232_segment_dedup_ingest,
         # the cumulative rule: a day-2 segment is kept iff not in the
@@ -11776,6 +11831,7 @@ _DRIVER_PRIORITY = (
     "q230_semantic_dedup",
     "q231_segment_dedup",
     "q232_segment_dedup_ingest",
+    "q233_lsh_recall_audit",
     "q223_anonymity_risk_audit",
     "q224_dp_noised_release",
     "q225_bottomk_sample_audit",

@@ -1830,3 +1830,23 @@ class TestSegmentDedupFuzz:
         import hashlib
 
         assert got.loc[1].dedup_fp == hashlib.md5(b"").hexdigest()
+
+
+class TestLshRecallAudit:
+    def test_anchors_and_monotonicity(self, spark, sf_dir):
+        """The structural anchor: the J>=0.95 bin (exact copies) must
+        read recall 1.0 — identical shingle sets give identical
+        signatures and bands; and the banding collapse must be real
+        (strictly sub-1 recall in the lowest bin), with recall
+        non-decreasing in J."""
+        from ssb_coefficient_maker_spark.operators.dedup import q233_lsh_recall_audit
+
+        rep = q233_lsh_recall_audit(spark, sf_dir).toPandas()
+        assert list(rep.columns) == ["bin_lo", "n_true", "n_recovered", "recall"]
+        assert (rep.n_true > 0).all()  # every bin populated by the ladder
+        top = rep[rep.bin_lo == 0.95]
+        assert len(top) == 1 and top.recall.iloc[0] == 1.0
+        low = rep[rep.bin_lo == 0.2]
+        assert len(low) == 1 and low.recall.iloc[0] < 0.5
+        r = rep.sort_values("bin_lo").recall.tolist()
+        assert r == sorted(r)
