@@ -1850,3 +1850,52 @@ class TestLshRecallAudit:
         assert len(low) == 1 and low.recall.iloc[0] < 0.5
         r = rep.sort_values("bin_lo").recall.tolist()
         assert r == sorted(r)
+
+
+class TestDominanceKernelFuzz:
+    def test_matches_numpy_reference(self, spark):
+        """_dominance_dropped (Arrow grouped map) vs a direct numpy
+        reference on random clustered vectors — drop b iff some
+        lower-id a in the same bucket has round(cos,4) >= t."""
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        for trial in range(3):
+            n, dim, k = 60, 8, 4
+            mat = rng.normal(size=(n, dim))
+            # plant a few near-dups so drops exist
+            for i in range(0, 12, 2):
+                mat[i + 1] = mat[i] + rng.normal(scale=0.01, size=dim)
+            buckets = rng.integers(0, k, size=n)
+            buckets[1:12:2] = buckets[0:12:2]  # co-cluster planted pairs
+            t = 0.95
+            rows = [
+                (int(i), [float(x) for x in mat[i]], int(buckets[i]))
+                for i in range(n)
+            ]
+            df = spark.createDataFrame(
+                rows, "vec_id long, embedding array<double>, bucket int"
+            )
+            from ssb_coefficient_maker_spark.operators.dedup import normalized_text  # noqa: F401
+            from ssb_coefficient_maker_spark.operators.similarity import (
+                _dominance_dropped,
+                _seq_norms,
+            )
+
+            got = sorted(
+                r.vec_id for r in _dominance_dropped(df, t).collect()
+            )
+            # numpy reference with the same sequential accumulation
+            want = set()
+            for b in range(k):
+                ids = np.nonzero(buckets == b)[0]
+                ids = ids[np.argsort(ids)]
+                m = mat[ids]
+                acc = np.zeros((len(ids), len(ids)))
+                for d in range(dim):
+                    acc += np.outer(m[:, d], m[:, d])
+                cos = np.round(acc / np.outer(_seq_norms(m), _seq_norms(m)), 4)
+                ii, jj = np.nonzero(np.triu(cos >= t, k=1))
+                want.update(int(ids[j]) for j in jj)
+            assert got == sorted(want), (trial, got, sorted(want))
+            assert len(got) > 0  # planted pairs must produce drops
