@@ -1235,9 +1235,14 @@ def q233_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         corpus = corpus.unionByName(p)
 
+    # no persist: the slice is bounded (~5x250 docs) and this is an
+    # occasionally-run instrument — recomputing the shingle column for
+    # the truth and band branches is cheaper than owning cache
+    # lifecycle here (an eager unpersist at construction time would
+    # never help execution anyway)
     sh_tbl = corpus.select(
         "doc_id", shingles_col(F.col("text"), family="md5").alias("sh")
-    ).persist()
+    )
     # exact truth: inverted-index join on shingle hashes
     ex = sh_tbl.select("doc_id", F.size("sh").alias("n"), F.explode("sh").alias("s"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -1292,5 +1297,4 @@ def q233_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin_lo")
     )
-    sh_tbl.unpersist()
     return out
