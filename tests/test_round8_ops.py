@@ -1839,8 +1839,10 @@ class TestLshRecallAudit:
         signatures and bands; and the banding collapse must be real
         (strictly sub-1 recall in the lowest bin), with recall
         non-decreasing in J."""
+        from ssb_coefficient_maker_spark.cachereg import get_cache
         from ssb_coefficient_maker_spark.operators.dedup import q233_lsh_recall_audit
 
+        get_cache("lsh_recall_audit").release()
         rep = q233_lsh_recall_audit(spark, sf_dir).toPandas()
         assert list(rep.columns) == ["bin_lo", "n_true", "n_recovered", "recall"]
         assert (rep.n_true > 0).all()  # every bin populated by the ladder
@@ -1850,6 +1852,7 @@ class TestLshRecallAudit:
         assert len(low) == 1 and low.recall.iloc[0] < 0.5
         r = rep.sort_values("bin_lo").recall.tolist()
         assert r == sorted(r)
+        get_cache("lsh_recall_audit").release()
 
 
 class TestDominanceKernelFuzz:
