@@ -9,9 +9,10 @@ table, the semantic-dedup assignment (operators/similarity.py), the
 dedup cluster map, basket pairs, and BFS reach (queries.py). At
 100 TB each is a materialized table on storage; the persisted
 DataFrame is the local-session stand-in. Budget: every cache pins AT
-MOST one corpus (cap-at-one below), and the three ingest-lineage
-caches (LSH cycle, IVF ingest, segment index) at most one extra
-carried PARENT generation during/after a handoff (``rekey``) — so
+MOST one corpus (cap-at-one below), and the ingest-lineage caches
+(LSH corpus + the cycle's own slot, IVF ingest, segment index) at
+most one extra carried PARENT generation during/after a handoff
+(``rekey``) — so
 total executor-memory footprint is bounded by a fixed count of
 corpus-sized artifacts, never by session lifetime. Round 3 gave each
 its own module-global dict with a manual ``release_*`` hook — which
