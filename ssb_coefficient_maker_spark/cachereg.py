@@ -108,8 +108,34 @@ class PinnedCache:
         rekey only carries what ITS caller names, a lineage chain
         never accumulates more generations than the callers explicitly
         keep (the LSH append keeps one parent: bound = 2 generations).
+
+        SAME-CORPUS rekey (``new_corpus_key`` already current): nothing
+        is evicted — the corpus identity is unchanged — but the
+        param-key renames in ``keep`` still apply (without
+        unpersisting), so a caller appending under an
+        already-succeeded corpus keeps the parent-carry contract
+        instead of silently losing it (round-8 ADVICE). Renames whose
+        source entry is absent (e.g. an idempotent second call after
+        the rename already happened) are no-ops; a rename that would
+        displace an existing entry under the target key frees the
+        displaced frames exactly as ``store`` does.
         """
         if self._corpus == new_corpus_key:
+            for new_p, old_p in keep.items():
+                if new_p == old_p or old_p not in self._entries:
+                    continue
+                moved = self._entries.pop(old_p)
+                displaced = self._entries.pop(new_p, None)
+                if displaced is not None:
+                    moved_ids = {id(df) for df in moved[1]}
+                    for df in displaced[1]:
+                        if id(df) in moved_ids:
+                            continue
+                        try:
+                            df.unpersist(blocking=True)
+                        except Exception:
+                            pass
+                self._entries[new_p] = moved
             return
         carried = {
             new_p: self._entries.pop(old_p)

@@ -1234,14 +1234,27 @@ def q233_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for lvl, f in Q233_LEVELS:
             n_keep = F.floor(F.size("ws") * F.lit(f)).cast("int")
             kept = F.slice("ws", 1, n_keep)
-            tail = F.expr(
-                f"transform(slice(ws, {'n_keep'} + 1, size(ws) - {'n_keep'}), "
-                f"w -> concat(w, '_{lvl}_', doc_id))"
+            marker = F.lit(f"_{lvl}_")
+            # level-unique tail markers: each dropped word becomes
+            # w + '_<lvl>_' + BASE doc_id. Column APIs (round-8 ADVICE
+            # rewrite of an f-string expr) — and the id shift happens
+            # in a SECOND projection: putting the `doc_id + stride`
+            # alias in the same select would capture the lambda's
+            # outer `doc_id` reference AFTER the rename (HOF lambda
+            # references resolve against the projection output, not
+            # the input — verified, and exactly the implicit
+            # dependency the ADVICE flagged).
+            tail = F.transform(
+                F.slice(F.col("ws"), n_keep + F.lit(1), F.size("ws") - n_keep),
+                lambda w: F.concat(w, marker, F.col("doc_id").cast("string")),
             )
             parts.append(
-                base.withColumn("n_keep", n_keep).select(
-                    (F.col("doc_id") + lvl * Q233_VARIANT_STRIDE).alias("doc_id"),
+                base.select(
+                    "doc_id",
                     F.concat_ws(" ", F.concat(kept, tail)).alias("text"),
+                ).select(
+                    (F.col("doc_id") + lvl * Q233_VARIANT_STRIDE).alias("doc_id"),
+                    "text",
                 )
             )
         corpus = parts[0]

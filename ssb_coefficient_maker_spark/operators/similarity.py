@@ -1182,7 +1182,14 @@ def _dominance_dropped(assigned: DataFrame, threshold: float) -> DataFrame:
         for d in range(mat.shape[1]):
             acc += np.outer(mat[:, d], mat[:, d])
         nrm = _seq_norms(mat)
-        cos = np.round(acc / np.outer(nrm, nrm), 4)
+        # round half AWAY FROM ZERO to 4 decimals, matching DuckDB's
+        # round() in the oracle exactly — np.round is banker's
+        # (half-to-even), which would diverge on a cosine landing
+        # exactly on a 5 in the 5th decimal (round-8 ADVICE; measure
+        # zero on double quotients, but the round-before-compare
+        # contract should not depend on that)
+        q = acc / np.outer(nrm, nrm)
+        cos = np.sign(q) * np.floor(np.abs(q) * 1e4 + 0.5) / 1e4
         mask = np.triu(cos >= threshold, k=1)
         return pd.DataFrame({"vec_id": ids[np.unique(np.nonzero(mask)[1])]})
 
