@@ -11360,6 +11360,14 @@ REGISTRY: dict[str, QuerySpec] = {
     "q229_tokenizer_fertility": QuerySpec(
         text.q229_tokenizer_fertility, _Q229_ORACLE, "text"
     ),
+    "q234_lsh_store_roundtrip": QuerySpec(
+        dedup.q234_lsh_store_roundtrip,
+        # SAME truth as q217 — the cycle run through parquet storage
+        # (persist day-0 index, reload, probe, delta-append day-1,
+        # probe day-2) must produce the identical day-2 pair set
+        _probe_append_cycle_oracle_sql(),
+        "dedup",
+    ),
     "q150_media_dedup": QuerySpec(q150_media_dedup, _Q150_ORACLE, "multimodal"),
     "q151_top_decile_curation": QuerySpec(
         q151_top_decile_curation, _Q151_ORACLE, "text"

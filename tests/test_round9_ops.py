@@ -143,3 +143,198 @@ class TestQ233VariantTail:
         # the J=1 structural anchor: exact copies always collide
         assert out.recall.iloc[3] == 1.0
         get_cache("lsh_recall_audit").release()
+
+
+# --------------------------------- q234 stored LSH index round-trip
+
+
+class TestLshStoreRoundtrip:
+    """The storage-backed index lifecycle: persist day-0, RESTART
+    (release every session cache), reload from parquet only, probe,
+    delta-append, and land on the exact in-memory q217 result."""
+
+    def _tmp_root(self, tmp_path):
+        return str(tmp_path / "lsh_store")
+
+    def test_restart_reload_probe_append_equals_memory_cycle(
+        self, spark, sf_dir, tmp_path
+    ):
+        from ssb_coefficient_maker_spark.cachereg import get_cache, release_all
+        from ssb_coefficient_maker_spark.operators.dedup import (
+            append_lsh_store_delta,
+            load_lsh_store,
+            probe_lsh_index,
+            q217_lsh_probe_append_cycle,
+            write_lsh_store_base,
+        )
+
+        root = self._tmp_root(tmp_path)
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+        corpus0 = docs.filter(F.col("doc_id") % 5 <= 2)
+        batch1 = docs.filter(F.col("doc_id") % 5 == 3)
+        batch2 = docs.filter(F.col("doc_id") % 5 == 4)
+
+        assert write_lsh_store_base(corpus0, root, family="md5")
+        # ---- RESTART: drop every pinned session cache ----
+        release_all()
+        # the reload will read NOTHING but the store parquet — check
+        # the segment paths' files BEFORE load pins the plan (once
+        # cached, any identical read is substituted by the cache
+        # manager with InMemoryRelation, which reports no files)
+        from ssb_coefficient_maker_spark.operators.dedup import (
+            lsh_store_segments,
+        )
+        import os
+
+        for sub in ("bands", "shingles"):
+            paths = [
+                os.path.join(root, s, sub) for s in lsh_store_segments(root)
+            ]
+            files = spark.read.parquet(*paths).inputFiles()
+            assert files and all(root in f for f in files), files[:3]
+        index0 = load_lsh_store(spark, root)
+        # the probe's corpus side is served from the pinned reload
+        # (InMemoryTableScan), parquet-scanning only the batch docs
+        import sys
+        from collections import Counter
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+        import plan_audit
+
+        probe_plan = (
+            probe_lsh_index(batch1, index0, threshold=0.4, family="md5")
+            ._jdf.queryExecution()
+            .executedPlan()
+        )
+        nodes = Counter(n.nodeName() for n in plan_audit._walk(probe_plan))
+        assert nodes["InMemoryTableScan"] == 2, nodes
+        parquet_scans = sum(
+            v for k, v in nodes.items() if k.startswith("Scan parquet")
+        )
+        assert parquet_scans == 2, nodes
+        dups1 = (
+            probe_lsh_index(batch1, index0, threshold=0.4, family="md5")
+            .select("new_doc_id")
+            .distinct()
+        )
+        kept1 = batch1.join(dups1, batch1.doc_id == dups1.new_doc_id, "left_anti")
+        assert append_lsh_store_delta(kept1, root, "day1", family="md5")
+        # ---- second restart: day-2 probe against the merged store ----
+        release_all()
+        index1 = load_lsh_store(spark, root)
+        got = (
+            probe_lsh_index(batch2, index1, threshold=0.4, family="md5")
+            .toPandas()
+            .sort_values(["new_doc_id", "corpus_doc_id"])
+            .reset_index(drop=True)
+        )
+
+        # in-memory twin on the same slice (dedicated cache slot)
+        get_cache("lsh_cycle_index").release()
+        from ssb_coefficient_maker_spark.operators.dedup import (
+            append_to_lsh_index,
+            build_lsh_index,
+        )
+
+        idx0 = build_lsh_index(corpus0, family="md5", cache_name="t9_mem_cycle")
+        d1 = (
+            probe_lsh_index(batch1, idx0, threshold=0.4, family="md5")
+            .select("new_doc_id")
+            .distinct()
+        )
+        k1 = batch1.join(d1, batch1.doc_id == d1.new_doc_id, "left_anti")
+        idx1 = append_to_lsh_index(
+            corpus0, k1, family="md5", cache_name="t9_mem_cycle"
+        )
+        want = (
+            probe_lsh_index(batch2, idx1, threshold=0.4, family="md5")
+            .toPandas()
+            .sort_values(["new_doc_id", "corpus_doc_id"])
+            .reset_index(drop=True)
+        )
+        get_cache("t9_mem_cycle").release()
+        release_all()
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(got, want)
+
+    def test_append_is_idempotent_and_never_touches_base(
+        self, spark, sf_dir, tmp_path
+    ):
+        import os
+
+        from ssb_coefficient_maker_spark.cachereg import release_all
+        from ssb_coefficient_maker_spark.operators.dedup import (
+            append_lsh_store_delta,
+            load_lsh_store,
+            write_lsh_store_base,
+        )
+
+        root = self._tmp_root(tmp_path)
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        batch = docs.filter(F.col("doc_id") % 2 == 1)
+        write_lsh_store_base(corpus, root, family="md5")
+
+        def snapshot(seg):
+            out = {}
+            for sub in ("bands", "shingles"):
+                d = os.path.join(root, seg, sub)
+                for e in os.scandir(d):
+                    out[e.path] = e.stat().st_mtime_ns
+            return out
+
+        base_before = snapshot("base")
+        assert append_lsh_store_delta(batch, root, "day1", family="md5")
+        assert snapshot("base") == base_before  # base files untouched
+        delta_before = snapshot("delta/day1")
+        # complete delta is never rewritten
+        assert not append_lsh_store_delta(batch, root, "day1", family="md5")
+        assert snapshot("delta/day1") == delta_before
+        # base is idempotent too
+        assert not write_lsh_store_base(corpus, root, family="md5")
+        # loaded row count = corpus + batch shingle rows
+        bands, sh = load_lsh_store(spark, root)
+        assert sh.count() == docs.count()
+        release_all()
+
+    def test_append_without_base_refuses(self, spark, sf_dir, tmp_path):
+        from ssb_coefficient_maker_spark.operators.dedup import (
+            append_lsh_store_delta,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+        with pytest.raises(ValueError, match="no complete base|write_lsh_store_base"):
+            append_lsh_store_delta(
+                docs, self._tmp_root(tmp_path), "day1", family="md5"
+            )
+
+    def test_warm_load_is_cache_hit_and_new_delta_evicts(
+        self, spark, sf_dir, tmp_path
+    ):
+        from ssb_coefficient_maker_spark.cachereg import get_cache, release_all
+        from ssb_coefficient_maker_spark.operators.dedup import (
+            append_lsh_store_delta,
+            load_lsh_store,
+            write_lsh_store_base,
+        )
+
+        root = self._tmp_root(tmp_path)
+        docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+        corpus = docs.filter(F.col("doc_id") % 2 == 0)
+        batch = docs.filter(F.col("doc_id") % 2 == 1)
+        write_lsh_store_base(corpus, root, family="md5")
+        release_all()
+        a = load_lsh_store(spark, root)
+        b = load_lsh_store(spark, root)
+        assert a[0] is b[0] and a[1] is b[1]  # warm load: cache hit
+        append_lsh_store_delta(batch, root, "day1", family="md5")
+        c = load_lsh_store(spark, root)  # new segment set -> new corpus key
+        assert c[0] is not a[0]
+        # cap-at-one: the pre-append pin was evicted with the key change
+        assert not a[0].is_cached and not a[1].is_cached
+        assert c[0].is_cached and c[1].is_cached
+        frames = get_cache("lsh_store_index").pinned_frames()
+        assert len(frames) == 2
+        release_all()
