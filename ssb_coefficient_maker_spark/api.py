@@ -226,7 +226,8 @@ class FormulaEvaluator:
         )
         if _adp_matrix and _has_mm(expr):
             raise NotImplementedError(
-                "matmul ('@') / neumann() is not supported in ADP mode: the "
+                "matmul ('@') / neumann() / leontief() is not supported in ADP "
+                "mode: the "
                 "contraction computes in float64, which would silently "
                 "demote the arbitrary-precision operands. Evaluate with "
                 "adp_enabled=False."
@@ -482,7 +483,11 @@ class FormulaEvaluator:
                 # it the node would only fail inside the executor UDF,
                 # an opaque job error after the overwrite-mode write has
                 # already clobbered the destination
-                op = "matmul ('@') / neumann()" if _has_mm(expr) else "transpose ('.T')"
+                op = (
+                    "matmul ('@') / neumann() / leontief()"
+                    if _has_mm(expr)
+                    else "transpose ('.T')"
+                )
                 raise NotImplementedError(
                     f"{op} is not supported in ADP mode: it evaluates in "
                     "float64, which would silently demote the "

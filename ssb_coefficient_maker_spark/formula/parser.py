@@ -13,12 +13,16 @@ Here the language is explicit:
     unary   := -x, +x
     compare := < <= > >= == !=
     calls   := whitelisted only: abs(x), pow(x, y), where(c, a, b), x.fillna(v)
-    matrix  := m.T (transpose), a @ b (matrix product), and
+    matrix  := m.T (transpose), a @ b (matrix product),
                neumann(a, k) (truncated Neumann series
                I + a + a@a + ... + a^k — the Leontief
-               total-requirements construction at fixed depth) — all
-               EXTENSIONS: the reference's pd.eval python engine
-               rejects '@' outright; all evaluate on the triplet path
+               total-requirements construction at fixed depth), and
+               leontief(a[, tol]) (the same construction
+               CONVERGENCE-CHECKED: terms accumulate until the
+               largest remaining entry < tol, literal tol, default
+               1e-10) — all EXTENSIONS: the reference's pd.eval
+               python engine rejects '@' outright; all evaluate on
+               the triplet path
 
 Parsing yields a small typed tree (``FormulaExpr``) that downstream
 compiles either to ``pyspark.sql.Column`` (standard mode) or to an
@@ -95,6 +99,24 @@ class MatMul(FormulaExpr):
 
 
 @dataclass(frozen=True)
+class Leontief(FormulaExpr):
+    """``leontief(a[, tol])`` — the Leontief total-requirements matrix
+    ``(I - a)^-1`` via the CONVERGENCE-CHECKED Neumann iteration
+    (plans/triplet.leontief_total_requirements): terms accumulate
+    until the largest remaining entry falls under ``tol`` (default
+    1e-10), raising if the series does not converge (spectral radius
+    >= 1). This finishes the domain story ``neumann(a, k)`` opened —
+    the caller no longer picks the depth; the data does. ``tol`` must
+    be a literal positive number: it drives a DRIVER-SIDE loop (one
+    scalar action per term, constant plan depth via per-term lineage
+    cuts), so it cannot be column-valued. Same sparse semantics and
+    ADP/wide refusals as ``neumann``."""
+
+    operand: FormulaExpr
+    tol: float
+
+
+@dataclass(frozen=True)
 class Neumann(FormulaExpr):
     """``neumann(a, k)`` — the truncated Neumann series
     ``I + a + a@a + ... + a^k``, i.e. the Leontief total-requirements
@@ -131,7 +153,7 @@ _CMPOPS: dict[type[ast.cmpop], str] = {
     ast.NotEq: "!=",
 }
 
-_FUNC_WHITELIST = {"abs", "pow", "where", "neumann"}
+_FUNC_WHITELIST = {"abs", "pow", "where", "neumann", "leontief"}
 _METHOD_WHITELIST = {"fillna"}
 
 
@@ -229,6 +251,29 @@ def _convert_call(node: ast.Call, formula: str) -> FormulaExpr:
                     "cannot be data-dependent"
                 )
             return Neumann(operand, terms_node.value)
+        if name == "leontief":
+            if len(node.args) not in (1, 2):
+                raise FormulaError(
+                    "leontief() takes one or two arguments (matrix[, tol])"
+                )
+            operand = _convert(node.args[0], formula)
+            tol = 1e-10
+            if len(node.args) == 2:
+                tol_node = node.args[1]
+                if not (
+                    isinstance(tol_node, ast.Constant)
+                    and isinstance(tol_node.value, (int, float))
+                    and not isinstance(tol_node.value, bool)
+                    and tol_node.value > 0
+                ):
+                    raise FormulaError(
+                        "leontief() tol must be a literal positive number "
+                        "— it drives the driver-side convergence loop "
+                        "(one scalar action per term) and cannot be "
+                        "data-dependent"
+                    )
+                tol = float(tol_node.value)
+            return Leontief(operand, tol)
         args = tuple(_convert(a, formula) for a in node.args)
         if name == "abs" and len(args) != 1:
             raise FormulaError("abs() takes exactly one argument")
@@ -277,7 +322,7 @@ def extract_variables(expr: FormulaExpr | str) -> list[str]:
         elif isinstance(node, MatMul):
             walk(node.left)
             walk(node.right)
-        elif isinstance(node, Neumann):
+        elif isinstance(node, (Neumann, Leontief)):
             walk(node.operand)
 
     walk(expr)
@@ -294,7 +339,7 @@ def contains_transpose(expr: FormulaExpr) -> bool:
         return contains_transpose(expr.left) or contains_transpose(expr.right)
     if isinstance(expr, MatMul):
         return contains_transpose(expr.left) or contains_transpose(expr.right)
-    if isinstance(expr, Neumann):
+    if isinstance(expr, (Neumann, Leontief)):
         return contains_transpose(expr.operand)
     if isinstance(expr, UnaryOp):
         return contains_transpose(expr.operand)
@@ -305,12 +350,12 @@ def contains_transpose(expr: FormulaExpr) -> bool:
 
 def contains_matmul(expr: FormulaExpr) -> bool:
     """True iff the parsed formula has an ``@`` anywhere — or a
-    ``neumann()`` call, which desugars to a chain of ``@``
-    contractions — such formulas route onto the triplet path (the
-    only form where the product is a join + sum aggregate at any
-    width), and both refuse identically under ADP (the contraction
+    ``neumann()`` / ``leontief()`` call, which desugar to chains of
+    ``@`` contractions — such formulas route onto the triplet path
+    (the only form where the product is a join + sum aggregate at any
+    width), and all refuse identically under ADP (the contraction
     computes in float64)."""
-    if isinstance(expr, (MatMul, Neumann)):
+    if isinstance(expr, (MatMul, Neumann, Leontief)):
         return True
     if isinstance(expr, BinOp):
         return contains_matmul(expr.left) or contains_matmul(expr.right)

@@ -285,12 +285,13 @@ def _aligned_join(frames: dict[str, Matrix]) -> DataFrame:
 def _to_column(expr: FormulaExpr, resolve) -> Column:
     from ssb_coefficient_maker_spark.formula.parser import (
         FormulaError,
+        Leontief,
         MatMul,
         Neumann,
         Transpose,
     )
 
-    if isinstance(expr, (Transpose, MatMul, Neumann)):
+    if isinstance(expr, (Transpose, MatMul, Neumann, Leontief)):
         # the evaluator routes matrix-op formulas onto the triplet
         # path (api.py) before this wide-path projection is built;
         # reaching here means a direct compile_formula call
@@ -298,6 +299,7 @@ def _to_column(expr: FormulaExpr, resolve) -> Column:
             Transpose: "transpose ('.T')",
             MatMul: "matmul ('@')",
             Neumann: "neumann()",
+            Leontief: "leontief()",
         }[type(expr)]
         raise FormulaError(
             f"{op} is supported on the triplet path only — "

@@ -278,6 +278,7 @@ def _rewrite_matrix_ops(
         BinOp,
         Call,
         FormulaError,
+        Leontief,
         MatMul,
         Neumann,
         Transpose,
@@ -335,10 +336,19 @@ def _rewrite_matrix_ops(
             return neumann_series(
                 as_matrix(node.operand, "neumann()"), node.terms
             )
+        if isinstance(node, Leontief):
+            # NOTE: unlike every other matrix op this runs DRIVER-SIDE
+            # actions at compile time (one scalar max per term + a
+            # localCheckpoint lineage cut) — the convergence depth is
+            # data-dependent by definition; see
+            # leontief_total_requirements's execution contract.
+            return leontief_total_requirements(
+                as_matrix(node.operand, "leontief()"), tol=node.tol
+            )
         raise FormulaError(
             f"{ctx} is supported on matrix variables and compositions of "
-            ".T/@/neumann() over them, not on elementwise compound "
-            "expressions — bind the subexpression to a name first"
+            ".T/@/neumann()/leontief() over them, not on elementwise "
+            "compound expressions — bind the subexpression to a name first"
         )
 
     def bind(t: TripletMatrix, base: str) -> FormulaExpr:
@@ -349,7 +359,7 @@ def _rewrite_matrix_ops(
         return Var(tname)
 
     def rw(node: FormulaExpr) -> FormulaExpr:
-        if isinstance(node, (Transpose, MatMul, Neumann)):
+        if isinstance(node, (Transpose, MatMul, Neumann, Leontief)):
             if node in vmemo:
                 return vmemo[node]
             if isinstance(node, Transpose):
@@ -361,6 +371,8 @@ def _rewrite_matrix_ops(
                 var = bind(as_matrix(node, "transpose ('.T')"), base)
             elif isinstance(node, Neumann):
                 var = bind(as_matrix(node, "neumann()"), f"__neu{len(extra)}__")
+            elif isinstance(node, Leontief):
+                var = bind(as_matrix(node, "leontief()"), f"__leo{len(extra)}__")
             else:
                 var = bind(as_matrix(node, "matmul ('@')"), f"__mm{len(extra)}__")
             vmemo[node] = var

@@ -2915,6 +2915,134 @@ FROM u GROUP BY 1, 2 ORDER BY 1, 2
 """
 
 
+# q235's label slice and cell transform. Nations 0..9 with src < dst
+# make the flow matrix STRICTLY UPPER TRIANGULAR — an acyclic supply
+# graph, so A is nilpotent (A^10 = 0) and the convergence-checked
+# Neumann iteration terminates EXACTLY, independent of tolerance: the
+# loop's per-term max-|value| action sees a genuinely empty term, the
+# same signal a productive-economy matrix gives when its terms decay
+# below tol, but deterministic — which is what lets DuckDB replicate
+# the data-dependent iteration with a FIXED 9-power expansion. Cells
+# are count%7+1 ∈ [1,7]: path products ≤ 7^9·2^8 ≈ 1e10 < 2^53, so
+# every product/sum is an exact float64 integer in both engines (the
+# q216/q220 exactness design, carried to data-dependent depth).
+Q235_MAX_NATION = 10
+Q235_CELL_MOD = 7
+
+
+def q235_leontief_requirements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``leontief(a, tol)`` from the formula GRAMMAR — the
+    convergence-checked Leontief total-requirements construction
+    (I - A)^-1 the reference's input-output domain names
+    (reference coeff_maker.py:1-13) but cannot express (no '@', no
+    identity, no iteration in pd.eval). q220 fixed the depth at the
+    call site; here the DATA picks the depth: the evaluator routes
+    the formula onto the triplet path, and
+    plans/triplet.leontief_total_requirements iterates contraction
+    joins until the remaining term's max |value| falls under tol —
+    one scalar driver action + a localCheckpoint lineage cut per
+    term, constant plan depth, never a dense inverse.
+
+    A = the nation→nation trade-flow matrix restricted to an ACYCLIC
+    slice (src nation < dst nation, nations < 10) with count%7+1
+    cells — strictly upper triangular ⇒ nilpotent ⇒ the iteration
+    terminates exactly when A^k empties (see Q235_MAX_NATION note),
+    making the data-dependent loop depth deterministic and every cell
+    an exact float64 integer, so the DuckDB oracle replays it as a
+    fixed 9-power expansion value-for-value. The base matrix is
+    localCheckpoint-ed ONCE before the iteration: each term and the
+    identity reference A, and without the cut each of the ~10 driver
+    actions would re-run the 4-table flow join.
+
+    100 TB: the flow build is a standard shuffle aggregate over the
+    fact table; every iterate is |sectors|² triplets (broadcast-sized
+    by construction — sector vocabularies are small at any data
+    scale), and the per-term checkpoint keeps the plan constant-depth
+    no matter how many terms convergence takes.
+    """
+    from ssb_coefficient_maker_spark.api import FormulaEvaluator
+    from ssb_coefficient_maker_spark.plans.triplet import (
+        COL_ID,
+        VALUE,
+        TripletMatrix,
+    )
+    from ssb_coefficient_maker_spark.session import ROW_ID
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = Q235_MAX_NATION
+    flows = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(
+            (F.col("s_nationkey") < n)
+            & (F.col("c_nationkey") < n)
+            & (F.col("s_nationkey") < F.col("c_nationkey"))
+        )
+        .groupBy(
+            F.col("s_nationkey").cast("string").alias(ROW_ID),
+            F.col("c_nationkey").cast("string").alias(COL_ID),
+        )
+        .agg(
+            (F.count(F.lit(1)) % Q235_CELL_MOD + 1).cast("double").alias(VALUE)
+        )
+        .localCheckpoint()
+    )
+    ev = FormulaEvaluator(
+        {"a": TripletMatrix(flows)}, spark=spark, validation="defer"
+    )
+    total = ev.evaluate_formula("leontief(a, 0.001)")
+    return total.select(
+        F.col(ROW_ID).cast("long").alias("src_nation"),
+        F.col(COL_ID).cast("long").alias("dst_nation"),
+        F.col(VALUE).cast("long").alias("total_req"),
+    ).orderBy("src_nation", "dst_nation")
+
+
+def _leontief_oracle_sql() -> str:
+    """DuckDB replica of q235: the same acyclic flow matrix, expanded
+    to the FIXED 9-power series — exactly what the engine's
+    convergence loop computes on a nilpotent 10-label matrix (A^10 and
+    beyond are empty; powers already empty contribute nothing)."""
+    n = Q235_MAX_NATION
+    powers = []
+    prev = "a"
+    for i in range(2, n):
+        powers.append(
+            f"a{i} AS (SELECT x.r, y.c, sum(x.v * y.v) AS v "
+            f"FROM {prev} x JOIN a y ON x.c = y.r GROUP BY 1, 2)"
+        )
+        prev = f"a{i}"
+    unions = "\n  ".join(
+        f"UNION ALL SELECT * FROM a{i}" for i in range(2, n)
+    )
+    return f"""
+WITH a AS (
+  SELECT CAST(s_nationkey AS VARCHAR) AS r, CAST(c_nationkey AS VARCHAR) AS c,
+         CAST(count(*) % {Q235_CELL_MOD} + 1 AS DOUBLE) AS v
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE s_nationkey < {n} AND c_nationkey < {n}
+    AND s_nationkey < c_nationkey
+  GROUP BY 1, 2
+), {', '.join(powers)},
+lbl AS (SELECT r AS l FROM a UNION SELECT c FROM a),
+u AS (
+  SELECT l AS r, l AS c, 1.0 AS v FROM lbl
+  UNION ALL SELECT * FROM a
+  {unions}
+)
+SELECT CAST(r AS BIGINT) AS src_nation, CAST(c AS BIGINT) AS dst_nation,
+       CAST(sum(v) AS BIGINT) AS total_req
+FROM u GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 Q218_TOP_K = 12
 Q218_SKETCH_K = 50
 Q218_TRACKED = 1024
@@ -11359,6 +11487,9 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "q229_tokenizer_fertility": QuerySpec(
         text.q229_tokenizer_fertility, _Q229_ORACLE, "text"
+    ),
+    "q235_leontief_requirements": QuerySpec(
+        q235_leontief_requirements, _leontief_oracle_sql(), "formula"
     ),
     "q234_lsh_store_roundtrip": QuerySpec(
         dedup.q234_lsh_store_roundtrip,

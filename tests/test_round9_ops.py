@@ -338,3 +338,126 @@ class TestLshStoreRoundtrip:
         frames = get_cache("lsh_store_index").pinned_frames()
         assert len(frames) == 2
         release_all()
+
+
+# ----------------------------------- leontief(a, tol) in the grammar
+
+
+class TestLeontiefFormula:
+    """``leontief(a[, tol])`` — the convergence-checked Leontief
+    total-requirements construction reachable from formula strings
+    (VERDICT r8 item 6: ``neumann(a, k)`` made the caller pick the
+    depth; here the data does)."""
+
+    def _fe(self, spark, **frames):
+        from ssb_coefficient_maker_spark.api import FormulaEvaluator
+
+        return FormulaEvaluator(frames, spark=spark)
+
+    def _a(self, scale=0.5):
+        import numpy as np
+        import pandas as pd
+
+        rng = np.random.default_rng(35)
+        raw = rng.uniform(0.1, 1.0, size=(4, 4))
+        lbl = list("wxyz")
+        return pd.DataFrame(
+            raw / raw.sum(axis=0) * scale, index=lbl, columns=lbl
+        )
+
+    def test_matches_numpy_inverse(self, spark):
+        import numpy as np
+
+        a = self._a()
+        got = self._fe(spark, a=a).evaluate_to_pandas("leontief(a, 1e-12)")
+        got = got.sort_index()[sorted(got.columns)]
+        exp = np.linalg.inv(np.eye(4) - a.values)
+        assert np.allclose(got.values, exp, atol=1e-9)
+
+    def test_default_tol(self, spark):
+        import numpy as np
+
+        a = self._a()
+        got = self._fe(spark, a=a).evaluate_to_pandas("leontief(a)")
+        got = got.sort_index()[sorted(got.columns)]
+        exp = np.linalg.inv(np.eye(4) - a.values)
+        assert np.allclose(got.values, exp, atol=1e-7)
+
+    def test_gross_output_workflow(self, spark):
+        """x = (I - A)^-1 d in ONE formula string: leontief composing
+        inside a matmul — the full input-output ask, with the data
+        (not the caller) choosing the series depth."""
+        import numpy as np
+        import pandas as pd
+
+        a = self._a()
+        d = pd.DataFrame(
+            {"demand": [10.0, 20.0, 30.0, 40.0]}, index=list("wxyz")
+        )
+        got = self._fe(spark, a=a, d=d).evaluate_to_pandas(
+            "leontief(a, 1e-10) @ d"
+        )
+        exp = np.linalg.inv(np.eye(4) - a.values) @ d.values
+        assert np.allclose(
+            got.sort_index()["demand"].values, exp.ravel(), atol=1e-7
+        )
+
+    def test_tol_must_be_literal_positive(self, spark):
+        import pytest
+
+        from ssb_coefficient_maker_spark.formula.parser import (
+            FormulaError,
+            parse_formula,
+        )
+
+        for bad in (
+            "leontief(a, 0)",
+            "leontief(a, -1e-5)",
+            "leontief(a, t)",
+            "leontief(a, 1e-5, 3)",
+            "leontief()",
+        ):
+            with pytest.raises(FormulaError, match="leontief"):
+                parse_formula(bad)
+
+    def test_divergent_matrix_raises_through_formula(self, spark):
+        import pytest
+
+        a = self._a(scale=1.6)  # spectral radius > 1
+        with pytest.raises(ValueError, match="converge"):
+            self._fe(spark, a=a).evaluate_formula("leontief(a, 1e-10)")
+
+    def test_adp_refuses_driver_side(self, spark):
+        import pytest
+
+        from ssb_coefficient_maker_spark.api import FormulaEvaluator
+
+        fe = FormulaEvaluator({"a": self._a()}, spark=spark, adp_enabled=True)
+        with pytest.raises(NotImplementedError, match="leontief"):
+            fe.evaluate_formula("leontief(a)")
+
+    def test_wide_path_refuses(self, spark):
+        import pytest
+
+        from ssb_coefficient_maker_spark.formula.parser import (
+            FormulaError,
+            parse_formula,
+        )
+        from ssb_coefficient_maker_spark.plans.alignment import _to_column
+
+        with pytest.raises(FormulaError, match="triplet"):
+            _to_column(parse_formula("leontief(a)"), lambda n: None)
+
+    def test_variables_and_routing_predicates(self, spark):
+        from ssb_coefficient_maker_spark.formula.parser import (
+            contains_matmul,
+            contains_transpose,
+            extract_variables,
+            parse_formula,
+        )
+
+        e = parse_formula("leontief(a, 1e-8) @ d + b")
+        assert extract_variables(e) == ["a", "d", "b"]
+        assert contains_matmul(e)
+        assert contains_transpose(parse_formula("leontief(a.T)"))
+        assert not contains_transpose(e)
