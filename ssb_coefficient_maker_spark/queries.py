@@ -11952,149 +11952,145 @@ REGISTRY: dict[str, QuerySpec] = {
 }
 
 
-# Driver-coverage rotation (see `queries()` docstring for the
-# ordering contract): round-8 head = the four formula-path names whose
-# imported modules (formula/parser, plans/alignment, plans/triplet,
-# api) changed in rounds 7 AND 8 after their last driver look (VERDICT
-# r7 item 1), the seven NEW round-8 queries (matmul, probe-append
-# cycle, heavy-hitter audit, theta set algebra, Neumann flow reach,
-# IVF ingest cycle, bloom membership audit), and the five names
-# whose code changed
-# in round 8 (q50/q115 guard rework, q185 empty-text bounds,
-# q35/q56 via the ivf_probe refactor). Then the
-# oldest-verdict rotation (VERDICT r7 item 7): every name whose latest
-# driver sample is round 3, oldest-first — 40 of the 47 fit this
-# round's 50-slot sample; the remainder lead the next rotation.
+# MECHANICALLY DERIVED — regenerate with `python tools/driver_priority.py`
+# (round-9 rule, VERDICT r8 item 1): a query leads iff its driver
+# evidence is stale — never sampled (new this round: q234 storage
+# round-trip, q235 leontief), or its symbol-closure code changed
+# since the round its latest verdict was collected (q154's r8
+# rewrite vs its r5 verdict is the motivating catch; the round-9
+# parser/cachereg/dedup/similarity edits mark the formula and
+# cache-touching families). Groups: never-sampled, then stale, then
+# the rest — each oldest-verdict first, so the r3-era rotation debt
+# (VERDICT r8 item 2) fills the remaining sample slots.
 _DRIVER_PRIORITY = (
-    # -- new this round: never driver-sampled --
-    "q230_semantic_dedup",
-    "q231_segment_dedup",
-    "q232_segment_dedup_ingest",
-    "q233_lsh_recall_audit",
-    "q223_anonymity_risk_audit",
-    "q224_dp_noised_release",
-    "q225_bottomk_sample_audit",
-    "q226_bpe_merge_rounds",
-    "q227_streaming_upsert_mor",
-    "q228_ann_recall_audit",
-    "q229_tokenizer_fertility",
+    "q235_leontief_requirements",
+    "q234_lsh_store_roundtrip",
+    "q78_train_test_split",
+    "q96_stratified_sample",
+    "q77_dedup_clusters",
+    "q124_bigram_pmi",
+    "q154_dup_ngram_coverage",
+    "q156_market_basket",
+    "q158_triangle_count",
+    "q184_bfs_reach",
+    "q81_pq_topk",
     "q24_formula_coeffmap",
-    "q58_fused_coeffmap",
     "q73_adp_precision",
-    "q114_triplet_wide_formula",
+    "q58_fused_coeffmap",
+    "q233_lsh_recall_audit",
+    "q232_segment_dedup_ingest",
+    "q31_minhash_neardup",
+    "q215_incremental_neardup_probe",
     "q216_formula_matmul",
     "q217_lsh_probe_append_cycle",
-    "q218_heavy_hitters_audit",
-    "q219_theta_set_algebra_audit",
-    "q220_neumann_flow_reach",
-    "q221_ivf_ingest_probe",
-    "q222_bloom_membership_audit",
-    # -- round-8 session-2 edits: lineage cache (cachereg/dedup/similarity) --
-    "q215_incremental_neardup_probe",
-    "q31_minhash_neardup",
-    "q57_lsh_neardup",
+    "q228_ann_recall_audit",
     "q35_ivf_topk",
-    "q56_kmeans_ivf",
-    "q50_embedding_neardup",
-    "q115_celled_neardup",
-    "q185_cdc_chunking",
-    # -- oldest-verdict rotation: latest driver look is r3 --
-    "q01_pricing_summary",
-    "q02_filter_project",
-    "q03_top_revenue_orders",
-    "q04_priority_exists",
-    "q05_regional_revenue",
-    "q06_revenue_change",
-    "q07_semi_join",
-    "q08_anti_join",
-    "q09_topk_per_group",
-    "q10_running_sum",
-    "q11_rollup",
-    "q12_cube",
-    "q13_distinct_agg",
-    "q14_setop_intersect",
-    "q15_setop_except",
-    "q16_union_all",
-    "q17_date_functions",
-    "q18_json_extract",
-    "q19_array_functions",
-    "q20_window_tumbling",
+    "q221_ivf_ingest_probe",
+    "q230_semantic_dedup",
+    "q57_lsh_neardup",
+    "q114_triplet_wide_formula",
     "q21_window_sliding",
+    "q69_interval_join",
     "q22_range_join",
     "q23_case_when",
     "q59_partition_pruning",
     "q64_bucketed_join",
     "q65_partition_backfill",
-    "q66_tfidf_top_terms",
-    "q69_interval_join",
     "q70_salted_join",
     "q71_schema_evolution",
     "q72_batch_topk",
-    "q75_udtf_rle",
-    "q78_train_test_split",
-    "q79_lang_centroid_distance",
     "q82_profile",
     "q83_llm_pipeline",
     "q84_rolling_range_window",
+    "q92_gap_fill",
+    "q93_argmax_agg",
+    "q94_funnel",
+    "q95_histogram",
     "q85_map_functions",
     "q86_batch_sessions",
     "q87_array_predicates",
     "q88_correlation",
     "q89_nullsafe_join",
-    "q92_gap_fill",
-    "q93_argmax_agg",
-    "q94_funnel",
-    "q95_histogram",
-    "q96_stratified_sample",
-    # -- newer-verdict names (r4+), prior relative order --
-    "q166_heaps_law",
-    "q107_stream_stream_join",
-    "q110_stream_static_join",
-    "q63_streaming_tumbling",
-    "q76_streaming_dedup",
-    "q80_streaming_sink",
-    "q105_incremental_mv",
-    "q215_incremental_neardup_probe",
-    "q31_minhash_neardup",
-    "q33_simhash",
-    "q211_quality_length_calibration",
-    "q194_fuzzy_name_join",
-    "q25_text_stats",
-    "q26_quality_score",
-    "q27_token_count",
-    "q28_lang_id",
-    "q29_fingerprint",
-    "q30_exact_dedup",
-    "q32_ngram_jaccard",
-    "q34_cosine_topk",
-    "q36_embedding_stats",
-    "q37_media_bytes",
-    "q38_asof_join",
-    "q39_percentiles",
-    "q40_stats_agg",
-    "q41_grouping_sets",
-    "q42_string_functions",
-    "q43_pivot",
-    "q45_unpivot",
-    "q46_decimal_agg",
-    "q47_posexplode",
-    "q49_lag_lead",
-    "q51_below_brand_average",
-    "q90_repetition_filter",
-    "q91_decontamination",
-    "q101_pii_redaction",
-    "q111_constraint_audit",
-    "q122_join_skew_diagnostics",
-    "q123_winsorize",
-    "q126_scd2_build",
-    "q129_cumulative_distinct_users",
-    "q81_pq_topk",
-    "q133_equal_freq_binning",
-    "q134_mad_outliers",
-    "q135_nation_pagerank",
-    "q136_streaming_sliding",
-    "q137_grouped_ols",
-    "q44_approx_distinct",
+    "q79_lang_centroid_distance",
+    "q75_udtf_rle",
+    "q66_tfidf_top_terms",
+    "q67_doc_chunking",
+    "q68_sequence_packing",
+    "q60_csv_scan",
+    "q61_json_scan",
+    "q62_approx_percentile",
+    "q74_frame_sampling",
+    "q55_large_volume_orders",
+    "q52_nation_volume",
+    "q53_market_share",
+    "q54_pipeline_filter_dedup_stats",
+    "q48_null_functions",
+    "q97_merge_upsert",
+    "q98_cohort_retention",
+    "q99_exact_group_sample",
+    "q100_temperature_mixing",
+    "q102_quantile_normalize",
+    "q103_int8_quantization",
+    "q104_dpp_prune_join",
+    "q106_runtime_filter_join",
+    "q108_grouped_agg_udaf",
+    "q109_compact_small_files",
+    "q113_word_entropy",
+    "q112_snapshot_diff",
+    "q121_zorder_clustering",
+    "q125_record_linkage",
+    "q128_hierarchy_shares",
+    "q127_point_in_time_join",
+    "q116_correlated_scalar_subquery",
+    "q117_scalar_aggregate_reuse",
+    "q118_universal_quantification",
+    "q119_having_global_share",
+    "q120_rolling_features",
+    "q152_boilerplate_detect",
+    "q153_mix_rebalance",
+    "q155_unigram_xent",
+    "q157_seasonality_index",
+    "q159_setsim_prefix_join",
+    "q160_skyline",
+    "q161_rrf_fusion",
+    "q162_mutual_information",
+    "q163_cusum_changepoint",
+    "q164_weighted_median",
+    "q165_linear_attribution",
+    "q167_bot_rate_audit",
+    "q168_max_concurrency",
+    "q169_diverse_topk",
+    "q170_langid_confusion",
+    "q171_cross_source_overlap",
+    "q172_blob_chunk_digests",
+    "q173_qq_drift",
+    "q174_embedding_norm_qa",
+    "q175_dim_variance_profile",
+    "q176_packing_efficiency_curve",
+    "q177_top_gram_coverage",
+    "q178_token_budget_fill",
+    "q179_orc_scan",
+    "q180_abc_analysis",
+    "q181_spearman_length_bias",
+    "q182_nearest_event_join",
+    "q183_symspell_join",
+    "q150_media_dedup",
+    "q151_top_decile_curation",
+    "q149_incremental_dedup",
+    "q145_rolling_corr",
+    "q146_kl_drift",
+    "q147_time_to_convert",
+    "q148_containment_dedup",
+    "q143_linear_interp",
+    "q144_group_impute",
+    "q138_weighted_sample",
+    "q139_range_bucketize",
+    "q140_top_paths",
+    "q141_chi_square",
+    "q142_benford_digits",
+    "q130_bm25_topk",
+    "q131_salted_skew_join",
+    "q132_last_touch_attribution",
     "q186_pivot_matrix",
     "q187_unpivot_metrics",
     "q188_window_rank_family",
@@ -12122,90 +12118,86 @@ _DRIVER_PRIORITY = (
     "q212_time_weighted_avg",
     "q213_conjunctive_retrieval",
     "q214_weighted_jaccard_verify",
-    "q184_bfs_reach",
-    "q182_nearest_event_join",
-    "q183_symspell_join",
-    "q179_orc_scan",
-    "q180_abc_analysis",
-    "q181_spearman_length_bias",
-    "q174_embedding_norm_qa",
-    "q175_dim_variance_profile",
-    "q176_packing_efficiency_curve",
-    "q177_top_gram_coverage",
-    "q178_token_budget_fill",
-    "q172_blob_chunk_digests",
-    "q173_qq_drift",
-    "q168_max_concurrency",
-    "q169_diverse_topk",
-    "q170_langid_confusion",
-    "q171_cross_source_overlap",
-    "q162_mutual_information",
-    "q163_cusum_changepoint",
-    "q164_weighted_median",
-    "q165_linear_attribution",
-    "q167_bot_rate_audit",
-    "q156_market_basket",
-    "q157_seasonality_index",
-    "q158_triangle_count",
-    "q159_setsim_prefix_join",
-    "q160_skyline",
-    "q161_rrf_fusion",
-    "q152_boilerplate_detect",
-    "q153_mix_rebalance",
-    "q154_dup_ngram_coverage",
-    "q155_unigram_xent",
-    "q151_top_decile_curation",
-    "q150_media_dedup",
-    "q149_incremental_dedup",
-    "q145_rolling_corr",
-    "q146_kl_drift",
-    "q147_time_to_convert",
-    "q148_containment_dedup",
-    "q143_linear_interp",
-    "q144_group_impute",
-    "q138_weighted_sample",
-    "q139_range_bucketize",
-    "q140_top_paths",
-    "q141_chi_square",
-    "q142_benford_digits",
-    "q130_bm25_topk",
-    "q131_salted_skew_join",
-    "q132_last_touch_attribution",
-    "q124_bigram_pmi",
-    "q128_hierarchy_shares",
-    "q127_point_in_time_join",
-    "q125_record_linkage",
-    "q121_zorder_clustering",
-    "q116_correlated_scalar_subquery",
-    "q117_scalar_aggregate_reuse",
-    "q118_universal_quantification",
-    "q119_having_global_share",
-    "q120_rolling_features",
-    "q97_merge_upsert",
-    "q98_cohort_retention",
-    "q99_exact_group_sample",
-    "q100_temperature_mixing",
-    "q102_quantile_normalize",
-    "q103_int8_quantization",
-    "q104_dpp_prune_join",
-    "q106_runtime_filter_join",
-    "q108_grouped_agg_udaf",
-    "q109_compact_small_files",
-    "q112_snapshot_diff",
-    "q113_word_entropy",
-    "q48_null_functions",
-    "q52_nation_volume",
-    "q53_market_share",
-    "q54_pipeline_filter_dedup_stats",
-    "q55_large_volume_orders",
-    "q57_lsh_neardup",
-    "q60_csv_scan",
-    "q61_json_scan",
-    "q62_approx_percentile",
-    "q67_doc_chunking",
-    "q68_sequence_packing",
-    "q74_frame_sampling",
-    "q77_dedup_clusters",
+    "q137_grouped_ols",
+    "q44_approx_distinct",
+    "q76_streaming_dedup",
+    "q80_streaming_sink",
+    "q63_streaming_tumbling",
+    "q25_text_stats",
+    "q26_quality_score",
+    "q27_token_count",
+    "q28_lang_id",
+    "q29_fingerprint",
+    "q90_repetition_filter",
+    "q91_decontamination",
+    "q30_exact_dedup",
+    "q32_ngram_jaccard",
+    "q33_simhash",
+    "q34_cosine_topk",
+    "q166_heaps_law",
+    "q194_fuzzy_name_join",
+    "q211_quality_length_calibration",
+    "q133_equal_freq_binning",
+    "q134_mad_outliers",
+    "q135_nation_pagerank",
+    "q136_streaming_sliding",
+    "q36_embedding_stats",
+    "q37_media_bytes",
+    "q38_asof_join",
+    "q39_percentiles",
+    "q40_stats_agg",
+    "q41_grouping_sets",
+    "q42_string_functions",
+    "q43_pivot",
+    "q45_unpivot",
+    "q46_decimal_agg",
+    "q47_posexplode",
+    "q49_lag_lead",
+    "q51_below_brand_average",
+    "q101_pii_redaction",
+    "q105_incremental_mv",
+    "q107_stream_stream_join",
+    "q110_stream_static_join",
+    "q111_constraint_audit",
+    "q122_join_skew_diagnostics",
+    "q123_winsorize",
+    "q126_scd2_build",
+    "q129_cumulative_distinct_users",
+    "q01_pricing_summary",
+    "q02_filter_project",
+    "q03_top_revenue_orders",
+    "q05_regional_revenue",
+    "q06_revenue_change",
+    "q07_semi_join",
+    "q08_anti_join",
+    "q09_topk_per_group",
+    "q10_running_sum",
+    "q11_rollup",
+    "q12_cube",
+    "q13_distinct_agg",
+    "q14_setop_intersect",
+    "q15_setop_except",
+    "q16_union_all",
+    "q17_date_functions",
+    "q18_json_extract",
+    "q19_array_functions",
+    "q20_window_tumbling",
+    "q04_priority_exists",
+    "q231_segment_dedup",
+    "q185_cdc_chunking",
+    "q218_heavy_hitters_audit",
+    "q219_theta_set_algebra_audit",
+    "q220_neumann_flow_reach",
+    "q222_bloom_membership_audit",
+    "q223_anonymity_risk_audit",
+    "q224_dp_noised_release",
+    "q225_bottomk_sample_audit",
+    "q226_bpe_merge_rounds",
+    "q227_streaming_upsert_mor",
+    "q229_tokenizer_fertility",
+    "q56_kmeans_ivf",
+    "q50_embedding_neardup",
+    "q115_celled_neardup",
 )
 
 

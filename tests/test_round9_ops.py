@@ -461,3 +461,37 @@ class TestLeontiefFormula:
         assert contains_matmul(e)
         assert contains_transpose(parse_formula("leontief(a.T)"))
         assert not contains_transpose(e)
+
+
+# ----------------------------------- driver-priority derivation gate
+
+
+class TestDriverPriorityGate:
+    def test_head_covers_never_sampled_and_stale(self):
+        """The CI half of VERDICT r8 item 1: queries.py's
+        _DRIVER_PRIORITY must keep every never-sampled query and every
+        stale query (code changed since its latest driver verdict,
+        symbol-closure rule) inside the driver's 50-slot sample
+        prefix. Regenerate with `python tools/driver_priority.py`
+        whenever this fails."""
+        import os
+        import sys
+
+        sys.path.insert(
+            0,
+            os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools"),
+        )
+        import driver_priority as dp
+
+        from ssb_coefficient_maker_spark.queries import queries
+
+        ordered, info = dp.derive()
+        must = set(info["never"]) | (
+            info["stale"] & set(ordered[: dp.SAMPLE_SLOTS])
+        )
+        current_head = set(list(queries())[: dp.SAMPLE_SLOTS])
+        missing = must - current_head
+        assert not missing, (
+            f"stale head — regenerate with tools/driver_priority.py: "
+            f"{sorted(missing)}"
+        )
