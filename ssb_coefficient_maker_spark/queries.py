@@ -2888,7 +2888,7 @@ def q220_neumann_flow_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q220_ORACLE = """
-WITH a AS (
+WITH a AS MATERIALIZED (
   SELECT CAST(s_nationkey AS VARCHAR) AS r, CAST(c_nationkey AS VARCHAR) AS c,
          CAST(count(*) AS DOUBLE) AS v
   FROM lineitem
@@ -3006,7 +3006,13 @@ def _leontief_oracle_sql() -> str:
     """DuckDB replica of q235: the same acyclic flow matrix, expanded
     to the FIXED 9-power series — exactly what the engine's
     convergence loop computes on a nilpotent 10-label matrix (A^10 and
-    beyond are empty; powers already empty contribute nothing)."""
+    beyond are empty; powers already empty contribute nothing).
+
+    ``a`` is AS MATERIALIZED: without it DuckDB inlines the 4-table
+    flow join into all 8 power CTEs and the replicated join pipelines
+    spilled >100 GB of temp at sf1 (measured — it filled the disk);
+    materialized, ``a`` computes once into ≤45 rows and every power
+    is a trivial join."""
     n = Q235_MAX_NATION
     powers = []
     prev = "a"
@@ -3020,7 +3026,7 @@ def _leontief_oracle_sql() -> str:
         f"UNION ALL SELECT * FROM a{i}" for i in range(2, n)
     )
     return f"""
-WITH a AS (
+WITH a AS MATERIALIZED (
   SELECT CAST(s_nationkey AS VARCHAR) AS r, CAST(c_nationkey AS VARCHAR) AS c,
          CAST(count(*) % {Q235_CELL_MOD} + 1 AS DOUBLE) AS v
   FROM lineitem
