@@ -1,12 +1,15 @@
 """Unified lifecycle for every session-scoped pinned-DataFrame cache.
 
 The engine keeps its build-once/probe-many artifacts persisted in
-executor memory — as of round 8 twelve named caches: the MinHash
-shingle table, the LSH corpus index + the ingest cycle's own slot
-(operators/dedup.py), the distinct-segment index (q232), the IVF
-index + its ingest slot, the PQ code table, the q57 planted key
-table, the semantic-dedup assignment (operators/similarity.py), the
-dedup cluster map, basket pairs, and BFS reach (queries.py). At
+executor memory — as of round 9 fourteen named caches: the MinHash
+shingle table, the LSH corpus index + the ingest cycle's own slot,
+the STORED-index reload slot (q234 'lsh_store_index' — the pinned
+read path over the parquet-backed index, operators/dedup.py), the
+distinct-segment index (q232), the IVF index + its ingest slot, the
+PQ code table, the q57 planted key table, the semantic-dedup
+assignment (operators/similarity.py), the dedup cluster map, basket
+pairs, BFS reach, and the converged Leontief total-requirements
+matrix (q235 'leontief_requirements', queries.py). At
 100 TB each is a materialized table on storage; the persisted
 DataFrame is the local-session stand-in. Budget: every cache pins AT
 MOST one corpus (cap-at-one below), and the ingest-lineage caches
