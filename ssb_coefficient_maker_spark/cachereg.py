@@ -1,10 +1,11 @@
 """Unified lifecycle for every session-scoped pinned-DataFrame cache.
 
 The engine keeps its build-once/probe-many artifacts persisted in
-executor memory — as of round 9 fourteen named caches: the MinHash
+executor memory — as of round 9 fifteen named caches: the MinHash
 shingle table, the LSH corpus index + the ingest cycle's own slot,
-the STORED-index reload slot (q234 'lsh_store_index' — the pinned
-read path over the parquet-backed index, operators/dedup.py), the
+the STORED-index reload slots (q234 'lsh_store_index' and q236
+'ivf_store_index' — the pinned read paths over the parquet-backed
+indexes, operators/dedup.py and operators/similarity.py), the
 distinct-segment index (q232), the IVF index + its ingest slot, the
 PQ code table, the q57 planted key table, the semantic-dedup
 assignment (operators/similarity.py), the dedup cluster map, basket

@@ -429,6 +429,198 @@ def q221_ivf_ingest_probe(
     return ivf_probe(grown, q, qvals, k=k, nprobe=nprobe, exclude_id=0)
 
 
+# ------------------------------------------- stored IVF index (q236)
+#
+# The ANN twin of the stored LSH index (operators/dedup.py, q234):
+# the same base + merge-on-read-delta parquet layout, applied to the
+# IVF index's two artifacts — the FROZEN coarse quantizer (k×dim
+# centroids, written once at base build; appends assign against the
+# STORED centroids, never retrain) and the bucket assignment table
+# (base + one batch-sized delta segment per ingest day, base files
+# never rewritten). Root keyed by source fingerprint + (n_centroids,
+# iters) geometry: a stored index trained under different parameters
+# is wrong, not stale, and must never be reloaded.
+#
+#   <root>/centroids/            (bucket, centroid array<double>)
+#   <root>/base/assignment/      (vec_id, label, embedding, bucket)
+#   <root>/delta/<name>/assignment/
+#
+# Exactness contract: trained centroids are snapped to the 1e-6 grid
+# (kmeans_centroids), and parquet doubles round-trip bit-exactly, so
+# assignments computed against reloaded centroids are bit-identical
+# to the in-memory cycle — which is what lets q236 share q221's
+# value oracle verbatim.
+
+
+def ivf_store_root(sf_dir: str, n_centroids: int = 20, iters: int = 3) -> str:
+    from ssb_coefficient_maker_spark.sources.derived import _derived_root
+
+    return _derived_root(sf_dir, f"ivf_store_k{n_centroids}_i{iters}_v1")
+
+
+def _ivf_part_done(path: str) -> bool:
+    import os
+
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def ivf_store_segments(root: str) -> tuple[str, ...]:
+    """Complete assignment segments, base first then deltas in name
+    order — the load set and the pinned-cache corpus key (a new delta
+    is a corpus-key change: cap-at-one evicts the pre-append pin)."""
+    import os
+
+    segs: list[str] = []
+    if _ivf_part_done(os.path.join(root, "base", "assignment")):
+        segs.append("base")
+    try:
+        names = sorted(
+            e.name for e in os.scandir(os.path.join(root, "delta")) if e.is_dir()
+        )
+    except FileNotFoundError:
+        names = []
+    segs.extend(
+        f"delta/{n}"
+        for n in names
+        if _ivf_part_done(os.path.join(root, "delta", n, "assignment"))
+    )
+    return segs and tuple(segs) or ()
+
+
+def _load_stored_centroids(spark: SparkSession, root: str) -> list[list[float]]:
+    import os
+
+    path = os.path.join(root, "centroids")
+    if not _ivf_part_done(path):
+        raise ValueError(
+            f"ivf store at {root!r} has no centroids — write_ivf_store_base first"
+        )
+    rows = spark.read.parquet(path).orderBy("bucket").collect()
+    return [[float(x) for x in r["centroid"]] for r in rows]
+
+
+def write_ivf_store_base(
+    emb: DataFrame, root: str, n_centroids: int = 20, iters: int = 3
+) -> bool:
+    """Train the coarse quantizer on ``emb`` and materialize BOTH
+    artifacts to storage (idempotent: a complete base is never
+    rewritten). The training is the one Lloyd run the index ever
+    pays; every later append assigns against these stored centroids.
+    Returns True iff this call wrote."""
+    import os
+
+    seg = os.path.join(root, "base", "assignment")
+    cent_dir = os.path.join(root, "centroids")
+    if _ivf_part_done(seg) and _ivf_part_done(cent_dir):
+        return False
+    spark = emb.sparkSession
+    cents = kmeans_centroids(emb, k=n_centroids, iters=iters)
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)],
+        "bucket int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(cent_dir)
+    # assign against the STORED copy, not the in-memory list — the
+    # base rows must be the exact function of what later appends and
+    # reloads will read
+    stored = _load_stored_centroids(spark, root)
+    assign_buckets(emb, stored).write.mode("overwrite").parquet(seg)
+    return True
+
+
+def append_ivf_store_delta(new_emb: DataFrame, root: str, name: str) -> bool:
+    """Ingest a vector batch into the STORED index: one map-only
+    assignment of the new rows against the stored (frozen) centroids,
+    written as delta segment ``name``. Base files untouched; a
+    complete delta is never rewritten (idempotent ingest days).
+    Returns True iff this call wrote."""
+    import os
+
+    if not _ivf_part_done(os.path.join(root, "base", "assignment")):
+        raise ValueError(
+            f"ivf store at {root!r} has no complete base — "
+            "write_ivf_store_base first"
+        )
+    seg = os.path.join(root, "delta", name, "assignment")
+    if _ivf_part_done(seg):
+        return False
+    cents = _load_stored_centroids(new_emb.sparkSession, root)
+    assign_buckets(new_emb, cents).write.mode("overwrite").parquet(seg)
+    return True
+
+
+def load_ivf_store(
+    spark: SparkSession, root: str
+) -> tuple[list[list[float]], DataFrame]:
+    """Reload the stored IVF index — the restart path: centroids come
+    back driver-side (k×dim doubles, exact), all complete assignment
+    segments read in ONE multi-path parquet scan, persisted and
+    pinned ('ivf_store_index') under corpus key (root, segment set) —
+    one generation in executor memory, the store on disk the durable
+    truth (same lifecycle as load_lsh_store)."""
+    import os
+
+    from ssb_coefficient_maker_spark.cachereg import get_cache
+
+    segs = ivf_store_segments(root)
+    if not segs:
+        raise ValueError(f"no complete ivf store segments under {root!r}")
+    cache = get_cache("ivf_store_index")
+    corpus = (root, segs)
+    hit = cache.lookup(corpus, ())
+    if hit is not None:
+        return hit
+    cents = _load_stored_centroids(spark, root)
+    assigned = spark.read.parquet(
+        *[os.path.join(root, s, "assignment") for s in segs]
+    ).persist()
+    assigned.count()
+    return cache.store(corpus, (), (cents, assigned), pinned=[assigned])
+
+
+def q236_ivf_store_roundtrip(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    n_centroids: int = 20,
+    nprobe: int = 3,
+) -> DataFrame:
+    """The q221 ANN ingest cycle run THROUGH STORAGE — q234's
+    restart/recovery proof extended to the second index family: the
+    trained quantizer and base assignment persist as parquet, the
+    ingest day assigns ONLY the new batch against the STORED frozen
+    centroids and appends a delta segment (base untouched), and the
+    probe reads the reloaded merged store. Same vec_id split, same
+    probe, same value truth as q221 — the DuckDB oracle is shared
+    verbatim, so equal output IS the storage-roundtrip claim (the
+    1e-6 centroid snap + exact parquet double round-trip make stored
+    and in-memory assignments bit-identical).
+
+    Warm runs (store complete): both writes skip, the reload is a
+    cache hit, and ONLY the probe executes — q221's steady state,
+    surviving a restart (tested via cachereg.release_all between
+    write and load, with the q234 plan assertions).
+
+    100 TB: the base build is the one Lloyd train; each ingest day is
+    a map-only batch assignment + a batch-sized parquet append; the
+    reload is a metadata-bounded multi-path scan of the assignment
+    table. This is the stored-table contract every pinned index
+    docstring promises (cachereg.py), executed end to end.
+    """
+    import os
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = Q221_INGEST_MOD
+    corpus = emb.filter(F.col("vec_id") % m != m - 1)
+    batch = emb.filter(F.col("vec_id") % m == m - 1)
+    root = ivf_store_root(sf_dir, n_centroids=n_centroids)
+    if not _ivf_part_done(os.path.join(root, "delta", "day1", "assignment")):
+        write_ivf_store_base(corpus, root, n_centroids=n_centroids)
+        append_ivf_store_delta(batch, root, "day1")
+    index = load_ivf_store(spark, root)
+    q, qvals = _query_vector(spark, sf_dir, 0)
+    return ivf_probe(index, q, qvals, k=k, nprobe=nprobe, exclude_id=0)
+
+
 def q36_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label embedding stats: count + mean L2 norm (sanity surface
     for the vector column)."""

@@ -11568,6 +11568,17 @@ REGISTRY: dict[str, QuerySpec] = {
     "q221_ivf_ingest_probe": QuerySpec(
         similarity.q221_ivf_ingest_probe, _Q221_ORACLE, "similarity"
     ),
+    "q236_ivf_store_roundtrip": QuerySpec(
+        similarity.q236_ivf_store_roundtrip,
+        # SAME truth as q221 — the ANN cycle through parquet storage
+        # (train+persist quantizer, reload, frozen-centroid delta
+        # append, probe the merged store) must land the identical
+        # top-k; the 1e-6 centroid snap + exact parquet double
+        # round-trip make stored and in-memory assignments
+        # bit-identical
+        _Q221_ORACLE,
+        "similarity",
+    ),
     "q230_semantic_dedup": QuerySpec(
         similarity.q230_semantic_dedup, _Q230_ORACLE, "dedup"
     ),
@@ -11975,10 +11986,10 @@ REGISTRY: dict[str, QuerySpec] = {
 
 # MECHANICALLY DERIVED — regenerate with `python tools/driver_priority.py`
 # (round-9 rule, VERDICT r8 item 1): a query leads iff its driver
-# evidence is stale — never sampled (new this round: q234 storage
-# round-trip, q235 leontief), or its symbol-closure code changed
-# since the round its latest verdict was collected (q154's r8
-# rewrite vs its r5 verdict is the motivating catch; the round-9
+# evidence is stale — never sampled (new this round: q234/q236
+# storage round-trips, q235 leontief), or its symbol-closure code
+# changed since the round its latest verdict was collected (q154's
+# r8 rewrite vs its r5 verdict is the motivating catch; the round-9
 # parser/cachereg/dedup/similarity edits mark the formula and
 # cache-touching families). Groups: never-sampled, then stale, then
 # the rest — each oldest-verdict first, so the r3-era rotation debt
@@ -11986,6 +11997,7 @@ REGISTRY: dict[str, QuerySpec] = {
 _DRIVER_PRIORITY = (
     "q235_leontief_requirements",
     "q234_lsh_store_roundtrip",
+    "q236_ivf_store_roundtrip",
     "q78_train_test_split",
     "q96_stratified_sample",
     "q77_dedup_clusters",

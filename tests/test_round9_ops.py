@@ -495,3 +495,127 @@ class TestDriverPriorityGate:
             f"stale head — regenerate with tools/driver_priority.py: "
             f"{sorted(missing)}"
         )
+
+
+# --------------------------------- q236 stored IVF index round-trip
+
+
+class TestIvfStoreRoundtrip:
+    """q234's storage lifecycle applied to the ANN family: persist
+    quantizer + assignment, restart, reload, frozen-centroid delta
+    append, probe — landing on the exact in-memory q221 result."""
+
+    def _root(self, tmp_path):
+        return str(tmp_path / "ivf_store")
+
+    def test_restart_reload_append_probe_equals_memory_cycle(
+        self, spark, sf_dir, tmp_path
+    ):
+        import pandas as pd
+
+        from ssb_coefficient_maker_spark.cachereg import get_cache, release_all
+        from ssb_coefficient_maker_spark.operators.similarity import (
+            _query_vector,
+            append_ivf_store_delta,
+            ivf_append,
+            ivf_index_from,
+            ivf_probe,
+            load_ivf_store,
+            write_ivf_store_base,
+        )
+
+        root = self._root(tmp_path)
+        emb = load_table(spark, sf_dir, "embeddings")
+        corpus = emb.filter(F.col("vec_id") % 5 != 4)
+        batch = emb.filter(F.col("vec_id") % 5 == 4)
+
+        assert write_ivf_store_base(corpus, root, n_centroids=6)
+        # ---- RESTART: drop every pinned session cache ----
+        release_all()
+        assert append_ivf_store_delta(batch, root, "day1")
+        release_all()
+        cents, assigned = load_ivf_store(spark, root)
+        q, qvals = _query_vector(spark, sf_dir, 0)
+        got = (
+            ivf_probe((cents, assigned), q, qvals, k=8, nprobe=2, exclude_id=0)
+            .toPandas()
+            .reset_index(drop=True)
+        )
+
+        # in-memory twin (q221's cycle on the same slice)
+        get_cache("ivf_ingest_index").release()
+        idx = ivf_index_from(corpus, ("t9", "c"), n_centroids=6, iters=3)
+        grown = ivf_append(
+            idx, batch, ("t9", "g"), n_centroids=6, iters=3,
+            parent_key=("t9", "c"),
+        )
+        want = (
+            ivf_probe(grown, q, qvals, k=8, nprobe=2, exclude_id=0)
+            .toPandas()
+            .reset_index(drop=True)
+        )
+        get_cache("ivf_ingest_index").release()
+        release_all()
+        pd.testing.assert_frame_equal(got, want)
+        # and the stored quantizer IS the trained one, bit-exact
+        assert cents == idx[0]
+
+    def test_append_idempotent_base_untouched_and_refusal(
+        self, spark, sf_dir, tmp_path
+    ):
+        import os
+
+        from ssb_coefficient_maker_spark.cachereg import release_all
+        from ssb_coefficient_maker_spark.operators.similarity import (
+            append_ivf_store_delta,
+            load_ivf_store,
+            write_ivf_store_base,
+        )
+
+        root = self._root(tmp_path)
+        emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+        corpus = emb.filter(F.col("vec_id") % 2 == 0)
+        batch = emb.filter(F.col("vec_id") % 2 == 1)
+
+        with pytest.raises(ValueError, match="no complete base"):
+            append_ivf_store_delta(batch, root, "day1")
+        write_ivf_store_base(corpus, root, n_centroids=4)
+
+        def snap(rel):
+            d = os.path.join(root, rel)
+            return {e.path: e.stat().st_mtime_ns for e in os.scandir(d)}
+
+        base_before = snap("base/assignment")
+        cent_before = snap("centroids")
+        assert append_ivf_store_delta(batch, root, "day1")
+        assert snap("base/assignment") == base_before
+        assert snap("centroids") == cent_before  # frozen quantizer
+        assert not append_ivf_store_delta(batch, root, "day1")  # idempotent
+        assert not write_ivf_store_base(corpus, root, n_centroids=4)
+        _cents, assigned = load_ivf_store(spark, root)
+        assert assigned.count() == emb.count()
+        release_all()
+
+    def test_new_delta_evicts_pre_append_pin(self, spark, sf_dir, tmp_path):
+        from ssb_coefficient_maker_spark.cachereg import get_cache, release_all
+        from ssb_coefficient_maker_spark.operators.similarity import (
+            append_ivf_store_delta,
+            load_ivf_store,
+            write_ivf_store_base,
+        )
+
+        root = self._root(tmp_path)
+        emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 300)
+        corpus = emb.filter(F.col("vec_id") % 2 == 0)
+        batch = emb.filter(F.col("vec_id") % 2 == 1)
+        write_ivf_store_base(corpus, root, n_centroids=4)
+        release_all()
+        a = load_ivf_store(spark, root)
+        b = load_ivf_store(spark, root)
+        assert a[1] is b[1]  # warm load: cache hit
+        append_ivf_store_delta(batch, root, "day1")
+        c = load_ivf_store(spark, root)
+        assert c[1] is not a[1]
+        assert not a[1].is_cached and c[1].is_cached
+        assert len(get_cache("ivf_store_index").pinned_frames()) == 1
+        release_all()
