@@ -37,9 +37,24 @@ def main() -> int:
     # warmup: JVM + parquet footer caches + codegen paths
     run_query(load_table(spark, sf_dir, "lineitem").groupBy("l_returnflag").count())
 
+    # optional subset (round-10): SPARK_GRAFT_BENCH_ONLY="q115_...,q50_..."
+    # limits the run to the named queries — the knob behind targeted
+    # quiet-window re-measures (sf1 regression bisects) and the sf10
+    # heavy-family ladder, where a full 237-query pass would bury the
+    # signal under 40 minutes of unrelated work. The emitted JSON keeps
+    # the same shape; n_queries tells a reader it was a subset run.
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    only = {q.strip() for q in only_env.split(",") if q.strip()}
+    if only:
+        unknown = only - set(REGISTRY)
+        if unknown:
+            print(f"BENCH WARN unknown queries in BENCH_ONLY: {sorted(unknown)}",
+                  file=sys.stderr)
+    items = [(n, s) for n, s in REGISTRY.items() if not only or n in only]
+
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
-    for name, spec in REGISTRY.items():
+    for name, spec in items:
         t0 = time.time()
         try:
             run_query(spec.fn(spark, sf_dir))

@@ -125,10 +125,19 @@ class PinnedCache:
         displaced frames exactly as ``store`` does.
         """
         if self._corpus == new_corpus_key:
-            for new_p, old_p in keep.items():
-                if new_p == old_p or old_p not in self._entries:
-                    continue
-                moved = self._entries.pop(old_p)
+            # Pop ALL rename sources first (mirroring the corpus-change
+            # path's `carried` comprehension) so chained renames (e.g.
+            # keep={b: a, c: b}) read every source from the PRE-rekey
+            # state — applying them sequentially against the live dict
+            # would move the just-moved entry again, and the two paths
+            # would resolve the same `keep` map differently (round-9
+            # ADVICE; latent, all shipped callers pass one entry).
+            moves = {
+                new_p: self._entries.pop(old_p)
+                for new_p, old_p in keep.items()
+                if new_p != old_p and old_p in self._entries
+            }
+            for new_p, moved in moves.items():
                 displaced = self._entries.pop(new_p, None)
                 if displaced is not None:
                     moved_ids = {id(df) for df in moved[1]}

@@ -33,6 +33,8 @@ values, not just shapes).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -291,9 +293,47 @@ def q31_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, threshold=0.4, family="md5")
 
 
+class LshIndex(tuple):
+    """(bands, shingles) pair that also CARRIES its index geometry —
+    hash family and shingle width k — so a probe can refuse a
+    mismatched caller instead of silently finding nothing (round-9
+    ADVICE: a store written under one geometry probed under another
+    is WRONG, not stale). Subclasses tuple so every existing
+    ``bands, sh = index`` unpacking keeps working."""
+
+    family: str
+    k: int
+
+    def __new__(cls, bands: DataFrame, shingles: DataFrame, family: str, k: int):
+        self = super().__new__(cls, (bands, shingles))
+        self.family = family
+        self.k = k
+        return self
+
+
+def _check_probe_geometry(index, family: str, k: int) -> None:
+    """Raise if a geometry-carrying index is probed with a different
+    (family, k) than it was built under — the shingle spaces would be
+    disjoint and the probe would return an empty (wrong) answer."""
+    idx_family = getattr(index, "family", None)
+    if idx_family is None:
+        return  # bare (bands, shingles) tuple: caller owns the contract
+    idx_k = getattr(index, "k", None)
+    if idx_family != family or idx_k != k:
+        raise ValueError(
+            f"probe geometry (family={family!r}, k={k}) does not match "
+            f"the index geometry (family={idx_family!r}, k={idx_k}) — "
+            "a mismatched probe hashes into a disjoint shingle space "
+            "and silently finds nothing; pass the index's own geometry"
+        )
+
+
 def build_lsh_index(
-    docs: DataFrame, family: str = "xxhash64", cache_name: str = "lsh_corpus_index"
-) -> tuple[DataFrame, DataFrame]:
+    docs: DataFrame,
+    family: str = "xxhash64",
+    cache_name: str = "lsh_corpus_index",
+    k: int = 5,
+) -> "LshIndex":
     """Build (or fetch) the pinned corpus LSH index: the persisted
     (band table, shingle table) pair a daily-ingest pipeline probes
     new batches against.
@@ -323,7 +363,7 @@ def build_lsh_index(
     from ssb_coefficient_maker_spark.cachereg import get_cache
 
     cache = get_cache(cache_name)
-    corpus = (docs.semanticHash(), family)
+    corpus = (docs.semanticHash(), family, k)
     hit = cache.lookup(corpus, ())
     if hit is None:
         # lineage fallback: after an append rekeys the cache to the
@@ -334,7 +374,7 @@ def build_lsh_index(
     if hit is not None:
         return hit
     sh_tbl = docs.select(
-        "doc_id", shingles_col(F.col("text"), family=family).alias("sh")
+        "doc_id", shingles_col(F.col("text"), k=k, family=family).alias("sh")
     ).persist()
     bands = _band_table(sh_tbl).persist()
     # materialize NOW (index build is an eager, build-once job — the
@@ -342,7 +382,9 @@ def build_lsh_index(
     # counting bands first also fills sh_tbl, since bands reads it
     bands.count()
     sh_tbl.count()
-    return cache.store(corpus, (), (bands, sh_tbl), pinned=[bands, sh_tbl])
+    return cache.store(
+        corpus, (), LshIndex(bands, sh_tbl, family, k), pinned=[bands, sh_tbl]
+    )
 
 
 def probe_lsh_index(
@@ -350,6 +392,7 @@ def probe_lsh_index(
     index: tuple[DataFrame, DataFrame],
     threshold: float = 0.4,
     family: str = "xxhash64",
+    k: int = 5,
 ) -> DataFrame:
     """Probe a NEW batch of documents against a pinned corpus LSH
     index (build_lsh_index) — the incremental near-dup operator a
@@ -370,9 +413,10 @@ def probe_lsh_index(
     materialized band/shingle tables, which is the same two
     projections over only the new rows).
     """
+    _check_probe_geometry(index, family, k)
     corpus_bands, corpus_sh = index
     new_sh = new_docs.select(
-        "doc_id", shingles_col(F.col("text"), family=family).alias("sh")
+        "doc_id", shingles_col(F.col("text"), k=k, family=family).alias("sh")
     )
     cand = (
         _band_table(new_sh)
@@ -403,8 +447,8 @@ def probe_lsh_index(
 
 def append_to_lsh_index(
     corpus_docs: DataFrame, new_docs: DataFrame, family: str = "xxhash64",
-    cache_name: str = "lsh_corpus_index",
-) -> tuple[DataFrame, DataFrame]:
+    cache_name: str = "lsh_corpus_index", k: int = 5,
+) -> "LshIndex":
     """Ingest a probed batch INTO the pinned corpus LSH index — the
     step after ``probe_lsh_index`` in the daily cycle (probe → keep
     the non-dups → append). ONLY the new rows are shingled and
@@ -435,14 +479,17 @@ def append_to_lsh_index(
     union_key = (
         corpus_docs.unionByName(new_docs).semanticHash(),
         family,
+        k,
     )
     hit = cache.lookup(union_key, ())
     if hit is not None:
         return hit
-    old_key = (corpus_docs.semanticHash(), family)
-    old_bands, old_sh = build_lsh_index(corpus_docs, family=family, cache_name=cache_name)
+    old_key = (corpus_docs.semanticHash(), family, k)
+    old_bands, old_sh = build_lsh_index(
+        corpus_docs, family=family, cache_name=cache_name, k=k
+    )
     new_sh = new_docs.select(
-        "doc_id", shingles_col(F.col("text"), family=family).alias("sh")
+        "doc_id", shingles_col(F.col("text"), k=k, family=family).alias("sh")
     )
     sh = old_sh.unionByName(new_sh).persist()
     bands = old_bands.unionByName(_band_table(new_sh)).persist()
@@ -453,7 +500,9 @@ def append_to_lsh_index(
     # moved it there
     old_param = () if cache.lookup(old_key, ()) is not None else ("parent", old_key)
     cache.rekey(union_key, keep={("parent", old_key): old_param})
-    return cache.store(union_key, (), (bands, sh), pinned=[bands, sh])
+    return cache.store(
+        union_key, (), LshIndex(bands, sh, family, k), pinned=[bands, sh]
+    )
 
 
 # ------------------------------------------- stored LSH index (q234)
@@ -498,6 +547,37 @@ def lsh_store_root(sf_dir: str, family: str = "xxhash64", k: int = 5) -> str:
     )
 
 
+_LSH_ROOT_RE = re.compile(
+    r"lsh_store_(?P<family>.+)_k(?P<k>\d+)_h(?P<h>\d+)_b(?P<b>\d+)_v1$"
+)
+
+
+def _lsh_root_geometry(root: str) -> tuple[str, int]:
+    """(family, k) encoded in a store root's directory name — the
+    SINGLE source of truth for the store's geometry, so writes,
+    appends and loads cannot drift from what the root claims (round-9
+    ADVICE: the writers previously shingled with the default k=5
+    whatever the root said). Refuses a root whose banding (h/b) does
+    not match this build's N_HASHES/N_BANDS: such a store is WRONG
+    for this code, not stale, and must never be written to or read."""
+    import os
+
+    m = _LSH_ROOT_RE.search(os.path.basename(os.path.normpath(root)))
+    if m is None:
+        raise ValueError(
+            f"not an lsh store root (expected .../lsh_store_<family>_k<k>_"
+            f"h<hashes>_b<bands>_v1): {root!r}"
+        )
+    if int(m["h"]) != N_HASHES or int(m["b"]) != N_BANDS:
+        raise ValueError(
+            f"lsh store root {root!r} was minted under banding "
+            f"h{m['h']}/b{m['b']} but this build uses h{N_HASHES}/"
+            f"b{N_BANDS} — mint a new root (lsh_store_root) instead of "
+            "mixing geometries in one store"
+        )
+    return m["family"], int(m["k"])
+
+
 def _segment_done(seg_dir: str) -> bool:
     import os
 
@@ -529,7 +609,7 @@ def lsh_store_segments(root: str) -> tuple[str, ...]:
     return tuple(segs)
 
 
-def _write_lsh_segment(docs: DataFrame, seg_dir: str, family: str) -> None:
+def _write_lsh_segment(docs: DataFrame, seg_dir: str, family: str, k: int) -> None:
     """Shingle + band-sign ``docs`` and write one segment — two
     map-only projections over ONLY these rows (the append cost at any
     corpus size is the batch size). mode=overwrite so a crashed
@@ -537,7 +617,7 @@ def _write_lsh_segment(docs: DataFrame, seg_dir: str, family: str) -> None:
     import os
 
     sh = docs.select(
-        "doc_id", shingles_col(F.col("text"), family=family).alias("sh")
+        "doc_id", shingles_col(F.col("text"), k=k, family=family).alias("sh")
     )
     # bands derive from the shingle parquet just written (not from
     # the text again): one shingling pass per segment, and the write
@@ -551,29 +631,56 @@ def _write_lsh_segment(docs: DataFrame, seg_dir: str, family: str) -> None:
     )
 
 
-def write_lsh_store_base(docs: DataFrame, root: str, family: str = "xxhash64") -> bool:
+def write_lsh_store_base(
+    docs: DataFrame, root: str, family: str | None = None, k: int | None = None
+) -> bool:
     """Materialize the day-0 index to storage (idempotent: a complete
-    base is never rewritten). Returns True iff this call wrote."""
+    base is never rewritten). Returns True iff this call wrote.
+
+    Geometry comes from the ROOT'S OWN NAME (_lsh_root_geometry) —
+    the writer cannot shingle under a different (family, k) than the
+    root claims. Explicit ``family``/``k`` arguments are accepted as
+    cross-checks only and must match the root."""
     import os
 
+    root_family, root_k = _lsh_root_geometry(root)
+    if family is not None and family != root_family:
+        raise ValueError(
+            f"family={family!r} does not match the root's {root_family!r}"
+        )
+    if k is not None and k != root_k:
+        raise ValueError(f"k={k} does not match the root's k={root_k}")
     seg = os.path.join(root, "base")
     if _segment_done(seg):
         return False
-    _write_lsh_segment(docs, seg, family)
+    _write_lsh_segment(docs, seg, root_family, root_k)
     return True
 
 
 def append_lsh_store_delta(
-    new_docs: DataFrame, root: str, name: str, family: str = "xxhash64"
+    new_docs: DataFrame,
+    root: str,
+    name: str,
+    family: str | None = None,
+    k: int | None = None,
 ) -> bool:
     """Append a batch to the stored index as delta segment ``name`` —
     the storage-backed half of ``append_to_lsh_index``: ONLY the new
     rows are shingled/signed/written; every base/delta file already
     on disk is untouched (tested). Idempotent: a complete delta of
     this name is never rewritten, so re-running an ingest day is a
-    no-op. Returns True iff this call wrote."""
+    no-op. Returns True iff this call wrote. Geometry contract as in
+    ``write_lsh_store_base`` (derived from the root, args are
+    cross-checks)."""
     import os
 
+    root_family, root_k = _lsh_root_geometry(root)
+    if family is not None and family != root_family:
+        raise ValueError(
+            f"family={family!r} does not match the root's {root_family!r}"
+        )
+    if k is not None and k != root_k:
+        raise ValueError(f"k={k} does not match the root's k={root_k}")
     if not _segment_done(os.path.join(root, "base")):
         raise ValueError(
             f"lsh store at {root!r} has no complete base segment — "
@@ -582,11 +689,11 @@ def append_lsh_store_delta(
     seg = os.path.join(root, "delta", name)
     if _segment_done(seg):
         return False
-    _write_lsh_segment(new_docs, seg, family)
+    _write_lsh_segment(new_docs, seg, root_family, root_k)
     return True
 
 
-def load_lsh_store(spark: SparkSession, root: str) -> tuple[DataFrame, DataFrame]:
+def load_lsh_store(spark: SparkSession, root: str) -> "LshIndex":
     """Reload the stored index — the RESTART path: a fresh session
     calls this and probes immediately; nothing is recomputed from
     document text (the frames' input files are exactly the store's
@@ -604,6 +711,7 @@ def load_lsh_store(spark: SparkSession, root: str) -> tuple[DataFrame, DataFrame
 
     from ssb_coefficient_maker_spark.cachereg import get_cache
 
+    family, k = _lsh_root_geometry(root)
     segs = lsh_store_segments(root)
     if not segs:
         raise ValueError(f"no complete lsh store segments under {root!r}")
@@ -618,7 +726,9 @@ def load_lsh_store(spark: SparkSession, root: str) -> tuple[DataFrame, DataFrame
     sh = spark.read.parquet(*sh_paths).persist()
     bands.count()
     sh.count()
-    return cache.store(corpus, (), (bands, sh), pinned=[bands, sh])
+    return cache.store(
+        corpus, (), LshIndex(bands, sh, family, k), pinned=[bands, sh]
+    )
 
 
 def q234_lsh_store_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

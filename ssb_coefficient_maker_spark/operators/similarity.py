@@ -645,6 +645,17 @@ def _seq_norms(mat: np.ndarray) -> np.ndarray:
     return np.sqrt(acc)
 
 
+def _round4_away(q: np.ndarray) -> np.ndarray:
+    """Round to 4 decimals half AWAY FROM ZERO — matching DuckDB's
+    ``round()`` in every cosine oracle exactly. ``np.round`` is
+    banker's (half-to-even), which would diverge on a cosine landing
+    exactly on a 5 in the 5th decimal (round-8/9 ADVICE; measure zero
+    on double quotients, but the round-before-compare contract should
+    not depend on that). The ONE definition shared by all three numpy
+    cosine kernels (blocked q50, celled q115, dominance q230)."""
+    return np.sign(q) * np.floor(np.abs(q) * 1e4 + 0.5) / 1e4
+
+
 def _unpack_block(blk) -> tuple[np.ndarray, np.ndarray]:
     ids = np.array([e["vec_id"] for e in blk], dtype=np.int64)
     mat = np.array([list(e["embedding"]) for e in blk], dtype=np.float64)
@@ -737,7 +748,7 @@ def cosine_neardup_blocked(
                 dots = np.zeros((len(ids_a), len(ids_b)))
                 for k in range(d):
                     dots += np.outer(mat_a[:, k], mat_b[:, k])
-                cos = np.round(dots / np.outer(_seq_norms(mat_a), _seq_norms(mat_b)), 4)
+                cos = _round4_away(dots / np.outer(_seq_norms(mat_a), _seq_norms(mat_b)))
                 mask = (ids_a[:, None] < ids_b[None, :]) & (cos >= threshold)
                 ii, jj = np.nonzero(mask)
                 out_a.extend(ids_a[ii])
@@ -1019,7 +1030,7 @@ def cosine_neardup_celled(
                 dots = np.zeros((len(ids_a), len(ids_b)))
                 for k in range(d):
                     dots += np.outer(mat_a[:, k], mat_b[:, k])
-                cos = np.round(dots / np.outer(_seq_norms(mat_a), _seq_norms(mat_b)), 4)
+                cos = _round4_away(dots / np.outer(_seq_norms(mat_a), _seq_norms(mat_b)))
                 if cross:
                     # disjoint cells: every (row, col) is a distinct
                     # unordered pair — emit in canonical id order
@@ -1374,14 +1385,7 @@ def _dominance_dropped(assigned: DataFrame, threshold: float) -> DataFrame:
         for d in range(mat.shape[1]):
             acc += np.outer(mat[:, d], mat[:, d])
         nrm = _seq_norms(mat)
-        # round half AWAY FROM ZERO to 4 decimals, matching DuckDB's
-        # round() in the oracle exactly — np.round is banker's
-        # (half-to-even), which would diverge on a cosine landing
-        # exactly on a 5 in the 5th decimal (round-8 ADVICE; measure
-        # zero on double quotients, but the round-before-compare
-        # contract should not depend on that)
-        q = acc / np.outer(nrm, nrm)
-        cos = np.sign(q) * np.floor(np.abs(q) * 1e4 + 0.5) / 1e4
+        cos = _round4_away(acc / np.outer(nrm, nrm))
         mask = np.triu(cos >= threshold, k=1)
         return pd.DataFrame({"vec_id": ids[np.unique(np.nonzero(mask)[1])]})
 

@@ -11671,6 +11671,37 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         "multimodal",
     ),
+    "q237_header_decode": QuerySpec(
+        multimodal.q237_header_decode,
+        # every field the Spark side extracts BY PARSING genuine
+        # BMP/PPM/WAV bytes (struct unpack / P6 tokenizer / RIFF chunk
+        # walk), the oracle recomputes arithmetically from doc_id (the
+        # encoder's dim/rate formulas are pure integer functions of
+        # doc_id) — equality proves decode(encode(x)) == x per row,
+        # i.e. the header decoder is real, not metadata passthrough
+        """
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                    ELSE 'wav' END AS fmt,
+               CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 97
+                                    WHEN 1 THEN 8 + doc_id % 80
+                    END AS BIGINT) AS width,
+               CAST(CASE doc_id % 3 WHEN 0 THEN 16 + doc_id % 53
+                                    WHEN 1 THEN 8 + doc_id % 60
+                    END AS BIGINT) AS height,
+               CAST(CASE WHEN doc_id % 3 = 2
+                         THEN 8000 + 1000 * (doc_id % 5)
+                    END AS BIGINT) AS sample_rate,
+               CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 2
+                    END AS BIGINT) AS channels,
+               CAST(CASE WHEN doc_id % 3 = 2
+                         THEN ((128 + doc_id % 500) * 1000)
+                              // (8000 + 1000 * (doc_id % 5))
+                    END AS BIGINT) AS duration_ms
+        FROM documents ORDER BY media_id
+        """,
+        "multimodal",
+    ),
     "q38_asof_join": QuerySpec(q38_asof_join, _Q38_ORACLE, "join"),
     "q44_approx_distinct": QuerySpec(
         relational.q44_approx_distinct,
@@ -11986,67 +12017,21 @@ REGISTRY: dict[str, QuerySpec] = {
 
 # MECHANICALLY DERIVED — regenerate with `python tools/driver_priority.py`
 # (round-9 rule, VERDICT r8 item 1): a query leads iff its driver
-# evidence is stale — never sampled (new this round: q234/q236
-# storage round-trips, q235 leontief), or its symbol-closure code
-# changed since the round its latest verdict was collected (q154's
-# r8 rewrite vs its r5 verdict is the motivating catch; the round-9
-# parser/cachereg/dedup/similarity edits mark the formula and
-# cache-touching families). Groups: never-sampled, then stale, then
-# the rest — each oldest-verdict first, so the r3-era rotation debt
-# (VERDICT r8 item 2) fills the remaining sample slots.
+# evidence is stale — never sampled (new this round: q237 real
+# header decode), or its symbol-closure code changed since the round
+# its latest verdict was collected (the round-10 rounding/geometry
+# edits mark q50/q115/q174 plus the r3 stragglers q66/q75). Groups:
+# never-sampled, then stale, then the rest — each oldest-verdict
+# first, so the 34-query ≤r4 rotation debt (VERDICT r9 "what's
+# missing" #1) fills the remaining sample slots: every ≤r4 verdict
+# sits inside the 50-slot head this round.
 _DRIVER_PRIORITY = (
-    "q235_leontief_requirements",
-    "q234_lsh_store_roundtrip",
-    "q236_ivf_store_roundtrip",
-    "q78_train_test_split",
-    "q96_stratified_sample",
-    "q77_dedup_clusters",
-    "q124_bigram_pmi",
-    "q154_dup_ngram_coverage",
-    "q156_market_basket",
-    "q158_triangle_count",
-    "q184_bfs_reach",
-    "q81_pq_topk",
-    "q24_formula_coeffmap",
-    "q73_adp_precision",
-    "q58_fused_coeffmap",
-    "q233_lsh_recall_audit",
-    "q232_segment_dedup_ingest",
-    "q31_minhash_neardup",
-    "q215_incremental_neardup_probe",
-    "q216_formula_matmul",
-    "q217_lsh_probe_append_cycle",
-    "q228_ann_recall_audit",
-    "q35_ivf_topk",
-    "q221_ivf_ingest_probe",
-    "q230_semantic_dedup",
-    "q57_lsh_neardup",
-    "q114_triplet_wide_formula",
-    "q21_window_sliding",
-    "q69_interval_join",
-    "q22_range_join",
-    "q23_case_when",
-    "q59_partition_pruning",
-    "q64_bucketed_join",
-    "q65_partition_backfill",
-    "q70_salted_join",
-    "q71_schema_evolution",
-    "q72_batch_topk",
-    "q82_profile",
-    "q83_llm_pipeline",
-    "q84_rolling_range_window",
-    "q92_gap_fill",
-    "q93_argmax_agg",
-    "q94_funnel",
-    "q95_histogram",
-    "q85_map_functions",
-    "q86_batch_sessions",
-    "q87_array_predicates",
-    "q88_correlation",
-    "q89_nullsafe_join",
-    "q79_lang_centroid_distance",
+    "q237_header_decode",
     "q75_udtf_rle",
     "q66_tfidf_top_terms",
+    "q174_embedding_norm_qa",
+    "q50_embedding_neardup",
+    "q115_celled_neardup",
     "q67_doc_chunking",
     "q68_sequence_packing",
     "q60_csv_scan",
@@ -12097,7 +12082,6 @@ _DRIVER_PRIORITY = (
     "q171_cross_source_overlap",
     "q172_blob_chunk_digests",
     "q173_qq_drift",
-    "q174_embedding_norm_qa",
     "q175_dim_variance_profile",
     "q176_packing_efficiency_curve",
     "q177_top_gram_coverage",
@@ -12229,8 +12213,56 @@ _DRIVER_PRIORITY = (
     "q227_streaming_upsert_mor",
     "q229_tokenizer_fertility",
     "q56_kmeans_ivf",
-    "q50_embedding_neardup",
-    "q115_celled_neardup",
+    "q21_window_sliding",
+    "q69_interval_join",
+    "q22_range_join",
+    "q23_case_when",
+    "q24_formula_coeffmap",
+    "q73_adp_precision",
+    "q58_fused_coeffmap",
+    "q59_partition_pruning",
+    "q64_bucketed_join",
+    "q65_partition_backfill",
+    "q70_salted_join",
+    "q71_schema_evolution",
+    "q72_batch_topk",
+    "q78_train_test_split",
+    "q82_profile",
+    "q83_llm_pipeline",
+    "q84_rolling_range_window",
+    "q92_gap_fill",
+    "q93_argmax_agg",
+    "q94_funnel",
+    "q95_histogram",
+    "q96_stratified_sample",
+    "q85_map_functions",
+    "q86_batch_sessions",
+    "q87_array_predicates",
+    "q88_correlation",
+    "q89_nullsafe_join",
+    "q79_lang_centroid_distance",
+    "q233_lsh_recall_audit",
+    "q232_segment_dedup_ingest",
+    "q31_minhash_neardup",
+    "q77_dedup_clusters",
+    "q154_dup_ngram_coverage",
+    "q156_market_basket",
+    "q158_triangle_count",
+    "q184_bfs_reach",
+    "q215_incremental_neardup_probe",
+    "q216_formula_matmul",
+    "q217_lsh_probe_append_cycle",
+    "q228_ann_recall_audit",
+    "q235_leontief_requirements",
+    "q234_lsh_store_roundtrip",
+    "q35_ivf_topk",
+    "q221_ivf_ingest_probe",
+    "q236_ivf_store_roundtrip",
+    "q230_semantic_dedup",
+    "q81_pq_topk",
+    "q57_lsh_neardup",
+    "q114_triplet_wide_formula",
+    "q124_bigram_pmi",
 )
 
 

@@ -154,7 +154,12 @@ class TestLshStoreRoundtrip:
     delta-append, and land on the exact in-memory q217 result."""
 
     def _tmp_root(self, tmp_path):
-        return str(tmp_path / "lsh_store")
+        # the root NAME is the geometry manifest (round-10: writers/
+        # loaders derive family/k from it) — mint it like
+        # lsh_store_root does, md5 family to match the probes below
+        from ssb_coefficient_maker_spark.operators.dedup import N_BANDS, N_HASHES
+
+        return str(tmp_path / f"lsh_store_md5_k5_h{N_HASHES}_b{N_BANDS}_v1")
 
     def test_restart_reload_probe_append_equals_memory_cycle(
         self, spark, sf_dir, tmp_path

@@ -83,26 +83,54 @@ def changed_files(base: str) -> set[str]:
 
 
 def _toplevel_symbols(src: str) -> dict[str, str]:
-    """name -> source segment for every top-level def/class/assign.
-    (Line-sliced from ONE splitlines pass — ast.get_source_segment
-    re-splits the source per node, which is quadratic on a 12k-line
-    module and made the per-round diffs take minutes.)"""
+    """name -> source segment for every top-level def/class/assign,
+    plus every name BOUND BY a module-level import. (Line-sliced from
+    ONE splitlines pass — ast.get_source_segment re-splits the source
+    per node, which is quadratic on a 12k-line module and made the
+    per-round diffs take minutes.)
+
+    Two round-9-ADVICE closures: (a) def/class segments START AT THE
+    FIRST DECORATOR (node.lineno is the ``def`` line, so a decorator
+    edit was invisible to the diff); (b) imports are symbols too —
+    rebinding ``from x import name`` to a different module changes
+    every symbol that references ``name``, which the closure can only
+    see if the import line itself diffs under ``name``. Import names
+    are prefixed into the symbol table only as diff SEEDS; common
+    aliases (F, np, pd) over-mark when their line changes, which is
+    the tool's documented conservative direction."""
     out: dict[str, str] = {}
     try:
         tree = ast.parse(src)
     except SyntaxError:
         return out
     lines = src.splitlines()
+
+    def add(name: str, seg: str) -> None:
+        # a name bound more than once (import + def, repeated assign)
+        # maps to the CONCATENATION of its binding segments — a change
+        # to any of them marks the name changed (conservative; the old
+        # last-wins made edits to all but one binding invisible)
+        out[name] = out[name] + "\n" + seg if name in out else seg
+
     for node in tree.body:
-        seg = "\n".join(lines[node.lineno - 1 : node.end_lineno])
+        start = node.lineno
+        if (
+            isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef))
+            and node.decorator_list
+        ):
+            start = min(start, node.decorator_list[0].lineno)
+        seg = "\n".join(lines[start - 1 : node.end_lineno])
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)):
-            out[node.name] = seg
+            add(node.name, seg)
         elif isinstance(node, ast.Assign):
             for t in node.targets:
                 if isinstance(t, ast.Name):
-                    out[t.id] = seg
+                    add(t.id, seg)
         elif isinstance(node, ast.AnnAssign) and isinstance(node.target, ast.Name):
-            out[node.target.id] = seg
+            add(node.target.id, seg)
+        elif isinstance(node, (ast.Import, ast.ImportFrom)):
+            for alias in node.names:
+                add(alias.asname or alias.name.split(".")[0], seg)
     return out
 
 
