@@ -652,8 +652,24 @@ def _round4_away(q: np.ndarray) -> np.ndarray:
     exactly on a 5 in the 5th decimal (round-8/9 ADVICE; measure zero
     on double quotients, but the round-before-compare contract should
     not depend on that). The ONE definition shared by all three numpy
-    cosine kernels (blocked q50, celled q115, dominance q230)."""
-    return np.sign(q) * np.floor(np.abs(q) * 1e4 + 0.5) / 1e4
+    cosine kernels (blocked q50, celled q115, dominance q230).
+
+    In-place formulation (round 10): the expression form
+    ``sign(q) * floor(abs(q)*1e4 + 0.5) / 1e4`` allocates five
+    temporaries and measured 510 ms per 2000² block vs 19 ms for the
+    chain below (np.round itself: 204 ms) — in q115's block products
+    the rounding was rivaling the dot products. Bit-identical to the
+    expression form everywhere except the SIGN of an exact ±0.0
+    (copysign keeps the input's zero sign, sign() collapses to +0.0)
+    — unobservable in every consumer, since all three kernels filter
+    ``cos >= threshold`` with threshold > 0 before any value leaves
+    the worker. ``q`` itself is never mutated (np.abs allocates)."""
+    out = np.abs(q)
+    out *= 1e4
+    out += 0.5
+    np.floor(out, out)
+    out /= 1e4
+    return np.copysign(out, q, out)
 
 
 def _unpack_block(blk) -> tuple[np.ndarray, np.ndarray]:

@@ -23,8 +23,12 @@ largest shipped tier, preserving the properties the queries rely on:
   stress for the candidate-generation tiers; noted in SCALE_NOTES.md
   when comparing per-query times against 10x-linear.
 
-Usage:  python tools/make_scale_data.py [src_sf_dir] [dest_dir] [factor]
-Default: /root/testdata/sf0.1 -> <repo>/.scale/sf1, factor 10.
+Usage:  python tools/make_scale_data.py [src_sf_dir] [dest_dir] [factor] [tables_csv]
+Default: /root/testdata/sf0.1 -> <repo>/.scale/sf1, factor 10, all tables.
+``tables_csv`` (round 10) limits generation to the named tables — the
+sf10 heavy-family ladder only needs documents/embeddings/part, and
+generating 10x lineitem/orders for queries that never read them would
+waste most of the disk and wall-clock budget.
 """
 
 from __future__ import annotations
@@ -76,6 +80,14 @@ def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     dest = sys.argv[2] if len(sys.argv) > 2 else os.path.join(repo, ".scale", "sf1")
     factor = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    wanted = (
+        [t.strip() for t in sys.argv[4].split(",") if t.strip()]
+        if len(sys.argv) > 4
+        else list(TABLES)
+    )
+    unknown = set(wanted) - set(TABLES)
+    if unknown:
+        raise SystemExit(f"unknown tables: {sorted(unknown)}")
 
     spark = get_spark(app_name="make_scale_data")
 
@@ -89,7 +101,7 @@ def main() -> int:
         offsets[col] = offsets[cache_key]
 
     os.makedirs(dest, exist_ok=True)
-    for name in TABLES:
+    for name in wanted:
         df = load_table(spark, src, name)
         out = df if name in FIXED_DIMS else replicate(spark, df, factor, offsets)
         # a handful of output files per table: enough parallelism for
