@@ -104,9 +104,16 @@ def main() -> int:
     for name in wanted:
         df = load_table(spark, src, name)
         out = df if name in FIXED_DIMS else replicate(spark, df, factor, offsets)
-        # a handful of output files per table: enough parallelism for
-        # local[32] scans without tiny-file overhead
-        out.repartition(8 if name in ("lineitem", "orders", "events") else 2).write.mode(
+        # enough output files that a map-only scan parallelizes: the
+        # round-10 sf10 ladder showed 2-file documents starving
+        # local[32] (q90's shuffle-free pass ran 17.5x on 10x rows
+        # purely from 2 scan partitions). Scale the file count with
+        # the replication factor, capped to keep files non-tiny.
+        base_files = 8 if name in ("lineitem", "orders", "events") else 2
+        n_files = base_files if name in FIXED_DIMS else min(
+            32, base_files * factor
+        )
+        out.repartition(n_files).write.mode(
             "overwrite"
         ).parquet(os.path.join(dest, f"{name}.parquet"))
         print(f"wrote {name}", flush=True)
