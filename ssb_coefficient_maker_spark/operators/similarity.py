@@ -1129,6 +1129,14 @@ def q115_celled_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = cosine_neardup_celled(
         corpus, threshold=Q115_THRESHOLD, n_cells=Q115_CLUSTERS, iters=1
     )
+    return _cluster_pair_report(pairs)
+
+
+def _cluster_pair_report(pairs: DataFrame) -> DataFrame:
+    """Per-planted-cluster pair summary (cluster = vec_a %
+    Q115_CLUSTERS) — the bounded-output value check q115 and q238
+    share: it covers the exact pair SET while keeping output
+    n_clusters-sized at every SF."""
     return (
         pairs.groupBy(
             F.pmod(F.col("vec_a"), F.lit(Q115_CLUSTERS)).cast("long").alias("cluster")
@@ -1141,6 +1149,85 @@ def q115_celled_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster")
     )
+
+
+def cosine_neardup_auto(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    block_size: int = 1024,
+    max_block_pairs: int = QUADRATIC_TIER_MAX_BLOCK_PAIRS,
+    n_cells: int = 16,
+    iters: int = 1,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Exact near-dup with AUTOMATIC tier selection — the round-10
+    step after the round-8 guard: instead of refusing past the bound,
+    PLAN past it. Runs the same populated-block count the blocked
+    guard runs (one small eager agg), then dispatches:
+
+    - block pairs ≤ ``max_block_pairs`` → ``cosine_neardup_blocked``
+      (brute tier: below the bound the dense products are cheaper
+      than training a quantizer);
+    - past the bound → ``cosine_neardup_celled`` (exact IVF-cell
+      pruning — the handoff the blocked guard's refusal message names,
+      now taken automatically).
+
+    EXACT either way: both tiers return the identical pair set at any
+    threshold (cells only prune provably-empty block pairs), so the
+    dispatch is a pure physical-plan choice — the same contract as
+    Catalyst picking broadcast vs shuffle join. If the celled tier's
+    SURVIVING block pairs still exceed the bound (isotropic corpus at
+    a low threshold — the case the q50 docstring proves unprunable),
+    its own guard raises: automatic planning never silently launches
+    the quadratic job it exists to avoid.
+
+    ``stats`` (optional) records {"tier", "n_blocks", "n_block_pairs"}
+    so callers/tests can assert which tier ran without re-counting.
+    At 100 TB the count is a metastore lookup, not a job; the
+    crossover bound is the knob a capacity planner sets once.
+    """
+    n_blocks = int(
+        emb.agg(
+            F.count_distinct((F.col("vec_id") / block_size).cast("long"))
+        ).head()[0]
+    )
+    n_pairs = n_blocks * (n_blocks + 1) // 2
+    tier = "blocked" if n_pairs <= max_block_pairs else "celled"
+    if stats is not None:
+        stats.update(tier=tier, n_blocks=n_blocks, n_block_pairs=n_pairs)
+    if tier == "blocked":
+        return cosine_neardup_blocked(
+            emb,
+            threshold=threshold,
+            block_size=block_size,
+            max_block_pairs=max_block_pairs,
+        )
+    return cosine_neardup_celled(
+        emb,
+        threshold=threshold,
+        n_cells=n_cells,
+        iters=iters,
+        block_size=block_size,
+        max_block_pairs=max_block_pairs,
+    )
+
+
+def q238_neardup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q115's clustered exact near-dup through the AUTO dispatcher —
+    the refusal-to-planning claim made checkable: whichever tier the
+    block count selects (blocked at the shipped SFs, celled past the
+    bound — the flip is forced in tests via a small max_block_pairs),
+    the output must equal q115's brute-force-oracled report exactly.
+    Shares q115's DuckDB oracle verbatim: equal output IS the
+    tier-equivalence claim, the same evidence pattern as the q234/q236
+    storage round-trips (equal output through a different execution
+    path)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = clustered_embeddings(emb)
+    pairs = cosine_neardup_auto(
+        corpus, threshold=Q115_THRESHOLD, n_cells=Q115_CLUSTERS, iters=1
+    )
+    return _cluster_pair_report(pairs)
 
 
 # ----------------------------------------------------- banded sign-LSH tier

@@ -10616,6 +10616,38 @@ FROM agg ORDER BY weighted_jaccard DESC, a, b LIMIT 20
 """
 
 
+# q115's brute-force oracle, shared VERBATIM by q238 (auto tier
+# dispatch): whichever exact tier the dispatcher picks, the output
+# must equal this zero-cell-knowledge recompute.
+_Q115_ORACLE = f"""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding AS c FROM embeddings
+          WHERE vec_id < {similarity.Q115_CLUSTERS}
+        ), corpus AS (
+          SELECT e.vec_id,
+                 list_transform(range(1, len(e.embedding) + 1),
+                                i -> {similarity.Q115_ALPHA} * CAST(c.c[i] AS DOUBLE)
+                                     + CAST(e.embedding[i] AS DOUBLE)) AS v
+          FROM embeddings e
+          JOIN cent c ON c.cid = e.vec_id % {similarity.Q115_CLUSTERS}
+        ), n AS (
+          SELECT vec_id, v,
+                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+          FROM corpus
+        ), pr AS (
+          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                 round(list_sum(list_transform(list_zip(a.v, b.v),
+                       p -> p[1] * p[2])) / (a.nrm * b.nrm), 4) AS cos_sim
+          FROM n a JOIN n b ON a.vec_id < b.vec_id
+        )
+        SELECT CAST(vec_a % {similarity.Q115_CLUSTERS} AS BIGINT) AS cluster,
+               count(*) AS n_pairs, round(avg(cos_sim), 4) AS avg_cos,
+               round(min(cos_sim), 4) AS min_cos, round(max(cos_sim), 4) AS max_cos
+        FROM pr WHERE cos_sim >= {similarity.Q115_THRESHOLD}
+        GROUP BY 1 ORDER BY 1
+        """
+
+
 REGISTRY: dict[str, QuerySpec] = {
     "q01_pricing_summary": QuerySpec(
         relational.q01_pricing_summary,
@@ -11983,37 +12015,19 @@ REGISTRY: dict[str, QuerySpec] = {
     ),
     "q115_celled_neardup": QuerySpec(
         similarity.q115_celled_neardup,
-        f"""
-        WITH cent AS (
-          SELECT vec_id AS cid, embedding AS c FROM embeddings
-          WHERE vec_id < {similarity.Q115_CLUSTERS}
-        ), corpus AS (
-          SELECT e.vec_id,
-                 list_transform(range(1, len(e.embedding) + 1),
-                                i -> {similarity.Q115_ALPHA} * CAST(c.c[i] AS DOUBLE)
-                                     + CAST(e.embedding[i] AS DOUBLE)) AS v
-          FROM embeddings e
-          JOIN cent c ON c.cid = e.vec_id % {similarity.Q115_CLUSTERS}
-        ), n AS (
-          SELECT vec_id, v,
-                 sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-          FROM corpus
-        ), pr AS (
-          SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                 round(list_sum(list_transform(list_zip(a.v, b.v),
-                       p -> p[1] * p[2])) / (a.nrm * b.nrm), 4) AS cos_sim
-          FROM n a JOIN n b ON a.vec_id < b.vec_id
-        )
-        SELECT CAST(vec_a % {similarity.Q115_CLUSTERS} AS BIGINT) AS cluster,
-               count(*) AS n_pairs, round(avg(cos_sim), 4) AS avg_cos,
-               round(min(cos_sim), 4) AS min_cos, round(max(cos_sim), 4) AS max_cos
-        FROM pr WHERE cos_sim >= {similarity.Q115_THRESHOLD}
-        GROUP BY 1 ORDER BY 1
-        """,
+        _Q115_ORACLE,
+        "dedup",
+    ),
+
+    "q238_neardup_auto": QuerySpec(
+        similarity.q238_neardup_auto,
+        # SAME truth as q115 — the auto dispatcher must land the
+        # identical exact pair report whichever tier it selects
+        # (blocked at shipped SFs, celled past the block-pair bound)
+        _Q115_ORACLE,
         "dedup",
     ),
 }
-
 
 # MECHANICALLY DERIVED — regenerate with `python tools/driver_priority.py`
 # (round-9 rule, VERDICT r8 item 1): a query leads iff its driver
@@ -12027,11 +12041,30 @@ REGISTRY: dict[str, QuerySpec] = {
 # sits inside the 50-slot head this round.
 _DRIVER_PRIORITY = (
     "q237_header_decode",
+    "q238_neardup_auto",
     "q75_udtf_rle",
     "q66_tfidf_top_terms",
     "q174_embedding_norm_qa",
     "q50_embedding_neardup",
     "q115_celled_neardup",
+    "q233_lsh_recall_audit",
+    "q232_segment_dedup_ingest",
+    "q31_minhash_neardup",
+    "q77_dedup_clusters",
+    "q156_market_basket",
+    "q158_triangle_count",
+    "q184_bfs_reach",
+    "q215_incremental_neardup_probe",
+    "q217_lsh_probe_append_cycle",
+    "q228_ann_recall_audit",
+    "q235_leontief_requirements",
+    "q234_lsh_store_roundtrip",
+    "q35_ivf_topk",
+    "q221_ivf_ingest_probe",
+    "q236_ivf_store_roundtrip",
+    "q230_semantic_dedup",
+    "q81_pq_topk",
+    "q57_lsh_neardup",
     "q67_doc_chunking",
     "q68_sequence_packing",
     "q60_csv_scan",
@@ -12241,26 +12274,8 @@ _DRIVER_PRIORITY = (
     "q88_correlation",
     "q89_nullsafe_join",
     "q79_lang_centroid_distance",
-    "q233_lsh_recall_audit",
-    "q232_segment_dedup_ingest",
-    "q31_minhash_neardup",
-    "q77_dedup_clusters",
     "q154_dup_ngram_coverage",
-    "q156_market_basket",
-    "q158_triangle_count",
-    "q184_bfs_reach",
-    "q215_incremental_neardup_probe",
     "q216_formula_matmul",
-    "q217_lsh_probe_append_cycle",
-    "q228_ann_recall_audit",
-    "q235_leontief_requirements",
-    "q234_lsh_store_roundtrip",
-    "q35_ivf_topk",
-    "q221_ivf_ingest_probe",
-    "q236_ivf_store_roundtrip",
-    "q230_semantic_dedup",
-    "q81_pq_topk",
-    "q57_lsh_neardup",
     "q114_triplet_wide_formula",
     "q124_bigram_pmi",
 )

@@ -306,3 +306,82 @@ class TestHeaderDecode:
             want.reset_index(drop=True),
             check_dtype=False,
         )
+
+
+# -------------------------------- auto tier dispatch (q238, round 10)
+
+
+class TestNeardupAuto:
+    def _corpus(self, spark, sf_dir):
+        from ssb_coefficient_maker_spark.operators.similarity import (
+            clustered_embeddings,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        return clustered_embeddings(emb)
+
+    def test_dispatch_picks_blocked_under_bound(self, spark, sf_dir):
+        from ssb_coefficient_maker_spark.operators.similarity import (
+            cosine_neardup_auto,
+        )
+
+        stats = {}
+        cosine_neardup_auto(
+            self._corpus(spark, sf_dir), threshold=0.95, stats=stats
+        ).count()
+        assert stats["tier"] == "blocked"
+        assert stats["n_block_pairs"] <= 8192
+
+    def test_tiers_agree_when_flip_is_forced(self, spark, sf_dir):
+        """Force the celled tier with max_block_pairs=0-ish bound and
+        small blocks — the dispatcher's two physical plans must return
+        the IDENTICAL exact pair set (the q238 contract)."""
+        from ssb_coefficient_maker_spark.operators.similarity import (
+            cosine_neardup_auto,
+        )
+
+        corpus = self._corpus(spark, sf_dir)
+        stats_b, stats_c = {}, {}
+        blocked = cosine_neardup_auto(
+            corpus, threshold=0.95, block_size=64, stats=stats_b
+        )
+        celled = cosine_neardup_auto(
+            corpus,
+            threshold=0.95,
+            block_size=64,
+            max_block_pairs=stats_b["n_block_pairs"] - 1,
+            n_cells=16,
+            stats=stats_c,
+        )
+        assert stats_b["tier"] == "blocked" and stats_c["tier"] == "celled"
+        b = sorted(map(tuple, blocked.collect()))
+        c = sorted(map(tuple, celled.collect()))
+        assert b == c and len(b) > 0
+
+    def test_unprunable_case_still_refuses(self, spark, sf_dir):
+        """Isotropic corpus + low threshold past the bound: the celled
+        tier's own guard must propagate — auto planning never silently
+        runs the quadratic job."""
+        from ssb_coefficient_maker_spark.operators.similarity import (
+            cosine_neardup_auto,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        with pytest.raises(ValueError, match="max_block_pairs"):
+            cosine_neardup_auto(
+                emb, threshold=0.1, block_size=16, max_block_pairs=3
+            ).count()
+
+    def test_q238_equals_q115(self, spark, sf_dir):
+        from ssb_coefficient_maker_spark.operators.similarity import (
+            q115_celled_neardup,
+            q238_neardup_auto,
+        )
+
+        a = sorted(map(tuple, q238_neardup_auto(spark, sf_dir).collect()))
+        b = sorted(map(tuple, q115_celled_neardup(spark, sf_dir).collect()))
+        assert a == b and len(a) > 0
