@@ -36,6 +36,13 @@ WHITELIST: dict[str, tuple[str, str]] = {
     "q173_qq_drift": ("bnlj", "1-row corpus-quartile broadcast"),
     "q177_top_gram_coverage": ("bnlj", "1-row gram-total broadcast"),
     "q50_embedding_neardup": ("bnlj", "block-pair driver table (n_blocks², bounded)"),
+    "q238_neardup_auto": (
+        "cartesian",
+        "same bounded block-pair table as q50 (n_blocks² rows, guard-capped "
+        "at max_block_pairs) — the clustered corpus's upstream broadcast "
+        "shifts the planner's non-equi pick from BNLJ to CartesianProduct; "
+        "at audit SF the dispatcher selects the blocked tier",
+    ),
     "q66_tfidf_top_terms": ("bnlj", "1-row doc-count broadcast"),
     "q72_batch_topk": ("bnlj", "query-set literal table broadcast"),
     "q95_histogram": ("bnlj", "1-row min/max bounds broadcast"),
