@@ -32,6 +32,30 @@ def main() -> int:
     from ssb_coefficient_maker_spark.session import get_spark
     from ssb_coefficient_maker_spark.sources.loaders import load_table
 
+    # optional subset (round-10): SPARK_GRAFT_BENCH_ONLY="q115_...,q50_..."
+    # limits the run to the named queries — the knob behind targeted
+    # quiet-window re-measures (sf1 regression bisects) and the sf10
+    # heavy-family ladder, where a full-registry pass would bury the
+    # signal under 40 minutes of unrelated work. The emitted JSON keeps
+    # the same shape; n_queries tells a reader it was a subset run.
+    # Resolved BEFORE the Spark session starts: a subset that matches
+    # nothing must fail fast, not emit a success-shaped zero (r10 ADVICE).
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    only = {q.strip() for q in only_env.split(",") if q.strip()}
+    if only:
+        unknown = only - set(REGISTRY)
+        if unknown:
+            print(f"BENCH WARN unknown queries in BENCH_ONLY: {sorted(unknown)}",
+                  file=sys.stderr)
+        if not (only & set(REGISTRY)):
+            # every requested name is unknown: a warn-and-continue here
+            # would emit a success-shaped JSON with value 0 that could
+            # be stamped as a real measurement (round-10 ADVICE)
+            raise SystemExit(
+                f"BENCH ERROR: SPARK_GRAFT_BENCH_ONLY matched no registry "
+                f"queries (requested: {sorted(only)})"
+            )
+
     spark = get_spark(app_name="bench")
 
     # warmup: JVM + parquet footer caches + codegen paths. Partial
@@ -45,19 +69,6 @@ def main() -> int:
     except Exception:
         run_query(load_table(spark, sf_dir, "documents").groupBy().count())
 
-    # optional subset (round-10): SPARK_GRAFT_BENCH_ONLY="q115_...,q50_..."
-    # limits the run to the named queries — the knob behind targeted
-    # quiet-window re-measures (sf1 regression bisects) and the sf10
-    # heavy-family ladder, where a full 237-query pass would bury the
-    # signal under 40 minutes of unrelated work. The emitted JSON keeps
-    # the same shape; n_queries tells a reader it was a subset run.
-    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
-    only = {q.strip() for q in only_env.split(",") if q.strip()}
-    if only:
-        unknown = only - set(REGISTRY)
-        if unknown:
-            print(f"BENCH WARN unknown queries in BENCH_ONLY: {sorted(unknown)}",
-                  file=sys.stderr)
     items = [(n, s) for n, s in REGISTRY.items() if not only or n in only]
 
     timings: dict[str, float] = {}

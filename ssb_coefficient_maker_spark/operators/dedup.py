@@ -314,10 +314,26 @@ class LshIndex(tuple):
 def _check_probe_geometry(index, family: str, k: int) -> None:
     """Raise if a geometry-carrying index is probed with a different
     (family, k) than it was built under — the shingle spaces would be
-    disjoint and the probe would return an empty (wrong) answer."""
+    disjoint and the probe would return an empty (wrong) answer.
+
+    A bare (bands, shingles) tuple carries no geometry to check, so
+    the probe proceeds under the caller-stated (family, k) — but that
+    is exactly the silent-empty-result hazard the check exists for,
+    so it is deprecated with a one-time warning (round-10 ADVICE):
+    build indexes via ``build_lsh_index``/``load_lsh_store``, which
+    return geometry-carrying ``LshIndex`` values."""
     idx_family = getattr(index, "family", None)
     if idx_family is None:
-        return  # bare (bands, shingles) tuple: caller owns the contract
+        import warnings
+
+        warnings.warn(
+            "probing a bare (bands, shingles) tuple: geometry (family, k) "
+            "cannot be verified and a mismatch silently finds nothing — "
+            "pass the LshIndex from build_lsh_index/load_lsh_store",
+            DeprecationWarning,
+            stacklevel=3,
+        )
+        return  # caller owns the contract; default warn-once filter applies
     idx_k = getattr(index, "k", None)
     if idx_family != family or idx_k != k:
         raise ValueError(
@@ -1651,3 +1667,165 @@ def q233_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bin_lo")
     )
     return out
+
+
+# ------------------------- exact-dup collapse pre-pass (round 11, q239)
+#
+# The round-10 sf10 ladder's one algorithmic lesson: the near-dup
+# verify tiers' cost is the TRUE-DUPLICATE pair mass. A corpus whose
+# duplicates arrive as c-cliques of exact copies (the crawl shape
+# make_scale_data.py models, and what real web crawls look like)
+# makes every verify tier pay O(c^2) shingle-verify joins per clique
+# — q214 ran 27.2x, q115 17.2x, q31 13.1x on 10x rows. Production
+# pipelines therefore run exact dedup FIRST (one digest shuffle),
+# near-dup only the O(n_unique) representatives, then expand the
+# rep-level pairs back through the exact-dup clusters. Within-clique
+# work drops from c^2 shingle verifications to c map-side hash rows
+# (the expansion join still EMITS the c^2 output pairs — that is the
+# answer's size, not avoidable work — but each costs a join row, not
+# an array-intersect over ~280-element shingle arrays).
+#
+# The expansion is EXACT for MinHash-LSH, not an approximation:
+# identical normalized text => identical shingle array => identical
+# signature and band keys. So (a) two members of one clique always
+# band-collide and verify at jaccard 1.0, and (b) a cross-clique
+# member pair band-collides iff its representatives do, with the
+# identical jaccard. Equal output to the uncollapsed tier IS the
+# claim, and q239's oracle is q31's uncollapsed oracle verbatim (the
+# q238 evidence pattern: same answer through a different physical
+# plan).
+
+
+def release_exact_dup_map() -> None:
+    """Unpersist the exact-dup member map cached by the last
+    ``canonicalize_exact_dups`` call (safe to call any time)."""
+    from ssb_coefficient_maker_spark.cachereg import get_cache
+
+    get_cache("exact_dup_map").release()
+
+
+def canonicalize_exact_dups(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Collapse exact duplicates to per-clique representatives.
+
+    Returns ``(reps, members)``:
+
+    - ``members`` — (doc_id, rep_id): every document mapped to its
+      clique representative (min doc_id sharing the md5 of the
+      normalized text — the same canonicalization as q30, so the two
+      operators agree on what "exact duplicate" means);
+    - ``reps`` — the input rows whose doc_id IS a representative
+      (all input columns; one row per distinct content).
+
+    Plan shape: ONE shuffle on the 128-bit digest (a window-min over
+    the hash partition — no second aggregate-and-join pass), then the
+    reps side is a semi-join of the input against the map on doc_id.
+    The member map is two longs per document; it is pinned via
+    PinnedCache (cap-at-one-corpus, shared lifecycle with the shingle
+    table) because the collapse pipeline reads it three times
+    (expansion sides a/b + within-clique pairs). At 100 TB the map is
+    a materialized table bucketed by rep_id and the digest shuffle is
+    the same one q30 already pays.
+    """
+    from pyspark.sql.window import Window
+
+    from ssb_coefficient_maker_spark.cachereg import get_cache
+
+    cache = get_cache("exact_dup_map")
+    corpus = (docs.semanticHash(),)
+    members = cache.lookup(corpus, ())
+    if members is None:
+        m = (
+            docs.select(
+                "doc_id", F.md5(normalized_text(F.col("text"))).alias("_h")
+            )
+            .withColumn(
+                "rep_id", F.min("doc_id").over(Window.partitionBy("_h"))
+            )
+            .select("doc_id", "rep_id")
+            .persist()
+        )
+        members = cache.store(corpus, (), m, pinned=[m])
+    reps = docs.join(
+        members.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    return reps, members
+
+
+def minhash_neardup_collapsed(
+    docs: DataFrame, threshold: float = 0.4, family: str = "xxhash64"
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs with the exact-dup collapse
+    pre-pass: identical output to ``minhash_lsh_pairs(docs, ...)``
+    (see the module comment above for why the equality is exact, not
+    approximate), but the shingle/signature/band/verify stages run
+    over only the distinct-content representatives.
+
+    Stages:
+
+    1. ``canonicalize_exact_dups`` — one digest shuffle, member map
+       (doc_id, rep_id) pinned;
+    2. ``minhash_lsh_pairs(reps)`` — the unchanged batch tier, now
+       O(n_unique);
+    3. within-clique pairs: self-join of the member map on rep_id
+       (co-partitioned, no shingle data) at jaccard 1.0 — exact
+       copies ARE near-dups at every threshold <= 1;
+    4. cross-clique expansion: rep pairs joined to the member map on
+       each side; least/greatest restores the doc_a < doc_b pair
+       normalization (members of two different cliques interleave in
+       id order even though representatives don't).
+
+    The verify join's array-intersect work drops from pair-mass
+    quadratic in clique size to quadratic in DISTINCT near-dup
+    content; steps 3-4 are hash joins on longs. On the sf10 clique
+    corpus this is the difference between 60.8 s (q31 direct) and
+    the collapse path's near-flat cost — the round-11 ladder row.
+    """
+    reps, members = canonicalize_exact_dups(docs)
+    rep_pairs = minhash_lsh_pairs(reps, threshold=threshold, family=family)
+    # rep_pairs is consumed once; members three times (pinned above)
+    within = (
+        members.alias("x")
+        .join(
+            members.alias("y"),
+            (F.col("x.rep_id") == F.col("y.rep_id"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    ma = members.select(
+        F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("m_a")
+    )
+    mb = members.select(
+        F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("m_b")
+    )
+    cross = (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("m_a", "m_b").alias("doc_a"),
+            F.greatest("m_a", "m_b").alias("doc_b"),
+            "jaccard",
+        )
+    )
+    return cross.unionByName(within).orderBy("doc_a", "doc_b")
+
+
+def q239_collapsed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q31's near-dup pair set through the exact-dup collapse
+    pre-pass — the round-10 VERDICT's top next item made checkable:
+    collapse exact cliques to representatives, near-dup the
+    representatives, expand rep pairs back through the cliques.
+    Shares q31's DuckDB oracle VERBATIM (the uncollapsed banded
+    pipeline): equal output IS the collapse-correctness claim. At the
+    shipped SFs the corpus is nearly duplicate-free (sf0.1: 8 exact
+    dups in 5000 docs) so the pre-pass is ~free; on the sf1/sf10
+    clique corpora it removes the O(c^2) within-clique verify mass —
+    the measured ladder row lives in SCALE_NOTES.md."""
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_neardup_collapsed(docs, threshold=0.4, family="md5")

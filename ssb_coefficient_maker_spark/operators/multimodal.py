@@ -310,6 +310,10 @@ def decode_media_header(payload: bytes) -> dict:
     if payload is None or len(payload) < 2:
         raise ValueError("empty payload")
     if payload[:2] == b"BM":
+        # length-check before unpack_from: a truncated BMP must raise
+        # the documented ValueError, not struct.error (round-10 ADVICE)
+        if len(payload) < 26:
+            raise ValueError("truncated BMP header")
         width, height = struct.unpack_from("<ii", payload, 18)
         out.update(fmt="bmp", width=width, height=abs(height))
         return out
@@ -332,6 +336,13 @@ def decode_media_header(payload: bytes) -> dict:
         if fmt_chunk is None or data_size is None:
             raise ValueError("truncated WAV header")
         _audio_fmt, channels, sample_rate, _brate, _balign, bits = fmt_chunk
+        # corrupt fmt chunks must raise the documented ValueError, not
+        # ZeroDivisionError in the sample arithmetic (round-10 ADVICE)
+        if channels <= 0 or bits < 8 or sample_rate <= 0:
+            raise ValueError(
+                f"corrupt WAV fmt chunk: channels={channels}, bits={bits}, "
+                f"sample_rate={sample_rate}"
+            )
         n_samples = data_size // (channels * (bits // 8))
         out.update(
             fmt="wav",

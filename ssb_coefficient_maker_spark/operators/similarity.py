@@ -691,6 +691,7 @@ def cosine_neardup_blocked(
     threshold: float = 0.4,
     block_size: int = 1024,
     max_block_pairs: int = QUADRATIC_TIER_MAX_BLOCK_PAIRS,
+    _n_blocks: int | None = None,
 ) -> DataFrame:
     """Exact all-pairs cosine ≥ threshold, fully distributed.
 
@@ -721,8 +722,14 @@ def cosine_neardup_blocked(
 
     Accumulation loops over dimensions in order, matching DuckDB's
     sequential ``list_sum`` bit-for-bit (oracle-exact).
+
+    ``_n_blocks`` (private) lets ``cosine_neardup_auto`` pass the
+    populated-block count it already computed for tier selection, so
+    the dispatch path runs the guard agg exactly once per call
+    (round-10 ADVICE: the auto path was re-running the identical
+    eager agg here).
     """
-    n_blocks = int(
+    n_blocks = _n_blocks if _n_blocks is not None else int(
         emb.agg(
             F.count_distinct((F.col("vec_id") / block_size).cast("long"))
         ).head()[0]
@@ -1196,11 +1203,14 @@ def cosine_neardup_auto(
     if stats is not None:
         stats.update(tier=tier, n_blocks=n_blocks, n_block_pairs=n_pairs)
     if tier == "blocked":
+        # _n_blocks threads the count computed above into the tier, so
+        # the dispatch path runs ONE guard agg total (round-10 ADVICE)
         return cosine_neardup_blocked(
             emb,
             threshold=threshold,
             block_size=block_size,
             max_block_pairs=max_block_pairs,
+            _n_blocks=n_blocks,
         )
     return cosine_neardup_celled(
         emb,

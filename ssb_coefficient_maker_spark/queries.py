@@ -12027,6 +12027,17 @@ REGISTRY: dict[str, QuerySpec] = {
         _Q115_ORACLE,
         "dedup",
     ),
+    "q239_collapsed_neardup": QuerySpec(
+        dedup.q239_collapsed_neardup,
+        # SAME truth as q31 — the exact-dup collapse pre-pass must
+        # reproduce the uncollapsed banded pipeline's pair set exactly
+        # (identical text => identical signature => identical band
+        # collisions and jaccard; see operators/dedup.py round-11
+        # module comment). The oracle stays the UNCOLLAPSED replica:
+        # equal output IS the collapse-correctness claim.
+        _minhash_oracle_sql(),
+        "dedup",
+    ),
 }
 
 # MECHANICALLY DERIVED — regenerate with `python tools/driver_priority.py`
@@ -12040,6 +12051,7 @@ REGISTRY: dict[str, QuerySpec] = {
 # missing" #1) fills the remaining sample slots: every ≤r4 verdict
 # sits inside the 50-slot head this round.
 _DRIVER_PRIORITY = (
+    "q239_collapsed_neardup",
     "q237_header_decode",
     "q238_neardup_auto",
     "q75_udtf_rle",

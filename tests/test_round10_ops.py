@@ -153,8 +153,11 @@ class TestLshGeometry:
         with pytest.raises(ValueError, match="does not match the index"):
             probe_lsh_index(batch, index, family="md5", k=4)
         # matching geometry still probes; a bare tuple is caller-owned
+        # but now deprecated — it carries no geometry to verify, so
+        # the probe warns once (round-10 ADVICE)
         probe_lsh_index(batch, index, family="md5").count()
-        probe_lsh_index(batch, tuple(index), family="md5").count()
+        with pytest.warns(DeprecationWarning, match="bare .bands, shingles. tuple"):
+            probe_lsh_index(batch, tuple(index), family="md5").count()
         get_cache("t10_geom").release()
 
 

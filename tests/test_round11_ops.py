@@ -1,0 +1,190 @@
+"""Round-11 operator tests: the exact-dup collapse pre-pass (q239),
+the round-10 ADVICE fixes (header-decode error contract, bench
+subset fail-fast, auto-dispatch single guard agg, bare-tuple probe
+deprecation), and the auto-dispatcher front-door contract."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+from ssb_coefficient_maker_spark.operators import dedup
+from ssb_coefficient_maker_spark.sources.loaders import load_table
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+class TestCollapsedNeardup:
+    """q239: collapse exact-dup cliques, near-dup the representatives,
+    expand — output must equal the uncollapsed tier EXACTLY."""
+
+    def _cliqued(self, spark, sf_dir, copies=3, n_docs=120):
+        """Planted clique corpus: every doc becomes a `copies`-clique
+        of exact duplicates with shifted ids (the make_scale_data
+        crawl shape, shrunk to test size)."""
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < n_docs
+        )
+        return docs.crossJoin(
+            spark.range(copies).select(F.col("id").alias("r"))
+        ).select((F.col("doc_id") + F.col("r") * 1000).alias("doc_id"), "text")
+
+    def test_equals_uncollapsed_on_clique_corpus(self, spark, sf_dir):
+        corpus = self._cliqued(spark, sf_dir)
+        direct = dedup.minhash_lsh_pairs(
+            corpus, threshold=0.4, family="md5"
+        ).toPandas()
+        dedup.release_shingle_cache()
+        collapsed = dedup.minhash_neardup_collapsed(
+            corpus, threshold=0.4, family="md5"
+        ).toPandas()
+        assert len(direct) > 0
+        assert direct.equals(collapsed)
+        dedup.release_shingle_cache()
+        dedup.release_exact_dup_map()
+
+    def test_equals_uncollapsed_without_any_dups(self, spark, sf_dir):
+        # duplicate-free corpus: the pre-pass must be an exact no-op
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < 200
+        )
+        direct = dedup.minhash_lsh_pairs(
+            docs, threshold=0.4, family="md5"
+        ).toPandas()
+        dedup.release_shingle_cache()
+        collapsed = dedup.minhash_neardup_collapsed(
+            docs, threshold=0.4, family="md5"
+        ).toPandas()
+        assert direct.equals(collapsed)
+        dedup.release_shingle_cache()
+        dedup.release_exact_dup_map()
+
+    def test_canonicalize_map_and_reps(self, spark, sf_dir):
+        corpus = self._cliqued(spark, sf_dir, copies=4, n_docs=30)
+        reps, members = dedup.canonicalize_exact_dups(corpus)
+        m = members.toPandas()
+        # every clique maps to its min doc_id (the base replica)
+        assert (m["rep_id"] == m["doc_id"] % 1000).all()
+        # one representative row per distinct content, text preserved
+        r = reps.toPandas()
+        assert sorted(r["doc_id"]) == sorted(m["rep_id"].unique())
+        assert set(reps.columns) == {"doc_id", "text"}
+        dedup.release_exact_dup_map()
+
+    def test_within_clique_pairs_are_jaccard_one(self, spark, sf_dir):
+        corpus = self._cliqued(spark, sf_dir, copies=3, n_docs=10)
+        out = dedup.minhash_neardup_collapsed(
+            corpus, threshold=0.4, family="md5"
+        ).toPandas()
+        same_clique = out[
+            (out["doc_a"] % 1000) == (out["doc_b"] % 1000)
+        ]
+        assert len(same_clique) == 10 * 3  # C(3,2) per clique
+        assert (same_clique["jaccard"] == 1.0).all()
+        dedup.release_shingle_cache()
+        dedup.release_exact_dup_map()
+
+
+class TestHeaderDecodeErrorContract:
+    """Round-10 ADVICE: every corrupt-blob path raises the documented
+    ValueError — never struct.error or ZeroDivisionError."""
+
+    def test_truncated_bmp_raises_valueerror(self):
+        from ssb_coefficient_maker_spark.operators.multimodal import (
+            decode_media_header,
+        )
+
+        with pytest.raises(ValueError, match="truncated BMP"):
+            decode_media_header(b"BM" + b"\x00" * 10)
+
+    def test_zero_channel_wav_raises_valueerror(self):
+        import struct
+
+        from ssb_coefficient_maker_spark.operators.multimodal import (
+            decode_media_header,
+        )
+
+        def wav(channels, bits, rate):
+            return (
+                struct.pack("<4sI4s", b"RIFF", 36 + 8, b"WAVE")
+                + struct.pack(
+                    "<4sIHHIIHH", b"fmt ", 16, 1, channels, rate,
+                    rate * 2, 2, bits,
+                )
+                + struct.pack("<4sI", b"data", 8)
+                + b"\x00" * 8
+            )
+
+        with pytest.raises(ValueError, match="corrupt WAV fmt"):
+            decode_media_header(wav(0, 16, 8000))
+        with pytest.raises(ValueError, match="corrupt WAV fmt"):
+            decode_media_header(wav(1, 0, 8000))
+        with pytest.raises(ValueError, match="corrupt WAV fmt"):
+            decode_media_header(wav(1, 16, 0))
+
+
+class TestBenchSubsetFailFast:
+    """Round-10 ADVICE: a BENCH_ONLY subset that matches nothing must
+    exit non-zero before a Spark session exists, not emit a
+    success-shaped zero-value JSON."""
+
+    def test_unknown_only_exits_nonzero(self):
+        env = dict(os.environ, SPARK_GRAFT_BENCH_ONLY="zz_not_a_query")
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, timeout=300,
+        )
+        assert proc.returncode != 0
+        assert "matched no registry queries" in proc.stderr
+        # fail-fast contract: no JSON payload was emitted
+        assert '"metric"' not in proc.stdout
+
+
+class TestAutoDispatchSingleAgg:
+    """Round-10 ADVICE: the auto dispatcher threads its block count
+    into the blocked tier instead of re-running the guard agg."""
+
+    def test_precounted_blocks_skips_recount_and_matches(self, spark, sf_dir):
+        from ssb_coefficient_maker_spark.operators.similarity import (
+            clustered_embeddings,
+            cosine_neardup_blocked,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding"
+        )
+        corpus = clustered_embeddings(emb).limit(200)
+        base = cosine_neardup_blocked(corpus, threshold=0.95).toPandas()
+        threaded = cosine_neardup_blocked(
+            corpus, threshold=0.95, _n_blocks=1
+        ).toPandas()
+        assert base.equals(threaded)
+        # the threaded count feeds the guard: an over-stated count
+        # must trip it without running the eager agg
+        with pytest.raises(ValueError, match="exceeds max_block_pairs"):
+            cosine_neardup_blocked(
+                corpus, threshold=0.95, max_block_pairs=2, _n_blocks=10
+            )
+
+    def test_front_door_tier_at_shipped_sfs(self, spark):
+        """The documented front door (cosine_neardup_auto) selects the
+        blocked tier at every shipped SF — the q238 dispatch contract
+        (VERDICT r10 next-round #4)."""
+        from ssb_coefficient_maker_spark.operators.similarity import (
+            Q115_THRESHOLD,
+            clustered_embeddings,
+            cosine_neardup_auto,
+        )
+
+        for sf in ("sf0.001", "sf0.01"):
+            emb = load_table(spark, f"/root/testdata/{sf}", "embeddings")
+            corpus = clustered_embeddings(emb.select("vec_id", "embedding"))
+            stats: dict = {}
+            cosine_neardup_auto(
+                corpus, threshold=Q115_THRESHOLD, stats=stats
+            )
+            assert stats["tier"] == "blocked", (sf, stats)
