@@ -1804,8 +1804,14 @@ def minhash_neardup_collapsed(
     mb = members.select(
         F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("m_b")
     )
+    # rep_pairs is k-scale (near-dup pairs among DISTINCT contents —
+    # bounded like the q57 key table), so broadcast it: the expansion
+    # becomes two map-side hash joins streaming the member map, with
+    # no shuffle of rep_pairs' LSH lineage and no SMJ sort of the
+    # member map per side
     cross = (
-        rep_pairs.join(ma, "doc_a")
+        F.broadcast(rep_pairs)
+        .join(ma, "doc_a")
         .join(mb, "doc_b")
         .select(
             F.least("m_a", "m_b").alias("doc_a"),
