@@ -9,25 +9,35 @@ Tiers, and when each is the right one:
   (``kmeans_centroids``), each vector assigned to its nearest centroid
   (broadcast of the tiny centroid table), queries probe only their
   bucket: the scan shrinks ~n_centroids×.
-- **exact near-dup, block-distributed** (q50) — all-pairs cosine ≥ t
-  without EVER collecting the corpus to the driver: vectors pack into
-  blocks, block PAIRS join (n_blocks² small rows), each pair's dense
-  product runs vectorized numpy inside Arrow-batched ``mapInPandas``.
-  Shuffle volume O(n·n_blocks); driver memory O(1). This is the right
-  tool for LOW thresholds: at cos 0.4 (θ≈66°) sign-LSH's per-bit
-  collision gap (0.64 vs 0.50 background) is so thin that any
-  recall-preserving banding admits ~90% of all pairs — more work than
-  exact. Measured on this corpus: every true pair sits at cos
-  0.40–0.43, i.e. exactly the regime where LSH cannot prune.
-- **exact near-dup, celled** (q115) — the middle tier: same exact
-  result set as the blocked tier, but an IVF coarse quantizer plus a
-  triangle-inequality cell-pair bound skips every block pair that
-  provably cannot contain a qualifying pair. Subquadratic whenever
-  the corpus clusters tighter than the threshold demands (any
-  threshold); when nothing prunes (isotropic data) the SURVIVING
-  pair count stays ~quadratic and the tier REFUSES past the same
-  block-pair bound as q50 (round 8) — pointing at q57 — instead of
-  silently running the full product.
+- **exact near-dup — FRONT DOOR: ``cosine_neardup_auto`` (q238)** —
+  callers wanting all pairs at cosine ≥ t call the dispatcher; the
+  two tiers below are its physical plans (both exact, so the choice
+  is pure plan selection — the near-dup analogue of broadcast-vs-
+  shuffle join). One small block-count agg (a metastore lookup at
+  scale) picks:
+  - **blocked tier** (q50, ``cosine_neardup_blocked``) — below the
+    block-pair bound: vectors pack into blocks, block PAIRS join
+    (n_blocks² small rows), each pair's dense product runs
+    vectorized numpy inside Arrow-batched ``mapInPandas``. Shuffle
+    volume O(n·n_blocks); driver memory O(1). Right for LOW
+    thresholds at bounded scale: at cos 0.4 (θ≈66°) sign-LSH's
+    per-bit collision gap (0.64 vs 0.50 background) is so thin that
+    any recall-preserving banding admits ~90% of all pairs — more
+    work than exact. Measured on this corpus: every true pair sits
+    at cos 0.40–0.43, i.e. exactly the regime where LSH cannot
+    prune. Past the bound it refuses loudly (the guard the
+    dispatcher plans past).
+  - **celled tier** (q115, ``cosine_neardup_celled``) — past the
+    bound: same exact result set, but an IVF coarse quantizer plus
+    a triangle-inequality cell-pair bound skips every block pair
+    that provably cannot contain a qualifying pair. Subquadratic
+    whenever the corpus clusters tighter than the threshold demands
+    (any threshold); when nothing prunes (isotropic data) the
+    SURVIVING pair count stays ~quadratic and the tier REFUSES past
+    the same block-pair bound as q50 (round 8) — pointing at q57 —
+    instead of silently running the full product. Automatic
+    planning never silently launches the quadratic job it exists to
+    avoid.
 - **banded sign-LSH near-dup** (q57) — the scale path for HIGH
   thresholds (cos ≥ ~0.8), where the math works: B bands of r
   hyperplane sign bits; a pair collides in one band with p_bit^r,

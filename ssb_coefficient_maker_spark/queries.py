@@ -11734,6 +11734,78 @@ REGISTRY: dict[str, QuerySpec] = {
         """,
         "multimodal",
     ),
+    "q240_pixel_decode": QuerySpec(
+        multimodal.q240_pixel_decode,
+        # the q237 pattern one layer deeper: the Spark side parses the
+        # PIXEL/SAMPLE bytes of complete containers (BMP bottom-up
+        # padded BGR rows, PPM top-down RGB, WAV interleaved s16le);
+        # the oracle recomputes every per-channel sum and the
+        # position-weighted checksum arithmetically from doc_id via
+        # the encoder's pure integer pixel/sample formulas — equality
+        # proves the decoder reads the bytes the container encodes,
+        # in the right order (a missed flip / padding mis-stride /
+        # unswapped BGR changes wchk)
+        """
+        WITH p AS (
+          SELECT doc_id, doc_id % 3 AS m,
+                 CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 13
+                                 WHEN 1 THEN 4 + doc_id % 12 END AS w,
+                 CASE doc_id % 3 WHEN 0 THEN 4 + doc_id % 11
+                                 WHEN 1 THEN 4 + doc_id % 9 END AS h,
+                 CASE doc_id % 3 WHEN 0 THEN doc_id % 251
+                                 WHEN 1 THEN doc_id % 249
+                                 ELSE doc_id % 253 END AS seed,
+                 CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 2 END AS ch,
+                 CASE WHEN doc_id % 3 = 2 THEN 64 + doc_id % 200 END AS n
+          FROM documents
+        ), img AS (
+          SELECT doc_id, seed, w,
+                 unnest(generate_series(0, w * h - 1)) AS i
+          FROM p WHERE m IN (0, 1)
+        ), imgstats AS (
+          SELECT doc_id, count(*) AS n_units,
+                 CAST(sum((seed + 7*(i % w) + 13*(i // w)) % 256)
+                      AS BIGINT) AS sum_c1,
+                 CAST(sum((seed + 7*(i % w) + 13*(i // w) + 101) % 256)
+                      AS BIGINT) AS sum_c2,
+                 CAST(sum((seed + 7*(i % w) + 13*(i // w) + 202) % 256)
+                      AS BIGINT) AS sum_c3,
+                 CAST(sum((i + 1) *
+                          ((seed + 7*(i % w) + 13*(i // w)) % 256))
+                      AS BIGINT) AS wchk
+          FROM img GROUP BY doc_id
+        ), wav AS (
+          SELECT doc_id, seed, ch,
+                 unnest(generate_series(0, n - 1)) AS i
+          FROM p WHERE m = 2
+        ), wavstats AS (
+          SELECT doc_id, count(*) AS n_units,
+                 CAST(sum((seed*31 + i*17) % 65536 - 32768)
+                      AS BIGINT) AS sum_c1,
+                 CASE WHEN max(ch) = 2 THEN
+                   CAST(sum((seed*31 + i*17 + 9) % 65536 - 32768)
+                        AS BIGINT) END AS sum_c2,
+                 CAST(NULL AS BIGINT) AS sum_c3,
+                 CAST(sum((i + 1) *
+                          ((seed*31 + i*17) % 65536 - 32768))
+                      AS BIGINT) AS wchk
+          FROM wav GROUP BY doc_id
+        )
+        SELECT CAST(p.doc_id AS BIGINT) AS media_id,
+               CASE p.m WHEN 0 THEN 'bmp' WHEN 1 THEN 'ppm'
+                        ELSE 'wav' END AS fmt,
+               coalesce(s.n_units, t.n_units) AS n_units,
+               coalesce(s.sum_c1, t.sum_c1) AS sum_c1,
+               coalesce(s.sum_c2, t.sum_c2) AS sum_c2,
+               s.sum_c3 AS sum_c3,
+               coalesce(s.wchk, t.wchk) AS wchk
+        FROM p
+        LEFT JOIN imgstats s USING (doc_id)
+        LEFT JOIN wavstats t USING (doc_id)
+        ORDER BY media_id
+        """,
+        "multimodal",
+    ),
     "q38_asof_join": QuerySpec(q38_asof_join, _Q38_ORACLE, "join"),
     "q44_approx_distinct": QuerySpec(
         relational.q44_approx_distinct,
@@ -12052,6 +12124,7 @@ REGISTRY: dict[str, QuerySpec] = {
 # sits inside the 50-slot head this round.
 _DRIVER_PRIORITY = (
     "q239_collapsed_neardup",
+    "q240_pixel_decode",
     "q237_header_decode",
     "q238_neardup_auto",
     "q75_udtf_rle",
