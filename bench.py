@@ -24,6 +24,13 @@ def run_query(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+# the drift canary: three pure-JVM queries (scan+agg, sort-limit,
+# date functions — no Python workers, no pinned caches) whose code is
+# stable across rounds; see the canary block construction in main()
+CANARY_QUERIES = ("q01_pricing_summary", "q03_top_revenue_orders",
+                  "q17_date_functions")
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -71,6 +78,30 @@ def main() -> int:
 
     items = [(n, s) for n, s in REGISTRY.items() if not only or n in only]
 
+    # window-drift canary (round-11, VERDICT r10 next-round #5): three
+    # fixed pure-JVM queries timed immediately BEFORE and AFTER the
+    # measured run. Their cost is code that never changes round to
+    # round, so before/after (and stamp-vs-stamp) canary ratios
+    # separate box/window drift from real regressions — the round-8/10
+    # "same code moved +0.3 s" arguments become arithmetic instead of
+    # medians. Warm-measured (one throwaway + one timed pass each).
+    def run_canary() -> dict[str, float]:
+        out: dict[str, float] = {}
+        for cq in CANARY_QUERIES:
+            spec = REGISTRY.get(cq)
+            if spec is None:
+                continue
+            try:
+                run_query(spec.fn(spark, sf_dir))
+                t0 = time.time()
+                run_query(spec.fn(spark, sf_dir))
+                out[cq] = round(time.time() - t0, 3)
+            except Exception as exc:
+                print(f"BENCH WARN canary {cq}: {exc}", file=sys.stderr)
+        return out
+
+    canary_before = run_canary()
+
     timings: dict[str, float] = {}
     warm: dict[str, float] = {}
     for name, spec in items:
@@ -88,9 +119,12 @@ def main() -> int:
         run_query(spec.fn(spark, sf_dir))
         warm[name] = round(time.time() - t1, 3)
 
+    canary_after = run_canary()
+
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     total_warm = round(sum(warm.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    cb, ca = sum(canary_before.values()), sum(canary_after.values())
     payload = {
         "metric": "total_wall_sec_all_queries",
         "value": total,
@@ -100,6 +134,17 @@ def main() -> int:
         "total_warm_sec": total_warm,
         "sf": float(sf) if sf else sf_dir,
         "n_queries": len(timings),
+        # normalize stamp-vs-stamp comparisons by the canary sums:
+        # (other_stamp.canary mean / this.canary mean) estimates the
+        # window's speed ratio on code that never changed
+        "canary": {
+            "queries": list(canary_before),
+            "before": canary_before,
+            "after": canary_after,
+            "before_sec": round(cb, 3),
+            "after_sec": round(ca, 3),
+            "mean_sec": round((cb + ca) / 2, 3),
+        },
     }
     print(json.dumps(payload))
     # The driver keeps only a stdout tail, which truncates 96 queries —
