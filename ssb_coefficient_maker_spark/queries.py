@@ -12113,68 +12113,22 @@ REGISTRY: dict[str, QuerySpec] = {
 }
 
 # MECHANICALLY DERIVED — regenerate with `python tools/driver_priority.py`
-# (round-9 rule, VERDICT r8 item 1): a query leads iff its driver
-# evidence is stale — never sampled (new this round: q237 real
-# header decode), or its symbol-closure code changed since the round
-# its latest verdict was collected (the round-10 rounding/geometry
-# edits mark q50/q115/q174 plus the r3 stragglers q66/q75). Groups:
-# never-sampled, then stale, then the rest — each oldest-verdict
-# first, so the 34-query ≤r4 rotation debt (VERDICT r9 "what's
-# missing" #1) fills the remaining sample slots: every ≤r4 verdict
-# sits inside the 50-slot head this round.
+# (round-9 rule). Round-11 head: the 2 never-sampled queries (q239
+# exact-dup collapse, q240 pixel decode), then the 6 whose symbol
+# closure changed this round (the dedup/similarity/multimodal edits
+# mark q215/q217/q234/q50/q237/q238), then the rotation debt oldest
+# first — the seven r4 verdicts (q116-q120, q127, q128) and the
+# q130-q183 r5 family all sit inside the 50-slot sample head, which
+# clears the "nothing older than r6" target (VERDICT r10 item 2).
 _DRIVER_PRIORITY = (
-    "q239_collapsed_neardup",
     "q240_pixel_decode",
-    "q237_header_decode",
-    "q238_neardup_auto",
-    "q75_udtf_rle",
-    "q66_tfidf_top_terms",
-    "q174_embedding_norm_qa",
-    "q50_embedding_neardup",
-    "q115_celled_neardup",
-    "q233_lsh_recall_audit",
-    "q232_segment_dedup_ingest",
-    "q31_minhash_neardup",
-    "q77_dedup_clusters",
-    "q156_market_basket",
-    "q158_triangle_count",
-    "q184_bfs_reach",
+    "q239_collapsed_neardup",
     "q215_incremental_neardup_probe",
     "q217_lsh_probe_append_cycle",
-    "q228_ann_recall_audit",
-    "q235_leontief_requirements",
     "q234_lsh_store_roundtrip",
-    "q35_ivf_topk",
-    "q221_ivf_ingest_probe",
-    "q236_ivf_store_roundtrip",
-    "q230_semantic_dedup",
-    "q81_pq_topk",
-    "q57_lsh_neardup",
-    "q67_doc_chunking",
-    "q68_sequence_packing",
-    "q60_csv_scan",
-    "q61_json_scan",
-    "q62_approx_percentile",
-    "q74_frame_sampling",
-    "q55_large_volume_orders",
-    "q52_nation_volume",
-    "q53_market_share",
-    "q54_pipeline_filter_dedup_stats",
-    "q48_null_functions",
-    "q97_merge_upsert",
-    "q98_cohort_retention",
-    "q99_exact_group_sample",
-    "q100_temperature_mixing",
-    "q102_quantile_normalize",
-    "q103_int8_quantization",
-    "q104_dpp_prune_join",
-    "q106_runtime_filter_join",
-    "q108_grouped_agg_udaf",
-    "q109_compact_small_files",
-    "q113_word_entropy",
-    "q112_snapshot_diff",
-    "q121_zorder_clustering",
-    "q125_record_linkage",
+    "q50_embedding_neardup",
+    "q237_header_decode",
+    "q238_neardup_auto",
     "q128_hierarchy_shares",
     "q127_point_in_time_join",
     "q116_correlated_scalar_subquery",
@@ -12363,6 +12317,50 @@ _DRIVER_PRIORITY = (
     "q216_formula_matmul",
     "q114_triplet_wide_formula",
     "q124_bigram_pmi",
+    "q75_udtf_rle",
+    "q66_tfidf_top_terms",
+    "q67_doc_chunking",
+    "q68_sequence_packing",
+    "q60_csv_scan",
+    "q61_json_scan",
+    "q62_approx_percentile",
+    "q233_lsh_recall_audit",
+    "q232_segment_dedup_ingest",
+    "q31_minhash_neardup",
+    "q77_dedup_clusters",
+    "q156_market_basket",
+    "q158_triangle_count",
+    "q174_embedding_norm_qa",
+    "q184_bfs_reach",
+    "q228_ann_recall_audit",
+    "q235_leontief_requirements",
+    "q35_ivf_topk",
+    "q221_ivf_ingest_probe",
+    "q236_ivf_store_roundtrip",
+    "q230_semantic_dedup",
+    "q81_pq_topk",
+    "q57_lsh_neardup",
+    "q74_frame_sampling",
+    "q55_large_volume_orders",
+    "q52_nation_volume",
+    "q53_market_share",
+    "q54_pipeline_filter_dedup_stats",
+    "q48_null_functions",
+    "q97_merge_upsert",
+    "q98_cohort_retention",
+    "q99_exact_group_sample",
+    "q100_temperature_mixing",
+    "q102_quantile_normalize",
+    "q103_int8_quantization",
+    "q104_dpp_prune_join",
+    "q106_runtime_filter_join",
+    "q108_grouped_agg_udaf",
+    "q109_compact_small_files",
+    "q113_word_entropy",
+    "q112_snapshot_diff",
+    "q121_zorder_clustering",
+    "q125_record_linkage",
+    "q115_celled_neardup",
 )
 
 
