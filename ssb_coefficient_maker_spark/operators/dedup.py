@@ -1704,17 +1704,29 @@ def release_exact_dup_map() -> None:
     get_cache("exact_dup_map").release()
 
 
-def canonicalize_exact_dups(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def canonicalize_exact_dups(
+    docs: DataFrame, casefold: bool = True
+) -> tuple[DataFrame, DataFrame]:
     """Collapse exact duplicates to per-clique representatives.
 
     Returns ``(reps, members)``:
 
     - ``members`` — (doc_id, rep_id): every document mapped to its
       clique representative (min doc_id sharing the md5 of the
-      normalized text — the same canonicalization as q30, so the two
-      operators agree on what "exact duplicate" means);
+      normalized text — with ``casefold=True`` the same
+      canonicalization as q30, so the two operators agree on what
+      "exact duplicate" means);
     - ``reps`` — the input rows whose doc_id IS a representative
       (all input columns; one row per distinct content).
+
+    ``casefold`` picks the equivalence the DOWNSTREAM tier actually
+    computes under: the MinHash family (q31/q239) shingles lowercased
+    text, so its collapse may fold case; the weighted-Jaccard family
+    (q214/q241) tokenizes case-SENSITIVELY, so its collapse must only
+    normalize whitespace — folding case there would merge docs the
+    verifier scores below 1.0, silently changing the answer. The
+    collapse key must never be coarser than the verify metric's own
+    equality.
 
     Plan shape: ONE shuffle on the 128-bit digest (a window-min over
     the hash partition — no second aggregate-and-join pass), then the
@@ -1732,19 +1744,22 @@ def canonicalize_exact_dups(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     cache = get_cache("exact_dup_map")
     corpus = (docs.semanticHash(),)
-    members = cache.lookup(corpus, ())
+    members = cache.lookup(corpus, (casefold,))
     if members is None:
+        key = (
+            normalized_text(F.col("text"))
+            if casefold
+            else F.regexp_replace(F.trim(F.col("text")), "\\s+", " ")
+        )
         m = (
-            docs.select(
-                "doc_id", F.md5(normalized_text(F.col("text"))).alias("_h")
-            )
+            docs.select("doc_id", F.md5(key).alias("_h"))
             .withColumn(
                 "rep_id", F.min("doc_id").over(Window.partitionBy("_h"))
             )
             .select("doc_id", "rep_id")
             .persist()
         )
-        members = cache.store(corpus, (), m, pinned=[m])
+        members = cache.store(corpus, (casefold,), m, pinned=[m])
     reps = docs.join(
         members.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
         "doc_id",

@@ -10486,22 +10486,14 @@ ORDER BY total_tf DESC, doc_id LIMIT 20
 """
 
 
-def q214_weighted_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted (multiset) Jaccard verification over blocked
-    candidates — the bag-of-words upgrade of set Jaccard (q32):
-    J_w = Σ min(tf_a, tf_b) / Σ max(tf_a, tf_b), which q201's
-    template families feed as candidate pairs (family-blocked, never
-    all-pairs). The FULL OUTER join per candidate pair's term vectors
-    runs as one (pair, word)-keyed agg over MATCHED words only — the
-    identity Σmax = |A| + |B| − Σmin (doc token totals from a tiny
-    per-doc aggregate) makes the full-outer word-universe join
-    unnecessary: one-sided words contribute 0 to Σmin and ride in
-    through the totals. Shuffles carry (doc, word, tf) triples for
-    CANDIDATE docs only. The multiset view separates truly-duplicated
-    text from coincidental vocabulary overlap."""
+def _weighted_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Full (a, b, weighted_jaccard) table over family-blocked
+    candidate pairs of ``docs`` — the shared verify stage of q214
+    (direct) and q241 (through the exact-dup collapse): blocking by
+    the first-5-words family, Σmin over matched words only, Σmax via
+    the identity Σmax = totA + totB − Σmin. See q214's docstring for
+    the plan rationale."""
     from pyspark.sql import Window
-
-    docs = load_table(spark, sf_dir, "documents")
     fam = docs.select(
         "doc_id",
         F.concat_ws(
@@ -10561,14 +10553,85 @@ def q214_weighted_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
              - F.coalesce("inter_w", F.lit(0))).alias("union_w"),
         )
     )
+    return agg.select(
+        "a",
+        "b",
+        F.round(F.col("inter_w") / F.col("union_w"), 6).alias(
+            "weighted_jaccard"
+        ),
+    )
+
+
+def q214_weighted_jaccard_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (multiset) Jaccard verification over blocked
+    candidates — the bag-of-words upgrade of set Jaccard (q32):
+    J_w = Σ min(tf_a, tf_b) / Σ max(tf_a, tf_b), which q201's
+    template families feed as candidate pairs (family-blocked, never
+    all-pairs). The FULL OUTER join per candidate pair's term vectors
+    runs as one (pair, word)-keyed agg over MATCHED words only — the
+    identity Σmax = |A| + |B| − Σmin (doc token totals from a tiny
+    per-doc aggregate) makes the full-outer word-universe join
+    unnecessary: one-sided words contribute 0 to Σmin and ride in
+    through the totals. Shuffles carry (doc, word, tf) triples for
+    CANDIDATE docs only. The multiset view separates truly-duplicated
+    text from coincidental vocabulary overlap."""
+    docs = load_table(spark, sf_dir, "documents")
     return (
-        agg.select(
-            "a",
-            "b",
-            F.round(F.col("inter_w") / F.col("union_w"), 6).alias(
-                "weighted_jaccard"
-            ),
+        _weighted_jaccard_pairs(docs)
+        .orderBy(F.desc("weighted_jaccard"), "a", "b")
+        .limit(20)
+    )
+
+
+def q241_collapsed_wjaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q214's weighted-Jaccard top-20 through the exact-dup collapse
+    pre-pass (the q239 pattern applied to the sf10 ladder's WORST
+    row — q214 ran 27.2× on 10× rows because within-clique pairs each
+    paid a (pair, word)-keyed verify join): collapse exact duplicates
+    with ``casefold=False`` (q214 tokenizes case-SENSITIVELY, so the
+    collapse key must be whitespace-only normalization — folding case
+    would merge docs the verifier scores below 1.0), run the
+    UNCHANGED verify stage over representatives, expand. Identical
+    whitespace-normalized text ⇒ identical token multiset ⇒ identical
+    family key, totals and per-word tf — so within-clique pairs score
+    exactly 1.0, cross-clique member pairs score exactly their rep
+    pair's value, and a clique is candidate-eligible iff its members
+    were. Shares q214's DuckDB oracle VERBATIM: equal output (same
+    top-20 under the same value-desc, id-asc tie-break) IS the
+    collapse-correctness claim."""
+    docs = load_table(spark, sf_dir, "documents")
+    reps, members = dedup.canonicalize_exact_dups(docs, casefold=False)
+    rep_pairs = _weighted_jaccard_pairs(reps)
+    within = (
+        members.alias("x")
+        .join(
+            members.alias("y"),
+            (F.col("x.rep_id") == F.col("y.rep_id"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
         )
+        .select(
+            F.col("x.doc_id").alias("a"),
+            F.col("y.doc_id").alias("b"),
+            F.lit(1.0).alias("weighted_jaccard"),
+        )
+    )
+    ma = members.select(F.col("rep_id").alias("a"), F.col("doc_id").alias("m_a"))
+    mb = members.select(F.col("rep_id").alias("b"), F.col("doc_id").alias("m_b"))
+    # rep_pairs is candidate-blocked over DISTINCT contents (bounded
+    # like q239's rep-pair table) — broadcast keeps its verify lineage
+    # out of the shuffle graph (the q239 plan lesson, SCALE_NOTES)
+    cross = (
+        F.broadcast(rep_pairs)
+        .join(ma, "a")
+        .join(mb, "b")
+        .select(
+            F.least("m_a", "m_b").alias("a"),
+            F.greatest("m_a", "m_b").alias("b"),
+            "weighted_jaccard",
+        )
+    )
+    return (
+        cross.unionByName(within)
         .orderBy(F.desc("weighted_jaccard"), "a", "b")
         .limit(20)
     )
@@ -11491,6 +11554,15 @@ REGISTRY: dict[str, QuerySpec] = {
     "q212_time_weighted_avg": QuerySpec(q212_time_weighted_avg, _Q212_ORACLE, "window"),
     "q213_conjunctive_retrieval": QuerySpec(q213_conjunctive_retrieval, _Q213_ORACLE, "text"),
     "q214_weighted_jaccard_verify": QuerySpec(q214_weighted_jaccard_verify, _Q214_ORACLE, "dedup"),
+    "q241_collapsed_wjaccard": QuerySpec(
+        q241_collapsed_wjaccard,
+        # SAME truth as q214 — the case-sensitive exact-dup collapse
+        # must reproduce the uncollapsed family-blocked weighted-
+        # Jaccard top-20 exactly (see q241's docstring for why the
+        # equality is exact); the oracle stays the UNCOLLAPSED replica
+        _Q214_ORACLE,
+        "dedup",
+    ),
     "q215_incremental_neardup_probe": QuerySpec(
         dedup.q215_incremental_neardup_probe,
         # same md5-family value replica as q31, candidates restricted
@@ -12121,8 +12193,10 @@ REGISTRY: dict[str, QuerySpec] = {
 # q130-q183 r5 family all sit inside the 50-slot sample head, which
 # clears the "nothing older than r6" target (VERDICT r10 item 2).
 _DRIVER_PRIORITY = (
+    "q241_collapsed_wjaccard",
     "q240_pixel_decode",
     "q239_collapsed_neardup",
+    "q214_weighted_jaccard_verify",
     "q215_incremental_neardup_probe",
     "q217_lsh_probe_append_cycle",
     "q234_lsh_store_roundtrip",
@@ -12206,7 +12280,6 @@ _DRIVER_PRIORITY = (
     "q210_rfm_cells",
     "q212_time_weighted_avg",
     "q213_conjunctive_retrieval",
-    "q214_weighted_jaccard_verify",
     "q137_grouped_ols",
     "q44_approx_distinct",
     "q76_streaming_dedup",

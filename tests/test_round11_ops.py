@@ -290,3 +290,107 @@ class TestPixelDecode:
         # images carry all three channel sums; wav never has c3
         assert out.loc[out["fmt"] != "wav", "sum_c3"].notna().all()
         assert out.loc[out["fmt"] == "wav", "sum_c3"].isna().all()
+
+
+class TestCollapsedWeightedJaccard:
+    """q241: the collapse pre-pass applied to the case-SENSITIVE
+    weighted-Jaccard verify — output must equal q214's exactly, and
+    the collapse key must not fold case."""
+
+    def _cliqued(self, spark, sf_dir, copies=3, n_docs=80):
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < n_docs
+        )
+        return docs.crossJoin(
+            spark.range(copies).select(F.col("id").alias("r"))
+        ).select((F.col("doc_id") + F.col("r") * 1000).alias("doc_id"), "text")
+
+    def test_equals_uncollapsed_on_clique_corpus(self, spark, sf_dir):
+        from ssb_coefficient_maker_spark.queries import (
+            _weighted_jaccard_pairs,
+        )
+
+        corpus = self._cliqued(spark, sf_dir)
+        direct = (
+            _weighted_jaccard_pairs(corpus)
+            .orderBy(F.desc("weighted_jaccard"), "a", "b")
+            .toPandas()
+        )
+        reps, members = dedup.canonicalize_exact_dups(corpus, casefold=False)
+        rep_pairs = _weighted_jaccard_pairs(reps)
+        within = (
+            members.alias("x")
+            .join(
+                members.alias("y"),
+                (F.col("x.rep_id") == F.col("y.rep_id"))
+                & (F.col("x.doc_id") < F.col("y.doc_id")),
+            )
+            .select(
+                F.col("x.doc_id").alias("a"),
+                F.col("y.doc_id").alias("b"),
+                F.lit(1.0).alias("weighted_jaccard"),
+            )
+        )
+        ma = members.select(F.col("rep_id").alias("a"), F.col("doc_id").alias("m_a"))
+        mb = members.select(F.col("rep_id").alias("b"), F.col("doc_id").alias("m_b"))
+        cross = (
+            F.broadcast(rep_pairs)
+            .join(ma, "a")
+            .join(mb, "b")
+            .select(
+                F.least("m_a", "m_b").alias("a"),
+                F.greatest("m_a", "m_b").alias("b"),
+                "weighted_jaccard",
+            )
+        )
+        collapsed = (
+            cross.unionByName(within)
+            .orderBy(F.desc("weighted_jaccard"), "a", "b")
+            .toPandas()
+        )
+        # FULL pair-set equality, not just the top-20 the query emits
+        assert len(direct) > 0
+        assert direct.equals(collapsed)
+        dedup.release_exact_dup_map()
+
+    def test_casefold_collapse_would_be_wrong(self, spark):
+        """Two docs differing only in CASE: q214 scores them below 1.0
+        (case-sensitive tokens), so the case-folding collapse must NOT
+        merge them — casefold=False keeps them distinct."""
+        import pandas as pd
+
+        from ssb_coefficient_maker_spark.queries import (
+            _weighted_jaccard_pairs,
+        )
+
+        docs = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "doc_id": [1, 2, 3],
+                    # the case difference sits PAST the first-5-word
+                    # family prefix, so the pair still blocks together
+                    "text": [
+                        "alpha beta gamma delta eps zeta eta",
+                        "alpha beta gamma delta eps Zeta eta",  # case twin
+                        "alpha beta gamma delta eps zeta eta",  # dup of 1
+                    ],
+                }
+            )
+        )
+        reps_cs, members_cs = dedup.canonicalize_exact_dups(
+            docs, casefold=False
+        )
+        m = members_cs.toPandas().set_index("doc_id")["rep_id"]
+        assert m[1] == 1 and m[3] == 1 and m[2] == 2  # case twin NOT merged
+        truth = _weighted_jaccard_pairs(docs).toPandas().set_index(["a", "b"])
+        # the case pair scores below 1.0 — merging it would be wrong
+        assert truth.loc[(1, 2), "weighted_jaccard"] < 1.0
+        assert truth.loc[(1, 3), "weighted_jaccard"] == 1.0
+        dedup.release_exact_dup_map()
+        # the casefold=True map (q30/q31 equivalence) merges all three
+        reps_cf, members_cf = dedup.canonicalize_exact_dups(
+            docs, casefold=True
+        )
+        mcf = members_cf.toPandas().set_index("doc_id")["rep_id"]
+        assert (mcf == 1).all()
+        dedup.release_exact_dup_map()
