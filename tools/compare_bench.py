@@ -40,6 +40,19 @@ def main() -> int:
         f"({big['total_warm_sec'] / small['total_warm_sec']:.1f}x for "
         f"{factor:.0f}x data); {flagged} queries over 1.5x-linear"
     )
+    # window-drift normalization (round-11, VERDICT r10 #5): when both
+    # stamps carry canary blocks, their pure-JVM canary means estimate
+    # the window speed ratio on code that never changed — divide it
+    # out before reading a total as a regression
+    cs, cb = small.get("canary"), big.get("canary")
+    if cs and cb and cs.get("mean_sec") and cb.get("mean_sec"):
+        win = cb["mean_sec"] / cs["mean_sec"]
+        raw = big["total_warm_sec"] / small["total_warm_sec"]
+        print(
+            f"canary: {cs['mean_sec']:.2f}s -> {cb['mean_sec']:.2f}s "
+            f"(window ratio {win:.3f}); canary-normalized total ratio "
+            f"{raw / win:.2f}x"
+        )
     return 0
 
 
