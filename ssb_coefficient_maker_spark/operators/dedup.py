@@ -1768,6 +1768,66 @@ def canonicalize_exact_dups(
     return reps, members
 
 
+def expand_pairs_through_cliques(
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    value_col: str = "jaccard",
+    exact_value: float = 1.0,
+) -> DataFrame:
+    """Expand representative-level pair results back through the
+    exact-dup cliques — the shared second half of every collapse
+    pre-pass (q239 MinHash jaccard, q241 weighted Jaccard):
+
+    - within-clique pairs: self-join of the member map on rep_id
+      (co-partitioned longs, no verify data) at ``exact_value`` —
+      exact copies score the metric's maximum by definition;
+    - cross-clique pairs: ``rep_pairs`` joined to the member map on
+      each side; least/greatest restores the a < b pair normalization
+      (members of two cliques interleave in id order even though
+      representatives don't).
+
+    ``rep_pairs`` (columns ``a_col``, ``b_col`` = representative ids,
+    ``value_col`` = the verified score) is candidate-blocked over
+    DISTINCT contents — bounded by construction — so it is broadcast:
+    the expansion runs as two map-side hash joins streaming the
+    member map, and the rep-level verify lineage never enters the
+    shuffle graph (without the hint it planned as SMJ and re-ran the
+    whole verify pipeline into a shuffle per join side — 9× slower at
+    sf10; SCALE_NOTES round 11)."""
+    within = (
+        members.alias("x")
+        .join(
+            members.alias("y"),
+            (F.col("x.rep_id") == F.col("y.rep_id"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias(a_col),
+            F.col("y.doc_id").alias(b_col),
+            F.lit(exact_value).alias(value_col),
+        )
+    )
+    ma = members.select(
+        F.col("rep_id").alias(a_col), F.col("doc_id").alias("m_a")
+    )
+    mb = members.select(
+        F.col("rep_id").alias(b_col), F.col("doc_id").alias("m_b")
+    )
+    cross = (
+        F.broadcast(rep_pairs)
+        .join(ma, a_col)
+        .join(mb, b_col)
+        .select(
+            F.least("m_a", "m_b").alias(a_col),
+            F.greatest("m_a", "m_b").alias(b_col),
+            value_col,
+        )
+    )
+    return cross.unionByName(within)
+
+
 def minhash_neardup_collapsed(
     docs: DataFrame, threshold: float = 0.4, family: str = "xxhash64"
 ) -> DataFrame:
@@ -1800,41 +1860,9 @@ def minhash_neardup_collapsed(
     reps, members = canonicalize_exact_dups(docs)
     rep_pairs = minhash_lsh_pairs(reps, threshold=threshold, family=family)
     # rep_pairs is consumed once; members three times (pinned above)
-    within = (
-        members.alias("x")
-        .join(
-            members.alias("y"),
-            (F.col("x.rep_id") == F.col("y.rep_id"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
+    return expand_pairs_through_cliques(rep_pairs, members).orderBy(
+        "doc_a", "doc_b"
     )
-    ma = members.select(
-        F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("m_a")
-    )
-    mb = members.select(
-        F.col("rep_id").alias("doc_b"), F.col("doc_id").alias("m_b")
-    )
-    # rep_pairs is k-scale (near-dup pairs among DISTINCT contents —
-    # bounded like the q57 key table), so broadcast it: the expansion
-    # becomes two map-side hash joins streaming the member map, with
-    # no shuffle of rep_pairs' LSH lineage and no SMJ sort of the
-    # member map per side
-    cross = (
-        F.broadcast(rep_pairs)
-        .join(ma, "doc_a")
-        .join(mb, "doc_b")
-        .select(
-            F.least("m_a", "m_b").alias("doc_a"),
-            F.greatest("m_a", "m_b").alias("doc_b"),
-            "jaccard",
-        )
-    )
-    return cross.unionByName(within).orderBy("doc_a", "doc_b")
 
 
 def q239_collapsed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:

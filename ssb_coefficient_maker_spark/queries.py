@@ -10602,36 +10602,11 @@ def q241_collapsed_wjaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     reps, members = dedup.canonicalize_exact_dups(docs, casefold=False)
     rep_pairs = _weighted_jaccard_pairs(reps)
-    within = (
-        members.alias("x")
-        .join(
-            members.alias("y"),
-            (F.col("x.rep_id") == F.col("y.rep_id"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("a"),
-            F.col("y.doc_id").alias("b"),
-            F.lit(1.0).alias("weighted_jaccard"),
-        )
-    )
-    ma = members.select(F.col("rep_id").alias("a"), F.col("doc_id").alias("m_a"))
-    mb = members.select(F.col("rep_id").alias("b"), F.col("doc_id").alias("m_b"))
-    # rep_pairs is candidate-blocked over DISTINCT contents (bounded
-    # like q239's rep-pair table) — broadcast keeps its verify lineage
-    # out of the shuffle graph (the q239 plan lesson, SCALE_NOTES)
-    cross = (
-        F.broadcast(rep_pairs)
-        .join(ma, "a")
-        .join(mb, "b")
-        .select(
-            F.least("m_a", "m_b").alias("a"),
-            F.greatest("m_a", "m_b").alias("b"),
-            "weighted_jaccard",
-        )
-    )
     return (
-        cross.unionByName(within)
+        dedup.expand_pairs_through_cliques(
+            rep_pairs, members, a_col="a", b_col="b",
+            value_col="weighted_jaccard",
+        )
         .orderBy(F.desc("weighted_jaccard"), "a", "b")
         .limit(20)
     )
