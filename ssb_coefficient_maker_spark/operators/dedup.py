@@ -321,7 +321,11 @@ def _check_probe_geometry(index, family: str, k: int) -> None:
     is exactly the silent-empty-result hazard the check exists for,
     so it is deprecated with a one-time warning (round-10 ADVICE):
     build indexes via ``build_lsh_index``/``load_lsh_store``, which
-    return geometry-carrying ``LshIndex`` values."""
+    return geometry-carrying ``LshIndex`` values.
+
+    FutureWarning, not DeprecationWarning: the default filters hide
+    DeprecationWarning outside ``__main__``, and this warning targets
+    exactly the library-embedded caller who would never see it."""
     idx_family = getattr(index, "family", None)
     if idx_family is None:
         import warnings
@@ -330,10 +334,10 @@ def _check_probe_geometry(index, family: str, k: int) -> None:
             "probing a bare (bands, shingles) tuple: geometry (family, k) "
             "cannot be verified and a mismatch silently finds nothing — "
             "pass the LshIndex from build_lsh_index/load_lsh_store",
-            DeprecationWarning,
+            FutureWarning,
             stacklevel=3,
         )
-        return  # caller owns the contract; default warn-once filter applies
+        return  # caller owns the contract; shown under default filters
     idx_k = getattr(index, "k", None)
     if idx_family != family or idx_k != k:
         raise ValueError(
@@ -1705,7 +1709,7 @@ def release_exact_dup_map() -> None:
 
 
 def canonicalize_exact_dups(
-    docs: DataFrame, casefold: bool = True
+    docs: DataFrame, casefold: bool = True, null_text: str = "drop"
 ) -> tuple[DataFrame, DataFrame]:
     """Collapse exact duplicates to per-clique representatives.
 
@@ -1728,6 +1732,19 @@ def canonicalize_exact_dups(
     collapse key must never be coarser than the verify metric's own
     equality.
 
+    ``null_text`` likewise mirrors the downstream tier's NULL-text
+    semantics — the two families genuinely differ (round-11 review):
+
+    - ``"drop"`` (default): NULL-text docs never enter the member
+      map. Matches the weighted-Jaccard family, whose tokenize joins
+      drop NULL-text docs, so they produce no pairs. Without this,
+      ``md5(NULL)`` is NULL and the window's partitionBy would group
+      all NULLs into one fabricated max-score "clique".
+    - ``"clique"``: NULL-text docs form one exact-dup clique.
+      Matches the MinHash family, where NULL shingles to the empty
+      set and empty-set signatures collide in every band, so the
+      direct tier pairs NULL docs at jaccard 1.0.
+
     Plan shape: ONE shuffle on the 128-bit digest (a window-min over
     the hash partition — no second aggregate-and-join pass), then the
     reps side is a semi-join of the input against the map on doc_id.
@@ -1742,24 +1759,34 @@ def canonicalize_exact_dups(
 
     from ssb_coefficient_maker_spark.cachereg import get_cache
 
+    if null_text not in ("drop", "clique"):
+        raise ValueError(f"null_text must be 'drop' or 'clique', got {null_text!r}")
     cache = get_cache("exact_dup_map")
     corpus = (docs.semanticHash(),)
-    members = cache.lookup(corpus, (casefold,))
+    members = cache.lookup(corpus, (casefold, null_text))
     if members is None:
         key = (
             normalized_text(F.col("text"))
             if casefold
             else F.regexp_replace(F.trim(F.col("text")), "\\s+", " ")
         )
+        hashed = docs.select("doc_id", F.md5(key).alias("_h"))
+        if null_text == "drop":
+            hashed = hashed.filter(F.col("_h").isNotNull())
+        else:
+            # one sentinel clique: md5 never emits this value, so it
+            # cannot collide with a real content hash
+            hashed = hashed.withColumn(
+                "_h", F.coalesce(F.col("_h"), F.lit("__null_text__"))
+            )
         m = (
-            docs.select("doc_id", F.md5(key).alias("_h"))
-            .withColumn(
+            hashed.withColumn(
                 "rep_id", F.min("doc_id").over(Window.partitionBy("_h"))
             )
             .select("doc_id", "rep_id")
             .persist()
         )
-        members = cache.store(corpus, (casefold,), m, pinned=[m])
+        members = cache.store(corpus, (casefold, null_text), m, pinned=[m])
     reps = docs.join(
         members.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
         "doc_id",
@@ -1857,7 +1884,11 @@ def minhash_neardup_collapsed(
     corpus this is the difference between 60.8 s (q31 direct) and
     the collapse path's near-flat cost — the round-11 ladder row.
     """
-    reps, members = canonicalize_exact_dups(docs)
+    # null_text="clique": NULL shingles to the empty set, and
+    # empty-set signatures collide in every band, so the DIRECT tier
+    # pairs NULL-text docs at jaccard 1.0 — the collapse must mirror
+    # that, not drop them (collapsed ≡ direct is the contract)
+    reps, members = canonicalize_exact_dups(docs, null_text="clique")
     rep_pairs = minhash_lsh_pairs(reps, threshold=threshold, family=family)
     # rep_pairs is consumed once; members three times (pinned above)
     return expand_pairs_through_cliques(rep_pairs, members).orderBy(

@@ -270,9 +270,13 @@ def _encode_wav(sample_rate: int, channels: int, n_samples: int) -> bytes:
     )
 
 
-def _parse_ppm_header(payload: bytes) -> tuple[int, int]:
+def _parse_ppm_header(payload: bytes) -> tuple[int, int, int]:
     """Tokenize a P6 header: magic, then width/height/maxval as ASCII
-    ints separated by whitespace, ``#`` comments running to EOL."""
+    ints separated by whitespace, ``#`` comments running to EOL.
+    Returns ``(width, height, data_off)`` where ``data_off`` is the
+    pixel-array offset (one whitespace byte past the maxval token) —
+    the SINGLE tokenizer both the header and pixel layers use, so the
+    two can never disagree on where the header ends."""
     pos = 2  # past b"P6"
     vals: list[int] = []
     n = len(payload)
@@ -292,7 +296,29 @@ def _parse_ppm_header(payload: bytes) -> tuple[int, int]:
             vals.append(int(payload[start:pos]))
     if len(vals) < 3:
         raise ValueError("truncated PPM header")
-    return vals[0], vals[1]
+    return vals[0], vals[1], pos + 1
+
+
+def _walk_riff(payload: bytes):
+    """Generic RIFF chunk walk shared by the header and sample
+    layers: returns ``(fmt_chunk, data_off, data_size)`` where
+    ``fmt_chunk`` is the unpacked ``<HHIIHH`` fmt fields (or None),
+    and ``data_off``/``data_size`` locate the FIRST data chunk's
+    payload (or None). Truncation-tolerant: size fields are trusted
+    for seeking/duration but never used to read past a chunk header
+    we can still see; odd chunk sizes carry the spec's pad byte."""
+    import struct
+
+    pos, fmt_chunk, data_off, data_size = 12, None, None, None
+    n = len(payload)
+    while pos + 8 <= n:
+        cid, csize = struct.unpack_from("<4sI", payload, pos)
+        if cid == b"fmt " and pos + 24 <= n:
+            fmt_chunk = struct.unpack_from("<HHIIHH", payload, pos + 8)
+        if cid == b"data" and data_off is None:
+            data_off, data_size = pos + 8, csize
+        pos += 8 + csize + (csize % 2)
+    return fmt_chunk, data_off, data_size
 
 
 def decode_media_header(payload: bytes) -> dict:
@@ -321,21 +347,11 @@ def decode_media_header(payload: bytes) -> dict:
         out.update(fmt="bmp", width=width, height=abs(height))
         return out
     if payload[:2] == b"P6":
-        width, height = _parse_ppm_header(payload)
+        width, height, _ = _parse_ppm_header(payload)
         out.update(fmt="ppm", width=width, height=height)
         return out
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        pos, fmt_chunk, data_size = 12, None, None
-        # generic chunk walk (truncation-tolerant: size fields are
-        # trusted for DURATION but never used to seek past a chunk
-        # HEADER we can still read)
-        while pos + 8 <= len(payload):
-            cid, csize = struct.unpack_from("<4sI", payload, pos)
-            if cid == b"fmt " and pos + 24 <= len(payload):
-                fmt_chunk = struct.unpack_from("<HHIIHH", payload, pos + 8)
-            if cid == b"data":
-                data_size = csize
-            pos += 8 + csize + (csize % 2)
+        fmt_chunk, _data_off, data_size = _walk_riff(payload)
         if fmt_chunk is None or data_size is None:
             raise ValueError("truncated WAV header")
         _audio_fmt, channels, sample_rate, _brate, _balign, bits = fmt_chunk
@@ -556,13 +572,21 @@ def decode_media_pixels(payload: bytes) -> dict:
 
     numpy-vectorized (frombuffer + reshape — no per-pixel Python);
     raises ValueError on anything the header layer would refuse, on
-    non-24bpp BMPs, and on truncated pixel/sample payloads."""
+    non-24bpp BMPs, on non-16-bit-PCM WAVs (this layer reads
+    little-endian int16 — anything else would silently mis-decode),
+    and on truncated pixel/sample payloads."""
     import struct
 
     import numpy as np
 
     hdr = decode_media_header(payload)  # raises on corrupt containers
     if hdr["fmt"] == "bmp":
+        # the header layer only needs 26 bytes (dims at offset 18);
+        # the pixel layer also reads bpp at 28 and the data offset at
+        # 10, so length-check to 30 here — truncated payloads must
+        # raise the documented ValueError, not struct.error
+        if len(payload) < 30:
+            raise ValueError("truncated BMP header (pixel decode needs bpp)")
         w, h_signed = struct.unpack_from("<ii", payload, 18)
         bpp = struct.unpack_from("<H", payload, 28)[0]
         if bpp != 24:
@@ -583,23 +607,10 @@ def decode_media_pixels(payload: bytes) -> dict:
             grid[:, :, 2].astype(np.int64),
         )
     elif hdr["fmt"] == "ppm":
-        w, h = hdr["width"], hdr["height"]
-        # pixel data starts after the single whitespace byte that
-        # terminates the maxval token
-        pos, vals = 2, 0
-        n = len(payload)
-        while vals < 3 and pos < n:
-            ch = payload[pos]
-            if ch in b"#":
-                while pos < n and payload[pos] not in b"\n":
-                    pos += 1
-            elif ch in b" \t\r\n":
-                pos += 1
-            else:
-                while pos < n and payload[pos] in b"0123456789":
-                    pos += 1
-                vals += 1
-        pos += 1  # the whitespace after maxval
+        # the ONE shared tokenizer locates the pixel array — the
+        # header and pixel layers can never disagree on comment or
+        # whitespace rules
+        w, h, pos = _parse_ppm_header(payload)
         if len(payload) < pos + w * h * 3:
             raise ValueError("truncated PPM pixel array")
         grid = np.frombuffer(payload, np.uint8, w * h * 3, pos).reshape(h, w, 3)
@@ -610,15 +621,16 @@ def decode_media_pixels(payload: bytes) -> dict:
         )
     else:  # wav (decode_media_header dispatched or raised)
         channels = hdr["channels"]
-        # find the data chunk offset via the same RIFF walk
-        pos = 12
-        data_off = data_size = None
-        while pos + 8 <= len(payload):
-            cid, csize = struct.unpack_from("<4sI", payload, pos)
-            if cid == b"data":
-                data_off, data_size = pos + 8, csize
-                break
-            pos += 8 + csize + (csize % 2)
+        fmt_chunk, data_off, data_size = _walk_riff(payload)
+        # the header layer reports duration for any PCM-ish bit
+        # depth, but THIS layer reads samples as little-endian int16 —
+        # anything else would be silently mis-decoded, so refuse
+        audio_fmt, _, _, _, _, bits = fmt_chunk
+        if audio_fmt != 1 or bits != 16:
+            raise ValueError(
+                f"sample decode supports 16-bit PCM WAV, got "
+                f"audio_fmt={audio_fmt}, bits={bits}"
+            )
         if data_off is None or len(payload) < data_off + data_size:
             raise ValueError("truncated WAV sample data")
         frames = np.frombuffer(payload, "<i2", data_size // 2, data_off)

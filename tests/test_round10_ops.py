@@ -154,9 +154,10 @@ class TestLshGeometry:
             probe_lsh_index(batch, index, family="md5", k=4)
         # matching geometry still probes; a bare tuple is caller-owned
         # but now deprecated — it carries no geometry to verify, so
-        # the probe warns once (round-10 ADVICE)
+        # the probe warns (FutureWarning: visible under default
+        # filters even from library code, round-10 ADVICE)
         probe_lsh_index(batch, index, family="md5").count()
-        with pytest.warns(DeprecationWarning, match="bare .bands, shingles. tuple"):
+        with pytest.warns(FutureWarning, match="bare .bands, shingles. tuple"):
             probe_lsh_index(batch, tuple(index), family="md5").count()
         get_cache("t10_geom").release()
 

@@ -372,3 +372,163 @@ class TestCollapsedWeightedJaccard:
         mcf = members_cf.toPandas().set_index("doc_id")["rep_id"]
         assert (mcf == 1).all()
         dedup.release_exact_dup_map()
+
+
+class TestReviewFixesR11:
+    """Round-11 review findings: pixel-layer error contracts (BMP
+    26-29 bytes, non-16-bit-PCM WAV), NULL-text collapse divergence,
+    and the cross-SF canary-normalization gate."""
+
+    def test_bmp_header_ok_but_too_short_for_pixel_layer(self):
+        from ssb_coefficient_maker_spark.operators.multimodal import (
+            decode_media_header,
+            decode_media_pixels,
+        )
+
+        # 27 bytes: passes the header layer's 26-byte dims guard but
+        # not the pixel layer's bpp read at offset 28 — must raise the
+        # documented ValueError, never struct.error
+        payload = b"BM" + b"\x00" * 25
+        decode_media_header(payload)  # header layer accepts
+        with pytest.raises(ValueError, match="truncated BMP header"):
+            decode_media_pixels(payload)
+
+    @staticmethod
+    def _wav(audio_fmt, channels, bits, rate, data):
+        import struct
+
+        return (
+            struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+            + struct.pack(
+                "<4sIHHIIHH", b"fmt ", 16, audio_fmt, channels, rate,
+                rate * channels * max(bits // 8, 1),
+                channels * max(bits // 8, 1), bits,
+            )
+            + struct.pack("<4sI", b"data", len(data))
+            + data
+        )
+
+    def test_non_16bit_pcm_wav_refused_not_misdecoded(self):
+        from ssb_coefficient_maker_spark.operators.multimodal import (
+            decode_media_header,
+            decode_media_pixels,
+        )
+
+        # 8-bit PCM: the header layer reports duration fine, but the
+        # sample layer reads little-endian int16 — it must refuse, not
+        # silently return half the frames with garbage sums
+        wav8 = self._wav(1, 1, 8, 8000, bytes(range(16)))
+        assert decode_media_header(wav8)["fmt"] == "wav"
+        with pytest.raises(ValueError, match="16-bit PCM"):
+            decode_media_pixels(wav8)
+        # non-PCM fmt code (3 = IEEE float) likewise refused
+        wavf = self._wav(3, 1, 16, 8000, b"\x00" * 16)
+        with pytest.raises(ValueError, match="16-bit PCM"):
+            decode_media_pixels(wavf)
+
+    def test_null_text_docs_form_no_clique(self, spark, sf_dir):
+        import pandas as pd
+
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < 40
+        ).select("doc_id", "text")
+        nulls = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [90001, 90002, 90003]})
+        ).select("doc_id", F.lit(None).cast("string").alias("text"))
+        corpus = docs.unionByName(nulls)
+        # default policy (weighted-Jaccard family): NULL-text docs
+        # never enter the member map — its direct tier's tokenize
+        # joins drop them, so a fabricated "contentless clique" would
+        # emit max-score pairs the direct tier never produces
+        _, members = dedup.canonicalize_exact_dups(corpus)
+        m = members.toPandas()
+        assert not m["doc_id"].isin([90001, 90002, 90003]).any()
+        dedup.release_exact_dup_map()
+        # clique policy (MinHash family): the direct tier pairs
+        # NULL-text docs at jaccard 1.0 (empty shingle sets collide
+        # in every band), so the collapse mirrors it — and the
+        # collapsed ≡ direct contract holds INCLUDING the NULL pairs
+        _, members_c = dedup.canonicalize_exact_dups(
+            corpus, null_text="clique"
+        )
+        mc = members_c.toPandas().set_index("doc_id")["rep_id"]
+        assert mc[90002] == 90001 and mc[90003] == 90001
+        dedup.release_exact_dup_map()
+        direct = dedup.minhash_lsh_pairs(
+            corpus, threshold=0.4, family="md5"
+        ).toPandas()
+        assert {(90001, 90002), (90001, 90003), (90002, 90003)} <= set(
+            zip(direct["doc_a"], direct["doc_b"])
+        )
+        dedup.release_shingle_cache()
+        collapsed = dedup.minhash_neardup_collapsed(
+            corpus, threshold=0.4, family="md5"
+        ).toPandas()
+        assert direct.equals(collapsed)
+        dedup.release_shingle_cache()
+        dedup.release_exact_dup_map()
+
+    def test_null_text_weighted_jaccard_collapsed_matches_direct(
+        self, spark, sf_dir
+    ):
+        import pandas as pd
+
+        from ssb_coefficient_maker_spark.queries import (
+            _weighted_jaccard_pairs,
+        )
+
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < 40
+        ).select("doc_id", "text")
+        nulls = spark.createDataFrame(
+            pd.DataFrame({"doc_id": [90001, 90002]})
+        ).select("doc_id", F.lit(None).cast("string").alias("text"))
+        corpus = docs.unionByName(nulls)
+        direct = _weighted_jaccard_pairs(corpus).toPandas()
+        # the q241 pipeline inline (canonicalize under the
+        # case-SENSITIVE key with the default drop policy, verify the
+        # reps, expand): NULL-text docs must produce NO pairs, exactly
+        # like the direct tier whose tokenize joins drop them
+        reps, members = dedup.canonicalize_exact_dups(
+            corpus, casefold=False
+        )
+        collapsed = dedup.expand_pairs_through_cliques(
+            _weighted_jaccard_pairs(reps), members,
+            a_col="a", b_col="b", value_col="weighted_jaccard",
+        ).toPandas()
+        assert not collapsed["a"].isin([90001, 90002]).any()
+        assert not collapsed["b"].isin([90001, 90002]).any()
+        key = ["a", "b"]
+        assert direct.sort_values(key).reset_index(drop=True).equals(
+            collapsed.sort_values(key).reset_index(drop=True)
+        )
+        dedup.release_exact_dup_map()
+
+    def test_canary_normalization_gated_on_same_sf(self, tmp_path):
+        stamp = {
+            "total_warm_sec": 10.0,
+            "queries_warm": {"q01": 1.0},
+            "canary": {"mean_sec": 1.0},
+            "sf": 0.1,
+        }
+        other = dict(stamp, sf=1.0, total_warm_sec=20.0,
+                     canary={"mean_sec": 2.0})
+        import json as _json
+
+        a, b = tmp_path / "a.json", tmp_path / "b.json"
+        a.write_text(_json.dumps(stamp))
+        b.write_text(_json.dumps(other))
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools/compare_bench.py"),
+             str(a), str(b)],
+            capture_output=True, text=True, timeout=60,
+        )
+        assert "same-SF only" in out.stdout
+        assert "canary-normalized" not in out.stdout
+        b.write_text(_json.dumps(dict(other, sf=0.1)))
+        out2 = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools/compare_bench.py"),
+             str(a), str(b)],
+            capture_output=True, text=True, timeout=60,
+        )
+        assert "canary-normalized total ratio" in out2.stdout

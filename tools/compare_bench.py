@@ -43,16 +43,28 @@ def main() -> int:
     # window-drift normalization (round-11, VERDICT r10 #5): when both
     # stamps carry canary blocks, their pure-JVM canary means estimate
     # the window speed ratio on code that never changed — divide it
-    # out before reading a total as a regression
+    # out before reading a total as a regression. ONLY valid when the
+    # two stamps share a scale factor: the canary queries scan
+    # lineitem, so cross-SF their ratio includes real data growth and
+    # dividing it out would launder a genuine scaling regression as
+    # window drift.
     cs, cb = small.get("canary"), big.get("canary")
     if cs and cb and cs.get("mean_sec") and cb.get("mean_sec"):
-        win = cb["mean_sec"] / cs["mean_sec"]
-        raw = big["total_warm_sec"] / small["total_warm_sec"]
-        print(
-            f"canary: {cs['mean_sec']:.2f}s -> {cb['mean_sec']:.2f}s "
-            f"(window ratio {win:.3f}); canary-normalized total ratio "
-            f"{raw / win:.2f}x"
-        )
+        if small.get("sf") == big.get("sf"):
+            win = cb["mean_sec"] / cs["mean_sec"]
+            raw = big["total_warm_sec"] / small["total_warm_sec"]
+            print(
+                f"canary: {cs['mean_sec']:.2f}s -> {cb['mean_sec']:.2f}s "
+                f"(window ratio {win:.3f}); canary-normalized total ratio "
+                f"{raw / win:.2f}x"
+            )
+        else:
+            print(
+                f"canary blocks present but sf differs "
+                f"({small.get('sf')} vs {big.get('sf')}) — canary "
+                f"normalization is same-SF only (canaries scan data too); "
+                f"skipping"
+            )
     return 0
 
 
