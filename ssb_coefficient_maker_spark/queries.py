@@ -11538,6 +11538,37 @@ REGISTRY: dict[str, QuerySpec] = {
         _Q214_ORACLE,
         "dedup",
     ),
+    "q242_dedup_pipeline": QuerySpec(
+        dedup.q242_dedup_pipeline,
+        # the COMPLETE dedup pass: pair truth is q31's uncollapsed
+        # MinHash replica verbatim (the collapse is q239's already-
+        # proven equivalence), transitive closure is q77's recursive-
+        # CTE reachability pattern, and the keep-one summary is the
+        # same aggregation — each stage's oracle is inherited from
+        # the operator that owns it
+        f"""
+        WITH RECURSIVE pairs AS (
+          SELECT doc_a, doc_b FROM ({_minhash_oracle_sql()})
+        ), edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ), reach(node, lab) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+        ), labels AS (
+          SELECT node, min(lab) AS label FROM reach GROUP BY node
+        )
+        SELECT label AS cluster_rep,
+               count(*) AS cluster_size,
+               max(node) AS largest_member
+        FROM labels GROUP BY label
+        HAVING count(*) > 1
+        ORDER BY cluster_rep
+        """,
+        "dedup",
+    ),
     "q215_incremental_neardup_probe": QuerySpec(
         dedup.q215_incremental_neardup_probe,
         # same md5-family value replica as q31, candidates restricted
@@ -12160,15 +12191,17 @@ REGISTRY: dict[str, QuerySpec] = {
 }
 
 # MECHANICALLY DERIVED — regenerate with `python tools/driver_priority.py`
-# (round-9 rule). Round-11 head: the 2 never-sampled queries (q239
-# exact-dup collapse, q240 pixel decode), then the 6 whose symbol
-# closure changed this round (the dedup/similarity/multimodal edits
-# mark q215/q217/q234/q50/q237/q238), then the rotation debt oldest
-# first — the seven r4 verdicts (q116-q120, q127, q128) and the
-# q130-q183 r5 family all sit inside the 50-slot sample head, which
-# clears the "nothing older than r6" target (VERDICT r10 item 2).
+# (round-9 rule). Round-11 head: the 4 never-sampled queries (q239
+# exact-dup collapse, q240 pixel decode, q241 collapsed weighted
+# Jaccard, q242 end-to-end dedup pipeline), then the queries whose
+# symbol closure changed this round (the dedup/similarity/multimodal
+# edits and review fixes), then the rotation debt oldest first — the
+# seven r4 verdicts (q116-q120, q127, q128) and the q130-q183 r5
+# family sit inside the 50-slot sample head, clearing the "nothing
+# older than r6" target (VERDICT r10 item 2).
 _DRIVER_PRIORITY = (
     "q241_collapsed_wjaccard",
+    "q242_dedup_pipeline",
     "q240_pixel_decode",
     "q239_collapsed_neardup",
     "q214_weighted_jaccard_verify",

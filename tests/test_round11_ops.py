@@ -532,3 +532,53 @@ class TestReviewFixesR11:
             capture_output=True, text=True, timeout=60,
         )
         assert "canary-normalized total ratio" in out2.stdout
+
+
+class TestDedupPipeline:
+    """q242: the end-to-end dedup pass (collapse -> near-dup ->
+    components -> keep-one summary) checked against an independent
+    in-process union-find over the pair set."""
+
+    def test_summary_matches_union_find_over_pairs(self, spark, sf_dir):
+        pairs = dedup.q31_minhash_neardup(spark, sf_dir).toPandas()
+        dedup.release_shingle_cache()
+        out = dedup.q242_dedup_pipeline(spark, sf_dir).toPandas()
+
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        nodes = set()
+        for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+            nodes.update((int(a), int(b)))
+        clusters: dict = {}
+        for n in nodes:
+            clusters.setdefault(find(n), []).append(n)
+        expected = sorted(
+            (rep, len(ms) + 1, max(ms + [rep]))
+            for rep, ms in (
+                (min(ms), [m for m in ms if m != min(ms)])
+                for ms in clusters.values()
+            )
+            if len(ms) >= 1
+        )
+        got = sorted(
+            zip(out["cluster_rep"], out["cluster_size"], out["largest_member"])
+        )
+        assert [tuple(map(int, t)) for t in got] == expected
+        # no singleton rows; reps are genuine minima
+        assert (out["cluster_size"] >= 2).all()
+        assert (out["cluster_rep"] < out["largest_member"]).all()
+
+    def test_cached_second_call_is_identical(self, spark, sf_dir):
+        first = dedup.q242_dedup_pipeline(spark, sf_dir).toPandas()
+        second = dedup.q242_dedup_pipeline(spark, sf_dir).toPandas()
+        assert first.equals(second)
