@@ -1598,6 +1598,36 @@ def _minhash_oracle_sql(k: int = 5, threshold: float = 0.4) -> str:
         """
 
 
+def _dedup_pipeline_oracle_sql() -> str:
+    """DuckDB replica of the COMPLETE dedup pass (q242) — and, shared
+    VERBATIM, the truth for its incremental maintenance (q243): pair
+    truth is the uncollapsed MinHash replica, transitive closure is a
+    recursive-CTE reachability (q77's pattern), and the keep-one
+    summary is the same aggregation. q243 matching this full-corpus
+    recompute IS its incremental-correctness claim."""
+    return f"""
+        WITH RECURSIVE pairs AS (
+          SELECT doc_a, doc_b FROM ({_minhash_oracle_sql()})
+        ), edges AS (
+          SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION ALL
+          SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ), reach(node, lab) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
+        ), labels AS (
+          SELECT node, min(lab) AS label FROM reach GROUP BY node
+        )
+        SELECT label AS cluster_rep,
+               count(*) AS cluster_size,
+               max(node) AS largest_member
+        FROM labels GROUP BY label
+        HAVING count(*) > 1
+        ORDER BY cluster_rep
+        """
+
+
 def _lsh_recall_oracle_sql(k: int = 5) -> str:
     """DuckDB replica of ``q233_lsh_recall_audit``: re-derives the
     planted prefix-keep corpus (levels/stride from operators.dedup so
@@ -11546,27 +11576,19 @@ REGISTRY: dict[str, QuerySpec] = {
         # CTE reachability pattern, and the keep-one summary is the
         # same aggregation — each stage's oracle is inherited from
         # the operator that owns it
-        f"""
-        WITH RECURSIVE pairs AS (
-          SELECT doc_a, doc_b FROM ({_minhash_oracle_sql()})
-        ), edges AS (
-          SELECT doc_a AS src, doc_b AS dst FROM pairs
-          UNION ALL
-          SELECT doc_b AS src, doc_a AS dst FROM pairs
-        ), reach(node, lab) AS (
-          SELECT doc_id, doc_id FROM documents
-          UNION
-          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.node
-        ), labels AS (
-          SELECT node, min(lab) AS label FROM reach GROUP BY node
-        )
-        SELECT label AS cluster_rep,
-               count(*) AS cluster_size,
-               max(node) AS largest_member
-        FROM labels GROUP BY label
-        HAVING count(*) > 1
-        ORDER BY cluster_rep
-        """,
+        _dedup_pipeline_oracle_sql(),
+        "dedup",
+    ),
+    "q243_incremental_dedup_pipeline": QuerySpec(
+        dedup.q243_incremental_dedup_pipeline,
+        # SAME truth as q242 — the full-corpus batch recompute. The
+        # incremental cycle (probe the pinned index + batch-local
+        # pairs + star edges of yesterday's label map) must reproduce
+        # it exactly: signatures are per-doc, so the incremental edge
+        # set has the full pair set's transitive closure. Equal
+        # output IS the incremental-maintenance claim (the q238/q239
+        # shared-oracle evidence pattern).
+        _dedup_pipeline_oracle_sql(),
         "dedup",
     ),
     "q215_incremental_neardup_probe": QuerySpec(
@@ -12191,9 +12213,10 @@ REGISTRY: dict[str, QuerySpec] = {
 }
 
 # MECHANICALLY DERIVED — regenerate with `python tools/driver_priority.py`
-# (round-9 rule). Round-11 head: the 4 never-sampled queries (q239
+# (round-9 rule). Round-11 head: the 5 never-sampled queries (q239
 # exact-dup collapse, q240 pixel decode, q241 collapsed weighted
-# Jaccard, q242 end-to-end dedup pipeline), then the queries whose
+# Jaccard, q242 end-to-end dedup pipeline, q243 its incremental
+# maintenance), then the queries whose
 # symbol closure changed this round (the dedup/similarity/multimodal
 # edits and review fixes), then the rotation debt oldest first — the
 # seven r4 verdicts (q116-q120, q127, q128) and the q130-q183 r5
@@ -12202,6 +12225,7 @@ REGISTRY: dict[str, QuerySpec] = {
 _DRIVER_PRIORITY = (
     "q241_collapsed_wjaccard",
     "q242_dedup_pipeline",
+    "q243_incremental_dedup_pipeline",
     "q240_pixel_decode",
     "q239_collapsed_neardup",
     "q214_weighted_jaccard_verify",

@@ -582,3 +582,33 @@ class TestDedupPipeline:
         first = dedup.q242_dedup_pipeline(spark, sf_dir).toPandas()
         second = dedup.q242_dedup_pipeline(spark, sf_dir).toPandas()
         assert first.equals(second)
+
+
+class TestIncrementalDedupPipeline:
+    """q243: the O(batch) incremental maintenance of the dedup
+    artifact must equal q242's full-corpus batch recompute exactly —
+    star edges of yesterday's label map + pinned-index probe pairs +
+    within-batch pairs have the same transitive closure as the full
+    pair set."""
+
+    def test_incremental_equals_batch_recompute(self, spark, sf_dir):
+        batch = dedup.q242_dedup_pipeline(spark, sf_dir).toPandas()
+        incr = dedup.q243_incremental_dedup_pipeline(
+            spark, sf_dir
+        ).toPandas()
+        assert len(batch) > 0
+        assert batch.equals(incr)
+
+    def test_cross_day_merges_present(self, spark, sf_dir):
+        """The incremental path must actually exercise the probe: at
+        least one cluster should span the corpus/batch split (else the
+        equality above would hold trivially with an empty probe)."""
+        incr = dedup.q243_incremental_dedup_pipeline(
+            spark, sf_dir
+        ).toPandas()
+        m = dedup.Q243_BATCH_MOD
+        spans = (
+            (incr["cluster_rep"] % m != m - 1)
+            & (incr["largest_member"] % m == m - 1)
+        )
+        assert spans.any()
