@@ -1969,6 +1969,45 @@ def q242_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels.unpersist()
     return cache.store(corpus_key_for(sf_dir), params, res, pinned=[res])
 
+def lsh_pairs_from_index(index: "LshIndex", threshold: float = 0.4) -> DataFrame:
+    """Corpus near-dup pairs derived ENTIRELY from a pinned LSH index
+    — zero corpus re-shingling. Same candidate generation (band-bucket
+    self-join on (band, bh)) and exact-Jaccard verification as
+    ``minhash_lsh_pairs``, but sourced from the index's own pinned
+    band and shingle tables, so the pair set is identical by
+    construction (the index frames ARE minhash_lsh_pairs' two
+    intermediates, materialized).
+
+    This is the production shape for "yesterday's pairs came from
+    yesterday's index": one build serves the pair listing AND the
+    incremental probes (q243) from the same pinned frames — deriving
+    pairs through a fresh ``minhash_lsh_pairs`` call instead would
+    re-shingle the corpus and thrash the cap-at-one shingle cache
+    against the index's copy."""
+    bands, sh_tbl = index
+    cand = (
+        bands.alias("l")
+        .join(
+            bands.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    a = sh_tbl.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh_tbl.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = cand.join(a, "doc_a").join(b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        verified.select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 # Shared with the DuckDB oracle framing: residues 0..3 of doc_id % 5
 # are "yesterday's corpus" (already clustered), residue 4 is "today's
 # ingest batch" — the same split the q215 probe uses, so the two
@@ -2023,10 +2062,11 @@ def q243_incremental_dedup_pipeline(
     corpus = docs.filter(F.col("doc_id") % m != m - 1)
     batch = docs.filter(F.col("doc_id") % m == m - 1)
 
-    # yesterday's artifact: cluster labels over the corpus slice
-    # (collapse pre-pass + banded near-dup + components — the q242
-    # stack on yesterday's data)
-    old_pairs = minhash_neardup_collapsed(corpus, threshold=0.4, family="md5")
+    # yesterday's artifacts, built from ONE corpus pass: the pinned
+    # LSH index serves both the pair listing (lsh_pairs_from_index —
+    # no second corpus shingle) and today's probes
+    index = build_lsh_index(corpus, family="md5")
+    old_pairs = lsh_pairs_from_index(index, threshold=0.4)
     old_labels = connected_components(
         corpus.select(F.col("doc_id").alias("node")),
         old_pairs.select(
@@ -2035,7 +2075,6 @@ def q243_incremental_dedup_pipeline(
     )
 
     # today's O(batch) delta
-    index = build_lsh_index(corpus, family="md5")
     probe = probe_lsh_index(batch, index, threshold=0.4, family="md5")
     batch_pairs = minhash_lsh_pairs(batch, threshold=0.4, family="md5")
 
