@@ -1978,12 +1978,14 @@ def lsh_pairs_from_index(index: "LshIndex", threshold: float = 0.4) -> DataFrame
     construction (the index frames ARE minhash_lsh_pairs' two
     intermediates, materialized).
 
-    This is the production shape for "yesterday's pairs came from
-    yesterday's index": one build serves the pair listing AND the
-    incremental probes (q243) from the same pinned frames — deriving
-    pairs through a fresh ``minhash_lsh_pairs`` call instead would
-    re-shingle the corpus and thrash the cap-at-one shingle cache
-    against the index's copy."""
+    Use when an index already exists (a pinned build, or a durable
+    q234 store reload) and the PAIR LISTING is the deliverable — the
+    shingling is already paid, so only the candidate join + verify
+    run. CAVEAT (the round-11 sf10 lesson): this is the UNCOLLAPSED
+    listing — on clique-heavy corpora it pays the O(c²) within-clique
+    verify mass, so a connectivity consumer (cluster maintenance,
+    q243) should use exact-clique stars + rep-level pairs instead,
+    which reach the same transitive closure without that mass."""
     bands, sh_tbl = index
     cand = (
         bands.alias("l")
@@ -2023,28 +2025,37 @@ def q243_incremental_dedup_pipeline(
 
     yesterday's corpus (doc_id % 5 != 4) already has a cluster map;
     today's batch (doc_id % 5 == 4) arrives. Per-day work is
-    O(batch):
+    O(batch), and COLLAPSE-FIRST at every step (the round-11 rule,
+    applied twice over):
 
-    1. probe the batch against the PINNED corpus LSH index
-       (``probe_lsh_index`` — the corpus is never re-shingled; the
-       index is the same build q215 pins);
-    2. near-dup the batch against itself (batch-sized banded run);
-    3. min-label propagation over the union of
+    1. exact digest assignment: batch docs whose normalized-text
+       digest already exists in the corpus attach to that clique's
+       rep with one hash join — no LSH work for re-crawled content;
+    2. batch-internal canonicalization of the NOVEL digests
+       (window-min stars — the batch-side exact-dup collapse);
+    3. only the novel-content batch reps are LSH-signed: probe vs
+       the PINNED corpus index (``probe_lsh_index`` — the corpus is
+       never re-shingled; the index is the same build q215 pins) +
+       banded pairs among the novel reps themselves;
+    4. min-label propagation over the union of
        - STAR EDGES of yesterday's label map (node → old label):
          a label map is connectivity-equivalent to the pair set it
          was derived from, so replaying yesterday's full pair list
          is never needed;
-       - the probe pairs (batch ↔ corpus);
-       - the within-batch pairs.
+       - the digest edges, batch stars, probe pairs and novel-rep
+         pairs from steps 1-3.
 
     Equivalence claim (the oracle): MinHash signatures are PER-DOC —
-    a (batch, corpus) pair band-collides in the incremental probe iff
-    it band-collides in a full-corpus run, and the verify metric is
-    the same exact Jaccard — so the union edge set has exactly the
-    transitive closure of the full-corpus pair set, and the summary
-    equals q242's batch recompute. The oracle IS q242's full-corpus
-    oracle VERBATIM: equal output is the incremental-maintenance
-    claim, the q238/q239 evidence pattern.
+    identical text means identical shingles, so every digest edge is
+    a jaccard-1.0 pair of the full set and every near-dup pair of an
+    exact duplicate is implied by its rep's pair; a (rep, corpus)
+    pair band-collides in the incremental probe iff it band-collides
+    in a full-corpus run, and the verify metric is the same exact
+    Jaccard. The union edge set therefore has exactly the transitive
+    closure of the full-corpus pair set, and the summary equals
+    q242's batch recompute. The oracle IS q242's full-corpus oracle
+    VERBATIM: equal output is the incremental-maintenance claim, the
+    q238/q239 evidence pattern.
 
     Yesterday's map and index are build-once per corpus (eager jobs
     paid on the first call, like q77/q215/q217 — in production they
@@ -2062,36 +2073,98 @@ def q243_incremental_dedup_pipeline(
     corpus = docs.filter(F.col("doc_id") % m != m - 1)
     batch = docs.filter(F.col("doc_id") % m == m - 1)
 
-    # yesterday's artifacts, built from ONE corpus pass: the pinned
-    # LSH index serves both the pair listing (lsh_pairs_from_index —
-    # no second corpus shingle) and today's probes
-    index = build_lsh_index(corpus, family="md5")
-    old_pairs = lsh_pairs_from_index(index, threshold=0.4)
+    # yesterday's label map — built COLLAPSE-FIRST, like every verify
+    # tier this round: connectivity of the full corpus pair graph
+    # equals connectivity of (exact-clique star edges ∪ rep-level
+    # pairs), because identical text ⇒ identical shingles ⇒ a
+    # member-member cross pair exists iff its rep-rep pair does. So
+    # the propagation never sees the O(c²) within-clique pair mass —
+    # neither listed (q239's expansion) nor verified (the uncollapsed
+    # tier): on the sf10 clique corpus an index-derived uncollapsed
+    # pair listing here cost 131 s; this shape costs the collapse +
+    # a rep-level verify.
+    reps, members = canonicalize_exact_dups(corpus, null_text="clique")
+    rep_pairs = minhash_lsh_pairs(reps, threshold=0.4, family="md5")
+    clique_stars = members.filter(
+        F.col("doc_id") != F.col("rep_id")
+    ).select(F.col("doc_id").alias("src"), F.col("rep_id").alias("dst"))
     old_labels = connected_components(
         corpus.select(F.col("doc_id").alias("node")),
-        old_pairs.select(
-            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        clique_stars.unionByName(
+            rep_pairs.select(
+                F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            )
         ),
     )
 
-    # today's O(batch) delta
-    probe = probe_lsh_index(batch, index, threshold=0.4, family="md5")
-    batch_pairs = minhash_lsh_pairs(batch, threshold=0.4, family="md5")
+    # today's delta — collapse-first on the BATCH side too (the same
+    # sf10 lesson, a second time: probing every batch doc pays
+    # O(batch·clique) verify mass, 195 s on the sf10 clique corpus):
+    # 1) exact digest assignment — batch docs whose content already
+    #    exists in the corpus attach to the corpus clique rep with
+    #    one digest hash join, no LSH work at all;
+    # 2) batch-internal exact cliques among the NOVEL digests —
+    #    window-min stars, the batch-side canonicalization;
+    # 3) only the novel-content batch REPS are LSH-signed: probe vs
+    #    the pinned index + rep-level pairs among themselves.
+    # Connectivity equivalence: digest edges are jaccard-1.0 pairs of
+    # the full set, and every near-dup pair of an exact duplicate is
+    # implied by its rep's pair (identical text ⇒ identical shingles).
+    from pyspark.sql.window import Window
+
+    key = normalized_text(F.col("text"))
+    sentinel = F.lit("__null_text__")
+    bh = batch.select(
+        "doc_id", F.coalesce(F.md5(key), sentinel).alias("_h")
+    )
+    digest_map = (
+        corpus.select(F.coalesce(F.md5(key), sentinel).alias("_h"), "doc_id")
+        .groupBy("_h")
+        .agg(F.min("doc_id").alias("rep_id"))
+    )
+    exact_edges = bh.join(digest_map, "_h").select(
+        F.col("doc_id").alias("src"), F.col("rep_id").alias("dst")
+    )
+    novel = bh.join(digest_map, "_h", "left_anti").withColumn(
+        "brep", F.min("doc_id").over(Window.partitionBy("_h"))
+    )
+    batch_stars = novel.filter(F.col("doc_id") != F.col("brep")).select(
+        F.col("doc_id").alias("src"), F.col("brep").alias("dst")
+    )
+    novel_reps = batch.join(
+        novel.filter(F.col("doc_id") == F.col("brep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+
+    index = build_lsh_index(corpus, family="md5")
+    probe = probe_lsh_index(novel_reps, index, threshold=0.4, family="md5")
+    batch_pairs = minhash_lsh_pairs(novel_reps, threshold=0.4, family="md5")
 
     star = old_labels.filter(F.col("node") != F.col("label")).select(
         F.col("node").alias("src"), F.col("label").alias("dst")
     )
     edges = (
-        star.unionByName(
+        star.unionByName(exact_edges)
+        .unionByName(batch_stars)
+        .unionByName(
             probe.select(
                 F.col("new_doc_id").alias("src"),
                 F.col("corpus_doc_id").alias("dst"),
             )
-        ).unionByName(
+        )
+        .unionByName(
             batch_pairs.select(
                 F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
             )
         )
+        # lineage cut before the iterative propagation (the leontief
+        # rule): this union stacks five deep lineages (old labels,
+        # digest join, batch window, index probe, banded pairs), and
+        # at sf10 AQE's per-update plan-string render of it OOMed the
+        # driver — the edge list is two longs per row, so materialize
+        # it once and let every label round read a flat scan
+        .localCheckpoint(eager=True)
     )
     labels = connected_components(
         docs.select(F.col("doc_id").alias("node")), edges

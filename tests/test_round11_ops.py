@@ -612,3 +612,24 @@ class TestIncrementalDedupPipeline:
             & (incr["largest_member"] % m == m - 1)
         )
         assert spans.any()
+
+
+class TestLshPairsFromIndex:
+    def test_identical_to_direct_listing(self, spark, sf_dir):
+        """lsh_pairs_from_index must reproduce minhash_lsh_pairs
+        exactly — the index frames ARE the direct run's two
+        intermediates, materialized."""
+        docs = load_table(spark, sf_dir, "documents").filter(
+            F.col("doc_id") < 300
+        )
+        direct = dedup.minhash_lsh_pairs(
+            docs, threshold=0.4, family="md5"
+        ).toPandas()
+        dedup.release_shingle_cache()
+        index = dedup.build_lsh_index(
+            docs, family="md5", cache_name="t11_pairs_idx"
+        )
+        from_index = dedup.lsh_pairs_from_index(index, threshold=0.4).toPandas()
+        assert direct.equals(from_index)
+        from ssb_coefficient_maker_spark.cachereg import get_cache
+        get_cache("t11_pairs_idx").release()
