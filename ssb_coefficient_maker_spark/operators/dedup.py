@@ -38,7 +38,7 @@ import re
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ssb_coefficient_maker_spark.sources.loaders import load_table
+from ssb_coefficient_maker_spark.sources.loaders import load_table, spread_for_kernel
 
 # MinHash parameters: 32 hashes in 4 bands of 8. Band-collision
 # probability is J^8 — steep: ~6% of J=0.7 pairs per band (~23% over 4
@@ -123,7 +123,8 @@ def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(F.md5(normalized_text(F.col("text"))).alias("content_hash"), "doc_id")
+        spread_for_kernel(docs)
+        .select(F.md5(normalized_text(F.col("text"))).alias("content_hash"), "doc_id")
         .groupBy("content_hash")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
         .orderBy("content_hash")
@@ -156,7 +157,11 @@ def _shingle_table(docs: DataFrame, family: str = "xxhash64") -> DataFrame:
     hit = cache.lookup(corpus, ())
     if hit is not None:
         return hit
-    sh_tbl = docs.select(
+    # spread BEFORE the shingle projection: the heavy per-row work
+    # must sit above the exchange, or a single-file corpus computes
+    # every shingle on one core (guide §2.5; r11 profile: 5.2 s
+    # single-task at sf0.1). No-op on an already-parallel scan.
+    sh_tbl = spread_for_kernel(docs).select(
         "doc_id", shingles_col(F.col("text"), family=family).alias("sh")
     ).persist()
     return cache.store(corpus, (), sh_tbl, pinned=[sh_tbl])
@@ -393,15 +398,18 @@ def build_lsh_index(
         hit = cache.lookup_lineage(("parent", corpus))
     if hit is not None:
         return hit
-    sh_tbl = docs.select(
+    # spread: single-file corpora otherwise shingle+sign on ONE core
+    # (guide §2.5; no-op when the scan is already parallel)
+    sh_tbl = spread_for_kernel(docs).select(
         "doc_id", shingles_col(F.col("text"), k=k, family=family).alias("sh")
     ).persist()
     bands = _band_table(sh_tbl).persist()
     # materialize NOW (index build is an eager, build-once job — the
     # probe queries that follow must see only InMemoryTableScans);
-    # counting bands first also fills sh_tbl, since bands reads it
+    # counting bands first also fills sh_tbl, since bands reads it —
+    # which is why no second count on sh_tbl is needed (r11: one
+    # fewer eager job per build)
     bands.count()
-    sh_tbl.count()
     return cache.store(
         corpus, (), LshIndex(bands, sh_tbl, family, k), pinned=[bands, sh_tbl]
     )
@@ -435,7 +443,10 @@ def probe_lsh_index(
     """
     _check_probe_geometry(index, family, k)
     corpus_bands, corpus_sh = index
-    new_sh = new_docs.select(
+    # the batch is shingled twice (band stream + verify side, see
+    # below) — spread it so neither pass serializes on a single scan
+    # task (no-op for an already-parallel batch)
+    new_sh = spread_for_kernel(new_docs).select(
         "doc_id", shingles_col(F.col("text"), k=k, family=family).alias("sh")
     )
     cand = (
@@ -508,7 +519,7 @@ def append_to_lsh_index(
     old_bands, old_sh = build_lsh_index(
         corpus_docs, family=family, cache_name=cache_name, k=k
     )
-    new_sh = new_docs.select(
+    new_sh = spread_for_kernel(new_docs).select(
         "doc_id", shingles_col(F.col("text"), k=k, family=family).alias("sh")
     )
     sh = old_sh.unionByName(new_sh).persist()
@@ -1041,8 +1052,10 @@ def connected_components(
         .persist()
     )
     both.count()
+    # (no eager count on the initial labels: round 1's action
+    # materializes the trivial node projection — r11, one job fewer)
     labels = nodes.select("node", F.col("node").alias("label")).persist()
-    labels.count()
+    prev_sum = None
     try:
         for _ in range(max_iters):
             new_labels = None
@@ -1054,20 +1067,26 @@ def connected_components(
                 .agg(F.min("label").alias("label"))
                 .persist()
             )
-            # the changed-count action below materializes the persisted
-            # new_labels on first evaluation; the diff joins two tiny
-            # label maps — the edge pipeline never re-evaluates
-            changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-                .filter(F.col("n.label") != F.col("o.label"))
-                .count()
-            )
+            # ONE action per round: materializes the persisted
+            # new_labels and reads the convergence statistic. Each
+            # node's label is monotone NON-INCREASING (the union feeds
+            # the node's own current label into the min), so the label
+            # SUM strictly decreases until the fixpoint: equal sums
+            # across consecutive rounds <=> no node changed. This
+            # replaces the old two-sided join diff — one fewer
+            # shuffle-join per round, same convergence decision and
+            # the same round count (the old loop also had to run the
+            # final no-change round to observe changed == 0).
+            # decimal(38,0) keeps the sum exact at any node-id scale.
+            cur_sum = new_labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).head()[0]
             labels.unpersist()
             labels = new_labels
             new_labels = None
-            if changed == 0:
+            if prev_sum is not None and cur_sum == prev_sum:
                 break
+            prev_sum = cur_sum
         return labels
     except BaseException:
         # don't leak pinned label maps if a mid-round action fails
@@ -1770,7 +1789,10 @@ def canonicalize_exact_dups(
             if casefold
             else F.regexp_replace(F.trim(F.col("text")), "\\s+", " ")
         )
-        hashed = docs.select("doc_id", F.md5(key).alias("_h"))
+        # spread: the normalize+md5 digest pass is per-row kernel work
+        # above the window's exchange — single-file corpora otherwise
+        # run it on one core (guide §2.5; no-op when already parallel)
+        hashed = spread_for_kernel(docs).select("doc_id", F.md5(key).alias("_h"))
         if null_text == "drop":
             hashed = hashed.filter(F.col("_h").isNotNull())
         else:
@@ -2114,11 +2136,12 @@ def q243_incremental_dedup_pipeline(
 
     key = normalized_text(F.col("text"))
     sentinel = F.lit("__null_text__")
-    bh = batch.select(
+    bh = spread_for_kernel(batch).select(
         "doc_id", F.coalesce(F.md5(key), sentinel).alias("_h")
     )
     digest_map = (
-        corpus.select(F.coalesce(F.md5(key), sentinel).alias("_h"), "doc_id")
+        spread_for_kernel(corpus)
+        .select(F.coalesce(F.md5(key), sentinel).alias("_h"), "doc_id")
         .groupBy("_h")
         .agg(F.min("doc_id").alias("rep_id"))
     )

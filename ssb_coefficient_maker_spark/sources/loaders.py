@@ -69,6 +69,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread_for_kernel(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition an UNDER-PARALLEL input before an
+    expensive per-row kernel (shingling, signatures, digests).
+
+    A corpus that arrives as one unsplittable file (single parquet
+    row group, gzip, a small-SF testdata drop) yields one scan task,
+    so a map stage that does real per-row work serializes on one core
+    — guide §2.5 "input skew": measured 5.2 s single-task for the
+    q217 index build at sf0.1 on 32 cores. Repartitioning costs one
+    pass of the (by-definition small) input and buys cores-way
+    parallel kernel work.
+
+    Scale-adaptive by construction: a NO-OP whenever the scan already
+    has at least the session's default parallelism partitions — the
+    100 TB case, where the same repartition would be a catastrophic
+    full shuffle of the payload. The condition is partition count,
+    not a constant tuned to local mode.
+    """
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if n >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the SQL surface."""
     for name in TABLES:

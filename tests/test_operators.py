@@ -558,6 +558,32 @@ def test_connected_components_clusters_and_hygiene(spark):
     assert jsc.getPersistentRDDs().size() <= before
 
 
+def test_connected_components_sum_convergence(spark):
+    """r11 optimization: the per-round convergence test became a
+    label-SUM comparison (monotone non-increasing labels make equal
+    consecutive sums <=> fixpoint) instead of a join diff. Cover the
+    shapes that stress it: a long chain (max diameter — many rounds,
+    strictly decreasing sums until done), an edge whose endpoints
+    already share the min label early (sum still decreases only while
+    anything changes), and the EMPTY edge set (sums equal from round
+    one — must terminate, labels = own id)."""
+    from ssb_coefficient_maker_spark.operators.dedup import connected_components
+
+    chain_nodes = spark.createDataFrame([(i,) for i in range(8)], "node long")
+    chain_edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(7)], "src long, dst long"
+    )
+    labels = connected_components(chain_nodes, chain_edges)
+    assert {r.label for r in labels.collect()} == {0}
+    labels.unpersist(blocking=True)
+
+    empty_nodes = spark.createDataFrame([(5,), (7,), (9,)], "node long")
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    labels = connected_components(empty_nodes, empty_edges)
+    assert {r.node: r.label for r in labels.collect()} == {5: 5, 7: 7, 9: 9}
+    labels.unpersist(blocking=True)
+
+
 def test_index_caches_evict_previous_corpus(spark, sf_dir, tmp_path):
     """cachereg.PinnedCache contract (round-3 VERDICT #4): building an
     index against a SECOND corpus must unpersist the first corpus's
