@@ -122,8 +122,12 @@ def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy also yields the duplicate count.)
     """
     docs = load_table(spark, sf_dir, "documents")
+    # no spread here: one md5 per row is cheaper than the text
+    # repartition it would take to parallelize it (measured r11:
+    # 0.4 s unspread vs 2.2 s spread at sf0.1) — spread_for_kernel
+    # is for the heavy shingle/signature kernels only
     return (
-        spread_for_kernel(docs)
+        docs
         .select(F.md5(normalized_text(F.col("text"))).alias("content_hash"), "doc_id")
         .groupBy("content_hash")
         .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
@@ -1789,10 +1793,10 @@ def canonicalize_exact_dups(
             if casefold
             else F.regexp_replace(F.trim(F.col("text")), "\\s+", " ")
         )
-        # spread: the normalize+md5 digest pass is per-row kernel work
-        # above the window's exchange — single-file corpora otherwise
-        # run it on one core (guide §2.5; no-op when already parallel)
-        hashed = spread_for_kernel(docs).select("doc_id", F.md5(key).alias("_h"))
+        # no spread: a single md5 per row is cheaper than repartitioning
+        # the text to parallelize it (q30 measurement, r11); the window
+        # exchange right below already spreads the post-digest work
+        hashed = docs.select("doc_id", F.md5(key).alias("_h"))
         if null_text == "drop":
             hashed = hashed.filter(F.col("_h").isNotNull())
         else:
@@ -2136,11 +2140,11 @@ def q243_incremental_dedup_pipeline(
 
     key = normalized_text(F.col("text"))
     sentinel = F.lit("__null_text__")
-    bh = spread_for_kernel(batch).select(
+    bh = batch.select(
         "doc_id", F.coalesce(F.md5(key), sentinel).alias("_h")
     )
     digest_map = (
-        spread_for_kernel(corpus)
+        corpus
         .select(F.coalesce(F.md5(key), sentinel).alias("_h"), "doc_id")
         .groupBy("_h")
         .agg(F.min("doc_id").alias("rep_id"))
