@@ -80,7 +80,16 @@ def adp_matrix_from_pandas(spark: SparkSession, pdf: pd.DataFrame, dps: int) -> 
         [T.StructField(ROW_ID, T.StringType(), False)]
         + [T.StructField(c, T.StringType(), True) for c in cols]
     )
-    return Matrix(df=spark.createDataFrame(out, schema=schema), value_cols=cols)
+    # coalesce to the partition count the ROW COUNT warrants: Arrow
+    # conversion slices into defaultParallelism chunks regardless of
+    # size, and the ADP mapInPandas then pays one python worker per
+    # ~10-row chunk (catalog._rightsized has the measurement)
+    from ssb_coefficient_maker_spark.catalog import _rightsized
+
+    return Matrix(
+        df=_rightsized(spark.createDataFrame(out, schema=schema), len(out)),
+        value_cols=cols,
+    )
 
 
 def adp_vector_from_pandas(series: pd.Series, dps: int) -> Vector:

@@ -83,7 +83,24 @@ def matrix_from_pandas(spark: SparkSession, pdf: pd.DataFrame) -> Matrix:
         [T.StructField(ROW_ID, T.StringType(), False)]
         + [T.StructField(c, T.DoubleType(), True) for c in cols]
     )
-    return Matrix(df=spark.createDataFrame(out, schema=schema), value_cols=cols)
+    return Matrix(
+        df=_rightsized(spark.createDataFrame(out, schema=schema), len(out)),
+        value_cols=cols,
+    )
+
+
+def _rightsized(df: DataFrame, n_rows: int) -> DataFrame:
+    """Coalesce a driver-ingested frame to ~10k rows per partition.
+
+    Arrow ``createDataFrame(pandas)`` slices the input into
+    ``defaultParallelism`` chunks regardless of size, so a 300-row
+    matrix arrives as 32 partitions and every downstream Python stage
+    (the ADP ``mapInPandas``) spawns one worker per core for ~10 rows
+    each (guide §4.1: the boundary cost is per task, not per row).
+    The row count is known exactly on the driver — coalesce (narrow,
+    never increases partitions) to the size the data warrants.
+    """
+    return df.coalesce(max(1, -(-n_rows // 10_000)))
 
 
 def matrix_from_spark(

@@ -63,7 +63,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ssb_coefficient_maker_spark.functions.vectors import cosine, cosine_const, l2_norm, seq_l2_norm
-from ssb_coefficient_maker_spark.sources.loaders import load_table
+from ssb_coefficient_maker_spark.sources.loaders import literal_df, load_table
 
 
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int = 0):
@@ -525,7 +525,8 @@ def write_ivf_store_base(
         return False
     spark = emb.sparkSession
     cents = kmeans_centroids(emb, k=n_centroids, iters=iters)
-    spark.createDataFrame(
+    literal_df(
+        spark,
         [(i, c) for i, c in enumerate(cents)],
         "bucket int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(cent_dir)
@@ -997,7 +998,7 @@ def cosine_neardup_celled(
     )
 
     spark = emb.sparkSession
-    kept_df = spark.createDataFrame(kept or [(-1, -1)], "ci int, cj int")
+    kept_df = literal_df(spark, kept or [(-1, -1)], "ci int, cj int")
     pa = packed.select(
         F.col("bucket").alias("ci"), F.col("bid").alias("bid_a"), F.col("blk").alias("blk_a")
     )

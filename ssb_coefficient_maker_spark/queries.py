@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ssb_coefficient_maker_spark.operators import dedup, multimodal, relational, similarity, text
 from ssb_coefficient_maker_spark.operators.asof import asof_join
-from ssb_coefficient_maker_spark.sources.loaders import load_table
+from ssb_coefficient_maker_spark.sources.loaders import literal_df, load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -585,7 +585,8 @@ def q70_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ssb_coefficient_maker_spark.operators.skew import salted_join
 
     li = load_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
-    rates = spark.createDataFrame(
+    rates = literal_df(
+        spark,
         [("A", 0.02), ("N", 0.01), ("R", 0.03)], "l_returnflag string, fee_rate double"
     )
     return (
@@ -892,7 +893,8 @@ def q89_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("o_totalprice") > 300000, "high")
         .otherwise(F.lit(None))
     )
-    dim = spark.createDataFrame(
+    dim = literal_df(
+        spark,
         [("low", 1.0), ("high", 3.0), (None, 2.0)], "band string, weight double"
     )
     banded = orders.select("o_orderkey", band.alias("band"), "o_totalprice")
@@ -1155,7 +1157,8 @@ def q96_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats; at scale the rates table is the tuned mixture config.
     Output: per-lang kept/total counts + the realized rate."""
     docs = load_table(spark, sf_dir, "documents")
-    rates = spark.createDataFrame(
+    rates = literal_df(
+        spark,
         [("en", 200), ("de", 800), ("fr", 800), ("es", 800), ("zh", 800)],
         "lang string, keep_milli int",
     )
@@ -3465,7 +3468,7 @@ def q223_anonymity_risk_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_rows = cust.agg(F.count(F.lit(1)).alias("n_rows"))
 
     def audit(cell_df: DataFrame, breach: str, name: str, ts: tuple) -> DataFrame:
-        thr = spark.createDataFrame([(t,) for t in ts], "threshold int")
+        thr = literal_df(spark, [(t,) for t in ts], "threshold int")
         hit = F.col(breach) < F.col("threshold")
         return (
             cell_df.crossJoin(F.broadcast(thr))
@@ -3583,7 +3586,7 @@ def q224_dp_noised_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(F.count(F.lit(1)).alias("exact_cnt"))
     )
-    eps = spark.createDataFrame(list(Q224_EPSILONS), "lbl string, epsilon double")
+    eps = literal_df(spark, list(Q224_EPSILONS), "lbl string, epsilon double")
     h52 = F.conv(
         F.substring(
             F.md5(
@@ -3893,7 +3896,8 @@ def q228_ann_recall_audit(
         (F.col("vec_id") % Q228_QUERY_MOD == 0)
         & (F.col("vec_id") < Q228_QUERY_CAP)
     ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
-    cent_df = spark.createDataFrame(
+    cent_df = literal_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
         "bucket int, cent array<double>",
     )
@@ -5474,7 +5478,7 @@ def q135_nation_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             contrib[dst] += pr[src] * (w / outw[src])
         pr = {name: round(0.15 / n + 0.85 * contrib[name], 9) for name in nodes}
     rows = [(name, round(pr[name], 6)) for name in nodes]
-    out = spark.createDataFrame(rows, "n_name string, pagerank double")
+    out = literal_df(spark, rows, "n_name string, pagerank double")
     return out.orderBy(F.desc("pagerank"), F.asc("n_name"))
 
 
@@ -8322,7 +8326,7 @@ def q184_bfs_reach(spark: SparkSession, sf_dir: str, max_hops: int = 4) -> DataF
         fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=True)
     source = edges.agg(F.min("src").alias("s")).collect()[0]["s"]
-    visited = spark.createDataFrame([(int(source), 0)], "part long, hop int")
+    visited = literal_df(spark, [(int(source), 0)], "part long, hop int")
     frontier = visited.select("part")
     for hop in range(1, max_hops + 1):
         nxt = (

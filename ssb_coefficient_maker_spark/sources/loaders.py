@@ -98,6 +98,49 @@ def spread_for_kernel(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     return df.repartition(target)
 
 
+def literal_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """A small literal lookup table as a pure-JVM plan.
+
+    ``spark.createDataFrame(small_python_list)`` parallelizes pickled
+    Python rows into ``defaultParallelism`` slices, so scanning a
+    handful of literals runs one PYTHON WORKER per core (guide §4's
+    boundary tax on the smallest possible data — measured r11: the
+    q223 threshold tables alone cost a 32-task python stage with 39 s
+    of task runtime on the cold pass). Building the same rows as an
+    inline'd array-of-structs literal keeps the scan entirely in the
+    JVM: one task, no Python workers, constant-foldable, and trivially
+    broadcastable as a join side.
+
+    ``schema`` is the usual DDL string (``"name type, name type"``);
+    cells may be None, scalars, or lists/tuples (array columns).
+    Values land exactly as ``createDataFrame`` would land them: each
+    cell is cast to the declared field type.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    st = T._parse_datatype_string(schema)
+
+    def cell(v, f):
+        if isinstance(v, (list, tuple)):
+            lit = F.array(
+                *[F.lit(x).cast(f.dataType.elementType) for x in v]
+            ).cast(f.dataType)
+        else:
+            lit = F.lit(v).cast(f.dataType)
+        # createDataFrame declares every column nullable; bare literals
+        # analyze non-nullable. nullif(x, NULL) analyzes nullable yet
+        # constant-folds to the bare literal at execution, so the
+        # declared schema matches createDataFrame's exactly at no cost.
+        return F.nullif(lit, F.lit(None).cast(f.dataType))
+
+    structs = [
+        F.struct(*[cell(v, f).alias(f.name) for v, f in zip(row, st.fields)])
+        for row in rows
+    ]
+    return spark.range(1).select(F.inline(F.array(*structs)))
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the SQL surface."""
     for name in TABLES:
