@@ -92,7 +92,18 @@ def shingles_col(col: Column, k: int = 5, family: str = "xxhash64") -> Column:
                 )
             return F.transform(acc, md5_hash60)
 
-        fallback = F.array(md5_hash60(normalized_text(col)))
+        # coalesce: md5(NULL text) is NULL, and ONE null element in an
+        # Arrow chunk makes pyarrow convert the whole chunk's list
+        # values to float64 — silently rounding OTHER rows' 60-bit
+        # hashes through a 53-bit mantissa inside minhash_sig_udf
+        # (batching-dependent signature corruption, found r11 when
+        # the kernel spread changed batch composition). -1 is outside
+        # md5_hash60's [0, 2^60) range, so the sentinel can't collide
+        # with a real shingle; NULL-doc pair results are unchanged
+        # (all NULL docs still share one single-element shingle set).
+        fallback = F.array(
+            F.coalesce(md5_hash60(normalized_text(col)), F.lit(-1).cast("long"))
+        )
     else:
         # the combine is xxhash64 of (acc, next) — full 64-bit shingle
         # identity, so birthday collisions stay negligible at any
@@ -108,8 +119,16 @@ def shingles_col(col: Column, k: int = 5, family: str = "xxhash64") -> Column:
                 )
             return acc
 
+        # same NULL-element guard as the md5 branch: aggregate(NULL
+        # array) is NULL, and one null list element flips the whole
+        # Arrow chunk to float64 inside the signature kernel
         fallback = F.array(
-            F.aggregate(hs, F.lit(0).cast("long"), lambda acc, h: F.xxhash64(acc, h))
+            F.coalesce(
+                F.aggregate(
+                    hs, F.lit(0).cast("long"), lambda acc, h: F.xxhash64(acc, h)
+                ),
+                F.lit(-1).cast("long"),
+            )
         )
     return F.array_distinct(F.when(n >= k, rolled()).otherwise(fallback))
 
@@ -197,7 +216,20 @@ def minhash_sig_udf() -> "F.Column":
     def batch(s):
         out = []
         for sh in s:
-            h = np.asarray(sh, dtype=np.int64) % m
+            h = np.asarray(sh)
+            if h.dtype != np.int64:
+                # a single null element anywhere in the Arrow chunk
+                # converts every row's values to float64, rounding
+                # 60-bit hashes through a 53-bit mantissa — refuse
+                # loudly instead of emitting corrupted signatures
+                # (shingles_col's fallback guarantees non-null
+                # elements; this guard keeps that contract honest)
+                raise ValueError(
+                    f"minhash_sig_udf: non-int64 shingle batch "
+                    f"({h.dtype}) — null shingle elements corrupt "
+                    f"hashes via Arrow float64 chunk conversion"
+                )
+            h = h % m
             mins = ((h[:, None] * mult[None, :] + add[None, :]) % m).min(axis=0)
             out.append(mins.tolist())
         return pd.Series(out)
@@ -268,7 +300,19 @@ def minhash_lsh_pairs(
     # action would just force a 3x recompute).
     sh_tbl = _shingle_table(docs, family=family)
     bands = _band_table(sh_tbl)
+    return _pairs_from_bands(bands, sh_tbl, threshold).orderBy("doc_a", "doc_b")
 
+
+def _pairs_from_bands(
+    bands: DataFrame, sh_tbl: DataFrame, threshold: float
+) -> DataFrame:
+    """Candidate self-join + exact-Jaccard verify over an EXPLICIT
+    (band, shingle) frame pair — the shared core of the batch pair
+    finder (minhash_lsh_pairs) and the index-derived pair listing
+    (lsh_pairs_from_index). Both frames are per-doc projections, so
+    any row-subset of a corpus's frames yields exactly the pairs the
+    batch tier computes over that subset. Returns an UNORDERED
+    (doc_a, doc_b, jaccard) frame; callers own the final sort."""
     cand = (
         bands.alias("l")
         .join(
@@ -285,11 +329,9 @@ def minhash_lsh_pairs(
     verified = cand.join(a, "doc_a").join(b, "doc_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
-        verified.select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
-    )
+    return verified.select(
+        "doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def q31_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -446,16 +488,31 @@ def probe_lsh_index(
     projections over only the new rows).
     """
     _check_probe_geometry(index, family, k)
-    corpus_bands, corpus_sh = index
     # the batch is shingled twice (band stream + verify side, see
     # below) — spread it so neither pass serializes on a single scan
     # task (no-op for an already-parallel batch)
     new_sh = spread_for_kernel(new_docs).select(
         "doc_id", shingles_col(F.col("text"), k=k, family=family).alias("sh")
     )
+    return _probe_pairs(_band_table(new_sh), new_sh, index, threshold).orderBy(
+        "new_doc_id", "corpus_doc_id"
+    )
+
+
+def _probe_pairs(
+    new_bands: DataFrame,
+    new_sh: DataFrame,
+    index: tuple[DataFrame, DataFrame],
+    threshold: float,
+) -> DataFrame:
+    """Probe core over EXPLICIT batch (band, shingle) frames — shared
+    by the public probe (which shingles the batch itself) and callers
+    that already hold the batch's frames (q243 reuses ONE persisted
+    batch shingle frame for both the probe and the batch-internal
+    pair finder). Returns an UNORDERED frame; callers own the sort."""
+    corpus_bands, corpus_sh = index
     cand = (
-        _band_table(new_sh)
-        .alias("n")
+        new_bands.alias("n")
         .join(
             corpus_bands.alias("c"),
             (F.col("n.band") == F.col("c.band")) & (F.col("n.bh") == F.col("c.bh")),
@@ -471,13 +528,9 @@ def probe_lsh_index(
     verified = cand.join(a, "new_doc_id").join(b, "corpus_doc_id")
     inter = F.size(F.array_intersect("sh_n", "sh_c")).cast("double")
     union = F.size(F.array_union("sh_n", "sh_c")).cast("double")
-    return (
-        verified.select(
-            "new_doc_id", "corpus_doc_id", F.round(inter / union, 4).alias("jaccard")
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .orderBy("new_doc_id", "corpus_doc_id")
-    )
+    return verified.select(
+        "new_doc_id", "corpus_doc_id", F.round(inter / union, 4).alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
 
 
 def append_to_lsh_index(
@@ -1910,12 +1963,30 @@ def minhash_neardup_collapsed(
     corpus this is the difference between 60.8 s (q31 direct) and
     the collapse path's near-flat cost — the round-11 ladder row.
     """
+    from ssb_coefficient_maker_spark.cachereg import get_cache
+
     # null_text="clique": NULL shingles to the empty set, and
     # empty-set signatures collide in every band, so the DIRECT tier
     # pairs NULL-text docs at jaccard 1.0 — the collapse must mirror
     # that, not drop them (collapsed ≡ direct is the contract)
     reps, members = canonicalize_exact_dups(docs, null_text="clique")
-    rep_pairs = minhash_lsh_pairs(reps, threshold=threshold, family=family)
+    # the verified rep-level pair set is the expensive half
+    # (shingle + sign + verify over all distinct content) and a
+    # build-once artifact like the member map it derives from — the
+    # full pipeline (q242) and the pair listing (q239) share one
+    # build per corpus instead of re-running the verify tier
+    # (r11: q242 cold re-paid q239's entire shingle/sign/verify).
+    # The checkpoint also cuts the verify lineage, so the broadcast
+    # in the expansion ships a flat scan, not the whole tier's plan.
+    cache = get_cache("collapsed_rep_pairs")
+    corpus = (docs.semanticHash(),)
+    params = (threshold, family)
+    rep_pairs = cache.lookup(corpus, params)
+    if rep_pairs is None:
+        built = minhash_lsh_pairs(
+            reps, threshold=threshold, family=family
+        ).localCheckpoint(eager=True)
+        rep_pairs = cache.store(corpus, params, built, pinned=[built])
     # rep_pairs is consumed once; members three times (pinned above)
     return expand_pairs_through_cliques(rep_pairs, members).orderBy(
         "doc_a", "doc_b"
@@ -1995,45 +2066,36 @@ def q242_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels.unpersist()
     return cache.store(corpus_key_for(sf_dir), params, res, pinned=[res])
 
-def lsh_pairs_from_index(index: "LshIndex", threshold: float = 0.4) -> DataFrame:
-    """Corpus near-dup pairs derived ENTIRELY from a pinned LSH index
-    — zero corpus re-shingling. Same candidate generation (band-bucket
-    self-join on (band, bh)) and exact-Jaccard verification as
+def lsh_pairs_from_index(
+    index: "LshIndex",
+    threshold: float = 0.4,
+    only_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup pairs derived ENTIRELY from a pinned LSH index — zero
+    re-shingling. Same candidate generation (band-bucket self-join on
+    (band, bh)) and exact-Jaccard verification as
     ``minhash_lsh_pairs``, but sourced from the index's own pinned
     band and shingle tables, so the pair set is identical by
     construction (the index frames ARE minhash_lsh_pairs' two
     intermediates, materialized).
 
-    Use when an index already exists (a pinned build, or a durable
-    q234 store reload) and the PAIR LISTING is the deliverable — the
-    shingling is already paid, so only the candidate join + verify
-    run. CAVEAT (the round-11 sf10 lesson): this is the UNCOLLAPSED
-    listing — on clique-heavy corpora it pays the O(c²) within-clique
-    verify mass, so a connectivity consumer (cluster maintenance,
-    q243) should use exact-clique stars + rep-level pairs instead,
-    which reach the same transitive closure without that mass."""
+    ``only_docs`` (one column: ``doc_id``) restricts the listing to
+    pairs among that subset: both index frames are per-doc
+    projections, so semi-joining them to the subset yields exactly
+    ``minhash_lsh_pairs(subset)`` without re-shingling a single row.
+    This is how a collapse-first consumer (q243's yesterday-map
+    build) lists REP-level pairs from the full-corpus index — the
+    round-11 sf10 lesson twice over: no corpus re-shingle AND no
+    O(c²) within-clique candidate mass (the exact-dup members never
+    enter the self-join). Without ``only_docs`` this is the
+    UNCOLLAPSED listing, which on clique-heavy corpora pays that
+    quadratic verify mass — connectivity consumers should always
+    pass the collapsed rep set."""
     bands, sh_tbl = index
-    cand = (
-        bands.alias("l")
-        .join(
-            bands.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
-        )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
-    a = sh_tbl.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh_tbl.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    verified = cand.join(a, "doc_a").join(b, "doc_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
-        verified.select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
-        .orderBy("doc_a", "doc_b")
-    )
+    if only_docs is not None:
+        bands = bands.join(only_docs, "doc_id", "left_semi")
+        sh_tbl = sh_tbl.join(only_docs, "doc_id", "left_semi")
+    return _pairs_from_bands(bands, sh_tbl, threshold).orderBy("doc_a", "doc_b")
 
 
 # Shared with the DuckDB oracle framing: residues 0..3 of doc_id % 5
@@ -2110,7 +2172,19 @@ def q243_incremental_dedup_pipeline(
     # pair listing here cost 131 s; this shape costs the collapse +
     # a rep-level verify.
     reps, members = canonicalize_exact_dups(corpus, null_text="clique")
-    rep_pairs = minhash_lsh_pairs(reps, threshold=0.4, family="md5")
+    # yesterday's rep-level pairs come from the PINNED corpus index
+    # (the same build q215 pins — a cache hit whenever either ran),
+    # filtered to the reps: both index frames are per-doc, so the
+    # subset listing equals minhash_lsh_pairs(reps) exactly, with
+    # zero re-shingling (r11: the separate reps pass re-shingled
+    # ~the whole corpus) and no within-clique candidate mass (the
+    # collapse-first rule, unchanged).
+    index = build_lsh_index(corpus, family="md5")
+    rep_pairs = lsh_pairs_from_index(
+        index, threshold=0.4, only_docs=members.filter(
+            F.col("doc_id") == F.col("rep_id")
+        ).select("doc_id"),
+    )
     clique_stars = members.filter(
         F.col("doc_id") != F.col("rep_id")
     ).select(F.col("doc_id").alias("src"), F.col("rep_id").alias("dst"))
@@ -2164,9 +2238,16 @@ def q243_incremental_dedup_pipeline(
         "left_semi",
     )
 
-    index = build_lsh_index(corpus, family="md5")
-    probe = probe_lsh_index(novel_reps, index, threshold=0.4, family="md5")
-    batch_pairs = minhash_lsh_pairs(novel_reps, threshold=0.4, family="md5")
+    # ONE persisted shingle frame for the novel batch reps feeds both
+    # the corpus probe and the batch-internal pair finder (r11: the
+    # two calls shingled the same ~batch rows three times — twice
+    # inside the probe, once more via the pair finder's own table)
+    new_sh = spread_for_kernel(novel_reps).select(
+        "doc_id", shingles_col(F.col("text"), family="md5").alias("sh")
+    ).persist()
+    new_bands = _band_table(new_sh)
+    probe = _probe_pairs(new_bands, new_sh, index, threshold=0.4)
+    batch_pairs = _pairs_from_bands(new_bands, new_sh, threshold=0.4)
 
     star = old_labels.filter(F.col("node") != F.col("label")).select(
         F.col("node").alias("src"), F.col("label").alias("dst")
@@ -2193,6 +2274,9 @@ def q243_incremental_dedup_pipeline(
         # it once and let every label round read a flat scan
         .localCheckpoint(eager=True)
     )
+    # the checkpoint above materialized every edge source — the batch
+    # shingle frame has no further reader
+    new_sh.unpersist()
     labels = connected_components(
         docs.select(F.col("doc_id").alias("node")), edges
     )

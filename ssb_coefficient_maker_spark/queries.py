@@ -12232,13 +12232,6 @@ _DRIVER_PRIORITY = (
     "q243_incremental_dedup_pipeline",
     "q240_pixel_decode",
     "q239_collapsed_neardup",
-    "q214_weighted_jaccard_verify",
-    "q215_incremental_neardup_probe",
-    "q217_lsh_probe_append_cycle",
-    "q234_lsh_store_roundtrip",
-    "q50_embedding_neardup",
-    "q237_header_decode",
-    "q238_neardup_auto",
     "q128_hierarchy_shares",
     "q127_point_in_time_join",
     "q116_correlated_scalar_subquery",
@@ -12316,11 +12309,9 @@ _DRIVER_PRIORITY = (
     "q210_rfm_cells",
     "q212_time_weighted_avg",
     "q213_conjunctive_retrieval",
+    "q214_weighted_jaccard_verify",
     "q137_grouped_ols",
     "q44_approx_distinct",
-    "q76_streaming_dedup",
-    "q80_streaming_sink",
-    "q63_streaming_tumbling",
     "q25_text_stats",
     "q26_quality_score",
     "q27_token_count",
@@ -12338,7 +12329,6 @@ _DRIVER_PRIORITY = (
     "q133_equal_freq_binning",
     "q134_mad_outliers",
     "q135_nation_pagerank",
-    "q136_streaming_sliding",
     "q36_embedding_stats",
     "q37_media_bytes",
     "q38_asof_join",
@@ -12353,8 +12343,6 @@ _DRIVER_PRIORITY = (
     "q49_lag_lead",
     "q51_below_brand_average",
     "q101_pii_redaction",
-    "q105_incremental_mv",
-    "q107_stream_stream_join",
     "q110_stream_static_join",
     "q111_constraint_audit",
     "q122_join_skew_diagnostics",
@@ -12391,7 +12379,6 @@ _DRIVER_PRIORITY = (
     "q224_dp_noised_release",
     "q225_bottomk_sample_audit",
     "q226_bpe_merge_rounds",
-    "q227_streaming_upsert_mor",
     "q229_tokenizer_fertility",
     "q56_kmeans_ivf",
     "q21_window_sliding",
@@ -12441,15 +12428,20 @@ _DRIVER_PRIORITY = (
     "q158_triangle_count",
     "q174_embedding_norm_qa",
     "q184_bfs_reach",
+    "q215_incremental_neardup_probe",
+    "q217_lsh_probe_append_cycle",
     "q228_ann_recall_audit",
     "q235_leontief_requirements",
+    "q234_lsh_store_roundtrip",
     "q35_ivf_topk",
     "q221_ivf_ingest_probe",
     "q236_ivf_store_roundtrip",
     "q230_semantic_dedup",
     "q81_pq_topk",
+    "q50_embedding_neardup",
     "q57_lsh_neardup",
     "q74_frame_sampling",
+    "q237_header_decode",
     "q55_large_volume_orders",
     "q52_nation_volume",
     "q53_market_share",
@@ -12470,6 +12462,14 @@ _DRIVER_PRIORITY = (
     "q121_zorder_clustering",
     "q125_record_linkage",
     "q115_celled_neardup",
+    "q238_neardup_auto",
+    "q76_streaming_dedup",
+    "q80_streaming_sink",
+    "q63_streaming_tumbling",
+    "q136_streaming_sliding",
+    "q105_incremental_mv",
+    "q107_stream_stream_join",
+    "q227_streaming_upsert_mor",
 )
 
 

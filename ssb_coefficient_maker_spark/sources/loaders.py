@@ -115,9 +115,30 @@ def literal_df(spark: SparkSession, rows, schema: str) -> DataFrame:
     cells may be None, scalars, or lists/tuples (array columns).
     Values land exactly as ``createDataFrame`` would land them: each
     cell is cast to the declared field type.
+
+    SIZE GUARD (measured r11): the inline form embeds one expression
+    node per scalar cell in the plan, and past a few hundred cells
+    the optimizer/codegen cost of that tree dominates every action
+    that touches it — q228's 20×64-double centroid table planned as
+    inline literals ran 25 s vs 2 s as a plain scan. Large literal
+    tables therefore fall back to ``createDataFrame`` over a
+    SINGLE-slice parallelize: one Python worker total, no giant
+    expression tree. (Not ``.coalesce(1)`` on the default
+    parallelize — that merges defaultParallelism pickled slices into
+    one task that pays one sequential Python-worker round per slice,
+    measured +2.7 s per q228 action.)
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
+
+    n_cells = sum(
+        sum(len(v) if isinstance(v, (list, tuple)) else 1 for v in row)
+        for row in rows
+    )
+    if n_cells > 256:
+        return spark.createDataFrame(
+            spark.sparkContext.parallelize(list(rows), 1), schema
+        )
 
     st = T._parse_datatype_string(schema)
 

@@ -55,6 +55,20 @@ def test_literal_df_array_columns(spark):
     assert _rows(got) == _rows(ref)
 
 
+def test_literal_df_large_table_fallback(spark):
+    """Past the cell-count guard the builder must fall back to a
+    single-slice createDataFrame (giant inline expression trees cost
+    more in the optimizer than a tiny Python scan; measured on q228's
+    centroid table) — same values, same schema, one partition."""
+    rows = [(i, [float(i), float(i) * 0.5] * 40) for i in range(10)]
+    schema = "bucket int, cent array<double>"
+    ref = spark.createDataFrame(rows, schema)
+    got = literal_df(spark, rows, schema)
+    assert got.schema == ref.schema
+    assert got.rdd.getNumPartitions() == 1
+    assert _rows(got) == _rows(ref)
+
+
 def test_literal_df_plan_is_jvm_only(spark):
     """No Python evaluation and no pickled-RDD scan in the plan."""
     df = literal_df(spark, [(1,), (2,)], "x int")
