@@ -38,7 +38,7 @@ import re
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ssb_coefficient_maker_spark.sources.loaders import load_table, spread_for_kernel
+from ssb_coefficient_maker_spark.sources.loaders import load_table
 
 # MinHash parameters: 32 hashes in 4 bands of 8. Band-collision
 # probability is J^8 — steep: ~6% of J=0.7 pairs per band (~23% over 4
@@ -141,10 +141,10 @@ def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy also yields the duplicate count.)
     """
     docs = load_table(spark, sf_dir, "documents")
-    # no spread here: one md5 per row is cheaper than the text
-    # repartition it would take to parallelize it (measured r11:
-    # 0.4 s unspread vs 2.2 s spread at sf0.1) — spread_for_kernel
-    # is for the heavy shingle/signature kernels only
+    # no pre-kernel repartition: one md5 per row is cheaper than the
+    # text repartition it would take to parallelize it (measured r11:
+    # 0.4 s unspread vs 2.2 s spread at sf0.1; loaders.py has the
+    # full post-mortem of the removed spread helper)
     return (
         docs
         .select(F.md5(normalized_text(F.col("text"))).alias("content_hash"), "doc_id")
@@ -180,11 +180,15 @@ def _shingle_table(docs: DataFrame, family: str = "xxhash64") -> DataFrame:
     hit = cache.lookup(corpus, ())
     if hit is not None:
         return hit
-    # spread BEFORE the shingle projection: the heavy per-row work
-    # must sit above the exchange, or a single-file corpus computes
-    # every shingle on one core (guide §2.5; r11 profile: 5.2 s
-    # single-task at sf0.1). No-op on an already-parallel scan.
-    sh_tbl = spread_for_kernel(docs).select(
+    # deliberately NO repartition before the shingle projection: a
+    # round-robin spread of an under-parallel scan looked right on
+    # paper (guide §2.5) but measured as a pure loss at sf0.1 — the
+    # Python signature stage downstream pays a fixed per-task Arrow/
+    # worker cost, so 32 tiny tasks burn ~20x the CPU of one task
+    # (q31 band stage: 0.7 s single-task vs 8-9 s spread; bench r11:
+    # q31 cold 3.6->7.6 s WITH spread, recovered without). At real
+    # scale the scan arrives parallel from many splits anyway.
+    sh_tbl = docs.select(
         "doc_id", shingles_col(F.col("text"), family=family).alias("sh")
     ).persist()
     return cache.store(corpus, (), sh_tbl, pinned=[sh_tbl])
@@ -444,9 +448,10 @@ def build_lsh_index(
         hit = cache.lookup_lineage(("parent", corpus))
     if hit is not None:
         return hit
-    # spread: single-file corpora otherwise shingle+sign on ONE core
-    # (guide §2.5; no-op when the scan is already parallel)
-    sh_tbl = spread_for_kernel(docs).select(
+    # no pre-kernel repartition: measured a net loss (see
+    # _shingle_table) — per-task Python-boundary overhead on the
+    # spread side outweighs the single-core shingle time it saves
+    sh_tbl = docs.select(
         "doc_id", shingles_col(F.col("text"), k=k, family=family).alias("sh")
     ).persist()
     bands = _band_table(sh_tbl).persist()
@@ -488,10 +493,7 @@ def probe_lsh_index(
     projections over only the new rows).
     """
     _check_probe_geometry(index, family, k)
-    # the batch is shingled twice (band stream + verify side, see
-    # below) — spread it so neither pass serializes on a single scan
-    # task (no-op for an already-parallel batch)
-    new_sh = spread_for_kernel(new_docs).select(
+    new_sh = new_docs.select(
         "doc_id", shingles_col(F.col("text"), k=k, family=family).alias("sh")
     )
     return _probe_pairs(_band_table(new_sh), new_sh, index, threshold).orderBy(
@@ -576,7 +578,7 @@ def append_to_lsh_index(
     old_bands, old_sh = build_lsh_index(
         corpus_docs, family=family, cache_name=cache_name, k=k
     )
-    new_sh = spread_for_kernel(new_docs).select(
+    new_sh = new_docs.select(
         "doc_id", shingles_col(F.col("text"), k=k, family=family).alias("sh")
     )
     sh = old_sh.unionByName(new_sh).persist()
@@ -2242,7 +2244,7 @@ def q243_incremental_dedup_pipeline(
     # the corpus probe and the batch-internal pair finder (r11: the
     # two calls shingled the same ~batch rows three times — twice
     # inside the probe, once more via the pair finder's own table)
-    new_sh = spread_for_kernel(novel_reps).select(
+    new_sh = novel_reps.select(
         "doc_id", shingles_col(F.col("text"), family="md5").alias("sh")
     ).persist()
     new_bands = _band_table(new_sh)

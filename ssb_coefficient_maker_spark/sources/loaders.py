@@ -69,33 +69,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def spread_for_kernel(df: DataFrame, min_parts: int | None = None) -> DataFrame:
-    """Round-robin repartition an UNDER-PARALLEL input before an
-    expensive per-row kernel (shingling, signatures, digests).
-
-    A corpus that arrives as one unsplittable file (single parquet
-    row group, gzip, a small-SF testdata drop) yields one scan task,
-    so a map stage that does real per-row work serializes on one core
-    — guide §2.5 "input skew": measured 5.2 s single-task for the
-    q217 index build at sf0.1 on 32 cores. Repartitioning costs one
-    pass of the (by-definition small) input and buys cores-way
-    parallel kernel work.
-
-    Scale-adaptive by construction: a NO-OP whenever the scan already
-    has at least the session's default parallelism partitions — the
-    100 TB case, where the same repartition would be a catastrophic
-    full shuffle of the payload. The condition is partition count,
-    not a constant tuned to local mode.
-    """
-    sc = df.sparkSession.sparkContext
-    target = min_parts or sc.defaultParallelism
-    try:
-        n = df.rdd.getNumPartitions()
-    except Exception:
-        return df
-    if n >= target:
-        return df
-    return df.repartition(target)
+# NOTE (r11): a `spread_for_kernel` helper briefly lived here — a
+# round-robin repartition of under-parallel scans before the shingle/
+# signature kernels (guide §2.5 "input skew"). It was REMOVED after
+# measurement: the downstream Arrow/pandas stages pay a fixed per-task
+# boundary cost, so splitting a small corpus into cores-many tiny
+# tasks multiplied total CPU ~20x (q31 band stage 0.7 s single-task
+# -> 8-9 s across 32 tasks) and regressed every shingle-family query
+# (q31 cold 3.6 -> 7.6 s, q233 7.3 -> 14.9 s, q57 4.2 -> 8.2 s at
+# sf0.1), while the wins attributed to it (q217 28.6 -> 8.1 s cold)
+# turned out to come from the accompanying cache/action changes and
+# survived its removal. At real scale the scan arrives parallel from
+# many splits, so there is nothing to spread.
 
 
 def literal_df(spark: SparkSession, rows, schema: str) -> DataFrame:
