@@ -154,6 +154,33 @@ def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spread_corpus(df: DataFrame) -> DataFrame:
+    """Bounded repartition of an under-parallel CORPUS scan before the
+    shingle/signature kernels (guide §2.5 "input skew", second attempt).
+
+    The first attempt (r11, removed) spread to defaultParallelism and
+    measured as a net loss: 32 tiny Arrow tasks pay ~0.25 s fixed
+    worker/serialization cost each, and the 32-partition PERSISTED
+    shingle frame then makes every downstream tiny stage schedule 32
+    tasks. This version spreads to cores/4 (8 on the 32-core box) —
+    enough to cut the ~5 s single-core md5-shingle stage to ~1 s,
+    few enough that the fixed per-task Python cost (~8×0.25 s spread
+    across cores) and downstream task counts stay in the noise.
+    Still scale-adaptive: a no-op whenever the scan already has at
+    least half the target partitions (the 100 TB case — many splits),
+    so it never adds a shuffle where the input is already parallel.
+    """
+    sc = df.sparkSession.sparkContext
+    target = max(2, sc.defaultParallelism // 4)
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    if 2 * n > target:
+        return df
+    return df.repartition(target)
+
+
 def release_shingle_cache() -> None:
     """Unpersist the shingle table cached by the last
     ``minhash_lsh_pairs`` call (safe to call any time)."""
@@ -180,15 +207,12 @@ def _shingle_table(docs: DataFrame, family: str = "xxhash64") -> DataFrame:
     hit = cache.lookup(corpus, ())
     if hit is not None:
         return hit
-    # deliberately NO repartition before the shingle projection: a
-    # round-robin spread of an under-parallel scan looked right on
-    # paper (guide §2.5) but measured as a pure loss at sf0.1 — the
-    # Python signature stage downstream pays a fixed per-task Arrow/
-    # worker cost, so 32 tiny tasks burn ~20x the CPU of one task
-    # (q31 band stage: 0.7 s single-task vs 8-9 s spread; bench r11:
-    # q31 cold 3.6->7.6 s WITH spread, recovered without). At real
-    # scale the scan arrives parallel from many splits anyway.
-    sh_tbl = docs.select(
+    # bounded spread (see _spread_corpus): the md5-family shingle
+    # projection is ~1.4M JVM md5+concat ops at sf0.1 — ~5 s on the
+    # ONE core a single-row-group scan yields. A full 32-way spread
+    # measured as a loss (per-task Arrow cost + 32-partition persisted
+    # frame); cores/4 keeps the parallel win without that tax.
+    sh_tbl = _spread_corpus(docs).select(
         "doc_id", shingles_col(F.col("text"), family=family).alias("sh")
     ).persist()
     return cache.store(corpus, (), sh_tbl, pinned=[sh_tbl])
@@ -448,10 +472,9 @@ def build_lsh_index(
         hit = cache.lookup_lineage(("parent", corpus))
     if hit is not None:
         return hit
-    # no pre-kernel repartition: measured a net loss (see
-    # _shingle_table) — per-task Python-boundary overhead on the
-    # spread side outweighs the single-core shingle time it saves
-    sh_tbl = docs.select(
+    # bounded cores/4 spread before the corpus-scale kernel (see
+    # _spread_corpus — the full 32-way spread measured as a loss)
+    sh_tbl = _spread_corpus(docs).select(
         "doc_id", shingles_col(F.col("text"), k=k, family=family).alias("sh")
     ).persist()
     bands = _band_table(sh_tbl).persist()

@@ -633,3 +633,20 @@ class TestLshPairsFromIndex:
         assert direct.equals(from_index)
         from ssb_coefficient_maker_spark.cachereg import get_cache
         get_cache("t11_pairs_idx").release()
+
+
+class TestSpreadCorpus:
+    def test_spreads_single_partition_scan(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        assert docs.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+        out = dedup._spread_corpus(docs)
+        target = max(2, spark.sparkContext.defaultParallelism // 4)
+        assert out.rdd.getNumPartitions() == target
+        # row set unchanged
+        assert out.count() == docs.count()
+
+    def test_noop_on_already_parallel_input(self, spark, sf_dir):
+        docs = load_table(spark, sf_dir, "documents")
+        target = max(2, spark.sparkContext.defaultParallelism // 4)
+        wide = docs.repartition(target + 1)  # past half the target: no-op
+        assert dedup._spread_corpus(wide) is wide
