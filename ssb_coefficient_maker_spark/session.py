@@ -49,6 +49,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-partition the output of plans feeding a persist():
+        # pinned caches (label maps, LSH/IVF indexes, shingle tables)
+        # otherwise materialize with the full shuffle-partition count,
+        # and every downstream read of a KB-sized cached frame schedules
+        # cores-many near-empty tasks (guide §2.2 — fewer, larger
+        # partitions; measured r11: dedup-family cold 75.4 -> 61.5 s,
+        # q243 15.9 -> 9.2 s, with warm flat). Scale-adaptive: AQE
+        # coalesces by advisory byte size, so large cached frames keep
+        # their parallelism.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+            "true",
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.ansi.enabled", "false")
