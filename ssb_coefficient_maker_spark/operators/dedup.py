@@ -133,6 +133,26 @@ def shingles_col(col: Column, k: int = 5, family: str = "xxhash64") -> Column:
     return F.array_distinct(F.when(n >= k, rolled()).otherwise(fallback))
 
 
+_SHINGLE_TEXT_EXPR: dict[tuple[int, str], Column] = {}
+
+
+def shingles_text(k: int = 5, family: str = "xxhash64") -> Column:
+    """Memoized ``shingles_col(F.col("text"), k, family)``.
+
+    Building the nested zip_with/transform Column costs ~0.2-1.0 s of
+    driver-side py4j round-trips PER CALL (r11 measurement — the md5
+    family's chained lambdas are ~50 gateway calls), and every shingle
+    consumer passes the same ``text`` column. The unresolved expression
+    is immutable and plan-independent (it resolves per-plan at
+    analysis), so one instance per (k, family) serves every caller —
+    the same Column object is safely reused across filters, joins and
+    both sides of self-joins (covered by tests)."""
+    key = (k, family)
+    if key not in _SHINGLE_TEXT_EXPR:
+        _SHINGLE_TEXT_EXPR[key] = shingles_col(F.col("text"), k=k, family=family)
+    return _SHINGLE_TEXT_EXPR[key]
+
+
 def q30_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: group by content hash, keep the lowest doc_id.
 
@@ -213,7 +233,7 @@ def _shingle_table(docs: DataFrame, family: str = "xxhash64") -> DataFrame:
     # measured as a loss (per-task Arrow cost + 32-partition persisted
     # frame); cores/4 keeps the parallel win without that tax.
     sh_tbl = _spread_corpus(docs).select(
-        "doc_id", shingles_col(F.col("text"), family=family).alias("sh")
+        "doc_id", shingles_text(family=family).alias("sh")
     ).persist()
     return cache.store(corpus, (), sh_tbl, pinned=[sh_tbl])
 
@@ -475,7 +495,7 @@ def build_lsh_index(
     # bounded cores/4 spread before the corpus-scale kernel (see
     # _spread_corpus — the full 32-way spread measured as a loss)
     sh_tbl = _spread_corpus(docs).select(
-        "doc_id", shingles_col(F.col("text"), k=k, family=family).alias("sh")
+        "doc_id", shingles_text(k=k, family=family).alias("sh")
     ).persist()
     bands = _band_table(sh_tbl).persist()
     # materialize NOW (index build is an eager, build-once job — the
@@ -517,7 +537,7 @@ def probe_lsh_index(
     """
     _check_probe_geometry(index, family, k)
     new_sh = new_docs.select(
-        "doc_id", shingles_col(F.col("text"), k=k, family=family).alias("sh")
+        "doc_id", shingles_text(k=k, family=family).alias("sh")
     )
     return _probe_pairs(_band_table(new_sh), new_sh, index, threshold).orderBy(
         "new_doc_id", "corpus_doc_id"
@@ -602,7 +622,7 @@ def append_to_lsh_index(
         corpus_docs, family=family, cache_name=cache_name, k=k
     )
     new_sh = new_docs.select(
-        "doc_id", shingles_col(F.col("text"), k=k, family=family).alias("sh")
+        "doc_id", shingles_text(k=k, family=family).alias("sh")
     )
     sh = old_sh.unionByName(new_sh).persist()
     bands = old_bands.unionByName(_band_table(new_sh)).persist()
@@ -730,7 +750,7 @@ def _write_lsh_segment(docs: DataFrame, seg_dir: str, family: str, k: int) -> No
     import os
 
     sh = docs.select(
-        "doc_id", shingles_col(F.col("text"), k=k, family=family).alias("sh")
+        "doc_id", shingles_text(k=k, family=family).alias("sh")
     )
     # bands derive from the shingle parquet just written (not from
     # the text again): one shingling pass per segment, and the write
@@ -1248,7 +1268,7 @@ def q91_decontamination(
     """
     docs = load_table(spark, sf_dir, "documents")
     grams = lambda df: df.select(  # noqa: E731
-        "doc_id", F.explode(shingles_col(F.col("text"), k=k)).alias("g")
+        "doc_id", F.explode(shingles_text(k=k)).alias("g")
     )
     bench = grams(docs.filter(F.col("doc_id") < bench_max_id)).select(
         F.col("doc_id").alias("bench_id"), "g"
@@ -1708,7 +1728,7 @@ def q233_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         for p in parts[1:]:
             corpus = corpus.unionByName(p)
         sh = corpus.select(
-            "doc_id", shingles_col(F.col("text"), family="md5").alias("sh")
+            "doc_id", shingles_text(family="md5").alias("sh")
         ).persist()
         bt = _band_table(sh).persist()
         bt.count()
@@ -2268,7 +2288,7 @@ def q243_incremental_dedup_pipeline(
     # two calls shingled the same ~batch rows three times — twice
     # inside the probe, once more via the pair finder's own table)
     new_sh = novel_reps.select(
-        "doc_id", shingles_col(F.col("text"), family="md5").alias("sh")
+        "doc_id", shingles_text(family="md5").alias("sh")
     ).persist()
     new_bands = _band_table(new_sh)
     probe = _probe_pairs(new_bands, new_sh, index, threshold=0.4)

@@ -6448,8 +6448,14 @@ def _basket_pairs(spark: SparkSession, sf_dir: str, min_support: int = 2):
         return hit
     li = load_table(spark, sf_dir, "lineitem")
     baskets = li.select("l_orderkey", "l_partkey").distinct()
-    a = baskets.alias("a")
-    b = baskets.alias("b")
+    # checkpoint the baskets FIRST and mine pairs from the checkpoint:
+    # building pairs from the lazy `baskets` re-ran the lineitem scan
+    # and the distinct shuffle a second time inside pairs' own
+    # checkpoint job (r11 profile: two identical 6 MB distinct
+    # exchanges + two lineitem scans per cold build)
+    baskets_chk = baskets.localCheckpoint(eager=True)
+    a = baskets_chk.alias("a")
+    b = baskets_chk.alias("b")
     pairs = (
         a.join(
             b,
@@ -6463,7 +6469,6 @@ def _basket_pairs(spark: SparkSession, sf_dir: str, min_support: int = 2):
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= min_support)
     )
-    baskets_chk = baskets.localCheckpoint(eager=True)
     pairs_chk = pairs.localCheckpoint(eager=True)
     return cache.store(
         corpus_key_for(sf_dir),
