@@ -1128,6 +1128,23 @@ def q33_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_table(docs, family="md5").orderBy("doc_id")
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Deterministically release a localCheckpoint-backed frame's
+    blocks. ``DataFrame.unpersist`` only covers CacheManager entries,
+    so a checkpointed intermediate would otherwise hold executor
+    memory until the context cleaner gets to it — the pinned-memory
+    discipline (cachereg) wants the release at the point the last
+    reader is done. Reaches the backing RDD through the query
+    execution internals; if that surface shifts (e.g. Spark Connect),
+    the no-op fallback leaves the cleanup to the context cleaner.
+    Only call once nothing will read the frame again: the checkpoint
+    cut the lineage, so freed blocks cannot be recomputed."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iters: int = 20
 ) -> DataFrame:
@@ -1147,13 +1164,19 @@ def connected_components(
     practice (``max_iters`` is the divergence guard).
     """
     # materialize the symmetric edge list ONCE — every round reads it;
-    # at 100 TB this is the intermediate you'd write to storage
+    # at 100 TB this is the intermediate you'd write to storage.
+    # localCheckpoint, not persist: persist keeps the LOGICAL lineage,
+    # so every round's plan re-optimized the whole upstream edge
+    # pipeline (for q243's rep-pair edges that is the banded verify
+    # join — measured r11: rounds of 0.9-2.2 s GROWING per round on a
+    # 350-edge graph, pure driver re-optimization; checkpointed, each
+    # round is a flat 0.3 s). The blocks free via the context cleaner
+    # when the frame goes out of scope (bounded: two longs per edge).
     both = (
         edges.select(F.col("src"), F.col("dst"))
         .unionAll(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    both.count()
     # (no eager count on the initial labels: round 1's action
     # materializes the trivial node projection — r11, one job fewer)
     labels = nodes.select("node", F.col("node").alias("label")).persist()
@@ -1197,10 +1220,12 @@ def connected_components(
             new_labels.unpersist()
         raise
     finally:
-        both.unpersist()
-        # on success the returned labels frame stays persisted; caller
-        # owns the final unpersist (it is the cluster map they keep
-        # joining)
+        # both is localCheckpoint-backed — free its blocks now (the
+        # returned labels are fully materialized by the last round's
+        # action and persisted MEMORY_AND_DISK, so nothing recomputes
+        # through the edge list). Caller owns the labels' unpersist
+        # (it is the cluster map they keep joining).
+        _free_local_checkpoint(both)
 
 
 def q77_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1836,11 +1861,14 @@ def canonicalize_exact_dups(
 
     Returns ``(reps, members)``:
 
-    - ``members`` — (doc_id, rep_id): every document mapped to its
+    - ``members`` — (doc_id, rep_id, _h): every document mapped to its
       clique representative (min doc_id sharing the md5 of the
       normalized text — with ``casefold=True`` the same
       canonicalization as q30, so the two operators agree on what
-      "exact duplicate" means);
+      "exact duplicate" means); ``_h`` is the content digest itself,
+      kept so incremental consumers can read the corpus digest table
+      as a projection of this map (rows where doc_id == rep_id)
+      instead of re-hashing the corpus;
     - ``reps`` — the input rows whose doc_id IS a representative
       (all input columns; one row per distinct content).
 
@@ -1869,7 +1897,8 @@ def canonicalize_exact_dups(
     Plan shape: ONE shuffle on the 128-bit digest (a window-min over
     the hash partition — no second aggregate-and-join pass), then the
     reps side is a semi-join of the input against the map on doc_id.
-    The member map is two longs per document; it is pinned via
+    The member map is two longs plus the digest per document; it is
+    pinned via
     PinnedCache (cap-at-one-corpus, shared lifecycle with the shingle
     table) because the collapse pipeline reads it three times
     (expansion sides a/b + within-clique pairs). At 100 TB the map is
@@ -1907,7 +1936,12 @@ def canonicalize_exact_dups(
             hashed.withColumn(
                 "rep_id", F.min("doc_id").over(Window.partitionBy("_h"))
             )
-            .select("doc_id", "rep_id")
+            # keep the digest: (rep rows of) this map ARE the corpus
+            # digest table, so incremental consumers (q243's exact
+            # digest assignment) read it as a projection of this cache
+            # instead of re-hashing the whole corpus (r11: one full
+            # md5 pass + a groupBy shuffle saved per incremental run)
+            .select("doc_id", "rep_id", "_h")
             .persist()
         )
         members = cache.store(corpus, (casefold, null_text), m, pinned=[m])
@@ -2262,11 +2296,14 @@ def q243_incremental_dedup_pipeline(
     bh = batch.select(
         "doc_id", F.coalesce(F.md5(key), sentinel).alias("_h")
     )
-    digest_map = (
-        corpus
-        .select(F.coalesce(F.md5(key), sentinel).alias("_h"), "doc_id")
-        .groupBy("_h")
-        .agg(F.min("doc_id").alias("rep_id"))
+    # the corpus digest table IS the pinned member map's rep rows
+    # (canonicalize_exact_dups keeps _h for exactly this): min doc_id
+    # per digest == the clique rep, so no second corpus md5 pass and
+    # no groupBy shuffle — one cached-frame filter (r11; the same
+    # null_text="clique" sentinel on both sides keeps NULL-text
+    # semantics aligned)
+    digest_map = members.filter(F.col("doc_id") == F.col("rep_id")).select(
+        "_h", "rep_id"
     )
     exact_edges = bh.join(digest_map, "_h").select(
         F.col("doc_id").alias("src"), F.col("rep_id").alias("dst")
