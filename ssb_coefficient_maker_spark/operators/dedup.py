@@ -2062,9 +2062,30 @@ def minhash_neardup_collapsed(
     params = (threshold, family)
     rep_pairs = cache.lookup(corpus, params)
     if rep_pairs is None:
-        built = minhash_lsh_pairs(
-            reps, threshold=threshold, family=family
-        ).localCheckpoint(eager=True)
+        # LOOKUP-ONLY fast path: when the batch tier (q31) already
+        # pinned the FULL-corpus shingle table for this (docs, family),
+        # the reps' shingles are a semi-join of it — bands are per-doc,
+        # so pairs(reps) == pairs(docs) ∩ reps×reps and the derived
+        # listing is identical by construction (r11: saves the full
+        # rep re-shingle, which also EVICTED q31's pinned table under
+        # the cap-at-one contract). Never BUILDS the docs-level table:
+        # on a clique-heavy corpus shingling all members costs c× the
+        # collapsed pass — reps-only shingling stays the default.
+        sh_docs = get_cache("shingle_table").lookup(
+            (docs.semanticHash(), family), ()
+        )
+        if sh_docs is not None:
+            rep_ids = members.filter(
+                F.col("doc_id") == F.col("rep_id")
+            ).select("doc_id")
+            sh_reps = sh_docs.join(rep_ids, "doc_id", "left_semi")
+            built = _pairs_from_bands(
+                _band_table(sh_reps), sh_reps, threshold
+            ).localCheckpoint(eager=True)
+        else:
+            built = minhash_lsh_pairs(
+                reps, threshold=threshold, family=family
+            ).localCheckpoint(eager=True)
         rep_pairs = cache.store(corpus, params, built, pinned=[built])
     # rep_pairs is consumed once; members three times (pinned above)
     return expand_pairs_through_cliques(rep_pairs, members).orderBy(

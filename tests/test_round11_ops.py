@@ -47,6 +47,35 @@ class TestCollapsedNeardup:
         dedup.release_shingle_cache()
         dedup.release_exact_dup_map()
 
+    def test_equals_uncollapsed_via_pinned_shingle_fastpath(
+        self, spark, sf_dir
+    ):
+        # when the batch tier already pinned the FULL-corpus shingle
+        # table, the collapse derives rep shingles by semi-join — the
+        # r11 lookup-only fast path must yield the identical pair set
+        corpus = self._cliqued(spark, sf_dir)
+        direct = dedup.minhash_lsh_pairs(
+            corpus, threshold=0.4, family="md5"
+        ).toPandas()
+        # do NOT release the shingle cache: the collapsed call below
+        # must take the pinned-table fast path
+        from ssb_coefficient_maker_spark.cachereg import get_cache
+
+        assert (
+            get_cache("shingle_table").lookup(
+                (corpus.semanticHash(), "md5"), ()
+            )
+            is not None
+        )
+        collapsed = dedup.minhash_neardup_collapsed(
+            corpus, threshold=0.4, family="md5"
+        ).toPandas()
+        assert len(direct) > 0
+        assert direct.equals(collapsed)
+        dedup.release_shingle_cache()
+        dedup.release_exact_dup_map()
+        get_cache("collapsed_rep_pairs").release()
+
     def test_equals_uncollapsed_without_any_dups(self, spark, sf_dir):
         # duplicate-free corpus: the pre-pass must be an exact no-op
         docs = load_table(spark, sf_dir, "documents").filter(
