@@ -10,6 +10,12 @@ runs, nothing collected to the driver — the honest distributed
 cost). Timings are wall-clock on a warm session; the first query
 additionally pays JVM/codegen warmup, so a throwaway warmup query
 runs first.
+
+Round 12: a compact totals-only JSON line (marked
+``"summary_line": true``, no per-query dicts) is printed BEFORE the
+full line, so a truncated stdout capture still yields the totals
+(r11 VERDICT #4 — the r08-r10 driver captures cut the full payload
+mid-JSON). The full contract line stays LAST and unchanged.
 """
 
 from __future__ import annotations
@@ -146,6 +152,23 @@ def main() -> int:
             "mean_sec": round((cb + ca) / 2, 3),
         },
     }
+    # Defensive totals-only line FIRST (r11 VERDICT #4 / next-round
+    # #6): the r08-r10 driver captures truncated the full one-line
+    # payload mid-JSON (parsed: null); a compact line without the
+    # 243-entry dicts survives truncation so the totals always parse.
+    # Additions-only — the full contract line below stays LAST and
+    # unchanged, and timing happened entirely above this point.
+    print(json.dumps({
+        "metric": "total_wall_sec_all_queries",
+        "value": total,
+        "unit": "sec",
+        "total_warm_sec": total_warm,
+        "sf": payload["sf"],
+        "n_queries": len(timings),
+        "n_failed": sum(1 for t in timings.values() if t < 0),
+        "canary_mean_sec": payload["canary"]["mean_sec"],
+        "summary_line": True,
+    }))
     print(json.dumps(payload))
     # The driver keeps only a stdout tail, which truncates 96 queries —
     # persist the full cold+warm table so every run's per-query numbers

@@ -56,6 +56,14 @@ def normalized_text(col: Column) -> Column:
     return F.regexp_replace(F.lower(F.trim(col)), "\\s+", " ")
 
 
+# Digest sentinel for NULL-text docs under null_text="clique": md5
+# never emits this value, so it cannot collide with a real content
+# hash. ONE constant shared by canonicalize_exact_dups and the
+# incremental batch-side hash (q243) — the two sites must agree
+# exactly or batch docs silently misclassify as novel (r11 ADVICE).
+NULL_TEXT_SENTINEL = "__null_text__"
+
+
 def shingles_col(col: Column, k: int = 5, family: str = "xxhash64") -> Column:
     """k-word shingle HASHES as a distinct array<long>.
 
@@ -134,6 +142,7 @@ def shingles_col(col: Column, k: int = 5, family: str = "xxhash64") -> Column:
 
 
 _SHINGLE_TEXT_EXPR: dict[tuple[int, str], Column] = {}
+_SHINGLE_TEXT_CTX: object = None
 
 
 def shingles_text(k: int = 5, family: str = "xxhash64") -> Column:
@@ -146,7 +155,19 @@ def shingles_text(k: int = 5, family: str = "xxhash64") -> Column:
     is immutable and plan-independent (it resolves per-plan at
     analysis), so one instance per (k, family) serves every caller —
     the same Column object is safely reused across filters, joins and
-    both sides of self-joins (covered by tests)."""
+    both sides of self-joins (covered by tests).
+
+    The memo is scoped to the ACTIVE SparkContext: a Column holds
+    py4j refs into the gateway, so after a spark.stop()/restart the
+    cached objects would surface as opaque py4j errors far from the
+    cause (r11 ADVICE) — a context switch clears the memo."""
+    global _SHINGLE_TEXT_CTX
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is not _SHINGLE_TEXT_CTX:
+        _SHINGLE_TEXT_EXPR.clear()
+        _SHINGLE_TEXT_CTX = sc
     key = (k, family)
     if key not in _SHINGLE_TEXT_EXPR:
         _SHINGLE_TEXT_EXPR[key] = shingles_col(F.col("text"), k=k, family=family)
@@ -1141,8 +1162,16 @@ def _free_local_checkpoint(df: DataFrame) -> None:
     cut the lineage, so freed blocks cannot be recomputed."""
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+    except Exception as exc:
+        # fallback is deliberate (blocks free via the context cleaner)
+        # but must not be silent: if the internal surface shifts, the
+        # pinned-memory hygiene quietly degrades (r11 VERDICT #3)
+        import logging
+
+        logging.getLogger(__name__).debug(
+            "_free_local_checkpoint fallback (context cleaner will "
+            "release the blocks): %s", exc,
+        )
 
 
 def connected_components(
@@ -1162,6 +1191,15 @@ def connected_components(
     in rounds, no lineage growth. Convergence in O(cluster diameter)
     rounds; near-dup clusters are small and dense, so 2-3 rounds in
     practice (``max_iters`` is the divergence guard).
+
+    FAULT-RECOVERY CONTRACT (r11 ADVICE): the returned labels frame is
+    persisted and fully materialized by the last round's action, but
+    its lineage reaches through the checkpointed edge list whose
+    blocks are freed on return — a cached labels partition lost AFTER
+    return (executor death/decommission) is not recomputable. Callers
+    that keep the map must materialize it durably first
+    (``localCheckpoint``/write), which every in-repo consumer does
+    (q77/q242/q243 checkpoint their derived output before unpersist).
     """
     # materialize the symmetric edge list ONCE — every round reads it;
     # at 100 TB this is the intermediate you'd write to storage.
@@ -1927,10 +1965,10 @@ def canonicalize_exact_dups(
         if null_text == "drop":
             hashed = hashed.filter(F.col("_h").isNotNull())
         else:
-            # one sentinel clique: md5 never emits this value, so it
-            # cannot collide with a real content hash
+            # one sentinel clique (module constant — q243's batch-side
+            # hash must build the identical key)
             hashed = hashed.withColumn(
-                "_h", F.coalesce(F.col("_h"), F.lit("__null_text__"))
+                "_h", F.coalesce(F.col("_h"), F.lit(NULL_TEXT_SENTINEL))
             )
         m = (
             hashed.withColumn(
@@ -2312,10 +2350,14 @@ def q243_incremental_dedup_pipeline(
     # implied by its rep's pair (identical text ⇒ identical shingles).
     from pyspark.sql.window import Window
 
+    # the batch-side digest must mirror canonicalize_exact_dups'
+    # internal key EXACTLY (casefold=True normalization + the shared
+    # NULL_TEXT_SENTINEL under null_text="clique") — a drift in either
+    # would silently misclassify batch docs as novel (r11 ADVICE)
     key = normalized_text(F.col("text"))
-    sentinel = F.lit("__null_text__")
     bh = batch.select(
-        "doc_id", F.coalesce(F.md5(key), sentinel).alias("_h")
+        "doc_id",
+        F.coalesce(F.md5(key), F.lit(NULL_TEXT_SENTINEL)).alias("_h"),
     )
     # the corpus digest table IS the pinned member map's rep rows
     # (canonicalize_exact_dups keeps _h for exactly this): min doc_id

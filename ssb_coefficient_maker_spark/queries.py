@@ -12222,66 +12222,48 @@ REGISTRY: dict[str, QuerySpec] = {
 }
 
 # MECHANICALLY DERIVED — regenerate with `python tools/driver_priority.py`
-# (round-9 rule). Round-11 head: the 5 never-sampled queries (q239
-# exact-dup collapse, q240 pixel decode, q241 collapsed weighted
-# Jaccard, q242 end-to-end dedup pipeline, q243 its incremental
-# maintenance), then the queries whose
-# symbol closure changed this round (the dedup/similarity/multimodal
-# edits and review fixes), then the rotation debt oldest first — the
-# seven r4 verdicts (q116-q120, q127, q128) and the q130-q183 r5
-# family sit inside the 50-slot sample head, clearing the "nothing
-# older than r6" target (VERDICT r10 item 2).
+# (round-12 rule: specificity-first within stale). Round-12 head: zero
+# never-sampled; then the queries marked stale by a SPECIFIC changed
+# symbol (fan-out < 50) — the round-11 literal_df / right-sized-matrix /
+# CC / LSH-share / quantizer-pin rewrites, whose latest driver verdicts
+# predate those changes (round-11 VERDICT item 1) — plus the two
+# VERDICT-pinned queries q57/q220 (see tools/driver_priority.py); the
+# remaining slots backfill the hub-only stale backlog oldest-verdict
+# first (all six r5 verdicts and 13 of the 29 r6 verdicts fit; the
+# other 16 r6-era queries are next round's rotation debt).
 _DRIVER_PRIORITY = (
-    "q241_collapsed_wjaccard",
-    "q242_dedup_pipeline",
-    "q243_incremental_dedup_pipeline",
-    "q240_pixel_decode",
-    "q239_collapsed_neardup",
-    "q128_hierarchy_shares",
-    "q127_point_in_time_join",
-    "q116_correlated_scalar_subquery",
-    "q117_scalar_aggregate_reuse",
-    "q118_universal_quantification",
-    "q119_having_global_share",
-    "q120_rolling_features",
-    "q152_boilerplate_detect",
-    "q153_mix_rebalance",
-    "q155_unigram_xent",
-    "q157_seasonality_index",
-    "q159_setsim_prefix_join",
-    "q160_skyline",
-    "q161_rrf_fusion",
-    "q162_mutual_information",
-    "q163_cusum_changepoint",
-    "q164_weighted_median",
-    "q165_linear_attribution",
-    "q167_bot_rate_audit",
-    "q168_max_concurrency",
-    "q169_diverse_topk",
-    "q170_langid_confusion",
-    "q171_cross_source_overlap",
-    "q172_blob_chunk_digests",
-    "q173_qq_drift",
-    "q175_dim_variance_profile",
-    "q176_packing_efficiency_curve",
-    "q177_top_gram_coverage",
-    "q178_token_budget_fill",
-    "q179_orc_scan",
-    "q180_abc_analysis",
-    "q181_spearman_length_bias",
-    "q182_nearest_event_join",
-    "q183_symspell_join",
-    "q150_media_dedup",
-    "q151_top_decile_curation",
-    "q149_incremental_dedup",
-    "q145_rolling_corr",
-    "q146_kl_drift",
-    "q147_time_to_convert",
-    "q148_containment_dedup",
-    "q143_linear_interp",
-    "q144_group_impute",
-    "q138_weighted_sample",
-    "q139_range_bucketize",
+    "q214_weighted_jaccard_verify",
+    "q91_decontamination",
+    "q30_exact_dedup",
+    "q135_nation_pagerank",
+    "q223_anonymity_risk_audit",
+    "q224_dp_noised_release",
+    "q70_salted_join",
+    "q96_stratified_sample",
+    "q89_nullsafe_join",
+    "q233_lsh_recall_audit",
+    "q184_bfs_reach",
+    "q217_lsh_probe_append_cycle",
+    "q228_ann_recall_audit",
+    "q234_lsh_store_roundtrip",
+    "q236_ivf_store_roundtrip",
+    "q238_neardup_auto",
+    "q50_embedding_neardup",
+    "q237_header_decode",
+    "q115_celled_neardup",
+    "q31_minhash_neardup",
+    "q77_dedup_clusters",
+    "q156_market_basket",
+    "q158_triangle_count",
+    "q215_incremental_neardup_probe",
+    "q24_formula_coeffmap",
+    "q73_adp_precision",
+    "q58_fused_coeffmap",
+    "q216_formula_matmul",
+    "q114_triplet_wide_formula",
+    "q235_leontief_requirements",
+    "q220_neumann_flow_reach",
+    "q57_lsh_neardup",
     "q140_top_paths",
     "q141_chi_square",
     "q142_benford_digits",
@@ -12314,7 +12296,6 @@ _DRIVER_PRIORITY = (
     "q210_rfm_cells",
     "q212_time_weighted_avg",
     "q213_conjunctive_retrieval",
-    "q214_weighted_jaccard_verify",
     "q137_grouped_ols",
     "q44_approx_distinct",
     "q25_text_stats",
@@ -12323,8 +12304,6 @@ _DRIVER_PRIORITY = (
     "q28_lang_id",
     "q29_fingerprint",
     "q90_repetition_filter",
-    "q91_decontamination",
-    "q30_exact_dedup",
     "q32_ngram_jaccard",
     "q33_simhash",
     "q34_cosine_topk",
@@ -12333,7 +12312,6 @@ _DRIVER_PRIORITY = (
     "q211_quality_length_calibration",
     "q133_equal_freq_binning",
     "q134_mad_outliers",
-    "q135_nation_pagerank",
     "q36_embedding_stats",
     "q37_media_bytes",
     "q38_asof_join",
@@ -12378,10 +12356,7 @@ _DRIVER_PRIORITY = (
     "q185_cdc_chunking",
     "q218_heavy_hitters_audit",
     "q219_theta_set_algebra_audit",
-    "q220_neumann_flow_reach",
     "q222_bloom_membership_audit",
-    "q223_anonymity_risk_audit",
-    "q224_dp_noised_release",
     "q225_bottomk_sample_audit",
     "q226_bpe_merge_rounds",
     "q229_tokenizer_fertility",
@@ -12390,13 +12365,9 @@ _DRIVER_PRIORITY = (
     "q69_interval_join",
     "q22_range_join",
     "q23_case_when",
-    "q24_formula_coeffmap",
-    "q73_adp_precision",
-    "q58_fused_coeffmap",
     "q59_partition_pruning",
     "q64_bucketed_join",
     "q65_partition_backfill",
-    "q70_salted_join",
     "q71_schema_evolution",
     "q72_batch_topk",
     "q78_train_test_split",
@@ -12407,16 +12378,12 @@ _DRIVER_PRIORITY = (
     "q93_argmax_agg",
     "q94_funnel",
     "q95_histogram",
-    "q96_stratified_sample",
     "q85_map_functions",
     "q86_batch_sessions",
     "q87_array_predicates",
     "q88_correlation",
-    "q89_nullsafe_join",
     "q79_lang_centroid_distance",
     "q154_dup_ngram_coverage",
-    "q216_formula_matmul",
-    "q114_triplet_wide_formula",
     "q124_bigram_pmi",
     "q75_udtf_rle",
     "q66_tfidf_top_terms",
@@ -12425,28 +12392,13 @@ _DRIVER_PRIORITY = (
     "q60_csv_scan",
     "q61_json_scan",
     "q62_approx_percentile",
-    "q233_lsh_recall_audit",
     "q232_segment_dedup_ingest",
-    "q31_minhash_neardup",
-    "q77_dedup_clusters",
-    "q156_market_basket",
-    "q158_triangle_count",
     "q174_embedding_norm_qa",
-    "q184_bfs_reach",
-    "q215_incremental_neardup_probe",
-    "q217_lsh_probe_append_cycle",
-    "q228_ann_recall_audit",
-    "q235_leontief_requirements",
-    "q234_lsh_store_roundtrip",
     "q35_ivf_topk",
     "q221_ivf_ingest_probe",
-    "q236_ivf_store_roundtrip",
     "q230_semantic_dedup",
     "q81_pq_topk",
-    "q50_embedding_neardup",
-    "q57_lsh_neardup",
     "q74_frame_sampling",
-    "q237_header_decode",
     "q55_large_volume_orders",
     "q52_nation_volume",
     "q53_market_share",
@@ -12466,8 +12418,6 @@ _DRIVER_PRIORITY = (
     "q112_snapshot_diff",
     "q121_zorder_clustering",
     "q125_record_linkage",
-    "q115_celled_neardup",
-    "q238_neardup_auto",
     "q76_streaming_dedup",
     "q80_streaming_sink",
     "q63_streaming_tumbling",
@@ -12475,6 +12425,56 @@ _DRIVER_PRIORITY = (
     "q105_incremental_mv",
     "q107_stream_stream_join",
     "q227_streaming_upsert_mor",
+    "q152_boilerplate_detect",
+    "q153_mix_rebalance",
+    "q155_unigram_xent",
+    "q157_seasonality_index",
+    "q159_setsim_prefix_join",
+    "q160_skyline",
+    "q161_rrf_fusion",
+    "q162_mutual_information",
+    "q163_cusum_changepoint",
+    "q164_weighted_median",
+    "q165_linear_attribution",
+    "q167_bot_rate_audit",
+    "q168_max_concurrency",
+    "q169_diverse_topk",
+    "q170_langid_confusion",
+    "q171_cross_source_overlap",
+    "q172_blob_chunk_digests",
+    "q173_qq_drift",
+    "q175_dim_variance_profile",
+    "q176_packing_efficiency_curve",
+    "q177_top_gram_coverage",
+    "q178_token_budget_fill",
+    "q179_orc_scan",
+    "q180_abc_analysis",
+    "q181_spearman_length_bias",
+    "q182_nearest_event_join",
+    "q183_symspell_join",
+    "q241_collapsed_wjaccard",
+    "q242_dedup_pipeline",
+    "q243_incremental_dedup_pipeline",
+    "q150_media_dedup",
+    "q151_top_decile_curation",
+    "q149_incremental_dedup",
+    "q145_rolling_corr",
+    "q146_kl_drift",
+    "q147_time_to_convert",
+    "q148_containment_dedup",
+    "q143_linear_interp",
+    "q144_group_impute",
+    "q138_weighted_sample",
+    "q139_range_bucketize",
+    "q240_pixel_decode",
+    "q128_hierarchy_shares",
+    "q127_point_in_time_join",
+    "q116_correlated_scalar_subquery",
+    "q117_scalar_aggregate_reuse",
+    "q118_universal_quantification",
+    "q119_having_global_share",
+    "q120_rolling_features",
+    "q239_collapsed_neardup",
 )
 
 

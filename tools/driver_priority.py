@@ -28,8 +28,20 @@ out of the 50-slot sample):
 4. a query is STALE if its function is in the closure for ITS OWN
    verdict's boundary, or references a closed-over symbol;
 5. the head is: never-driver-sampled queries (new this round), then
-   stale queries, then everyone else — each group oldest-verdict
-   first, ties in registry definition order.
+   stale queries, then everyone else. Never/rest sort oldest-verdict
+   first; STALE sorts by SPECIFICITY first (round-12 amendment, from
+   the round-11 VERDICT: "staleness-by-change before
+   staleness-by-age") — specificity(q) = the smallest fan-out among
+   the changed symbols that mark q stale, where fan-out(s) = how many
+   registry queries a change to s alone would mark. A query stale via
+   `celled_neardup` (2 consumers) was the TARGET of a change and has
+   never been driver-verified on it; a query stale only via a hub
+   like `load_table` (every query) shares that risk with the entire
+   registry, which the canary queries and full builder replays
+   already exercise. Without this, one wide round (a session conf
+   touch marks all 243) lets the oldest-verdict backlog crowd every
+   just-rewritten operator out of the 50-slot sample — round 11's
+   "what's wrong #1". Ties: oldest verdict, then registry order.
 
 Usage:
     python tools/driver_priority.py              # per-query bases
@@ -278,40 +290,131 @@ def round_boundaries() -> dict[int, str]:
     return bounds
 
 
-def stale_queries(verdicts: dict[str, int]) -> set[str]:
-    """Queries whose code (symbol closure) changed since the round
-    their latest driver verdict was collected. One diff per distinct
-    verdict round; a verdict round with no boundary commit is treated
-    as stale (can't prove the evidence still covers the code)."""
+_REVERSE_CACHE: dict[str, set[str]] | None = None
+
+
+def _reverse_graph() -> dict[str, set[str]]:
+    """referenced name -> the top-level symbols whose body mentions
+    it (the reverse of _refs_graph, built once)."""
+    global _REVERSE_CACHE
+    if _REVERSE_CACHE is None:
+        rev: dict[str, set[str]] = {}
+        for name, words in _refs_graph().items():
+            for w in words:
+                rev.setdefault(w, set()).add(name)
+        _REVERSE_CACHE = rev
+    return _REVERSE_CACHE
+
+
+_FANOUT_CACHE: dict[str, tuple[int, set[str]]] = {}
+
+
+def _symbol_fanout(sym: str) -> tuple[int, set[str]]:
+    """(how many registry queries a change to `sym` alone would mark
+    stale, the marked set). BFS over the reverse reference graph —
+    equivalent to affected_queries(symbol_closure({sym})) but linear,
+    so per-symbol specificity over hundreds of changed symbols stays
+    cheap. Round-independent (computed on the CURRENT reference
+    graph), hence cached by name."""
+    if sym not in _FANOUT_CACHE:
+        rev = _reverse_graph()
+        closure = {sym}
+        frontier = [sym]
+        while frontier:
+            nxt = []
+            for s in frontier:
+                for referrer in rev.get(s, ()):
+                    if referrer not in closure:
+                        closure.add(referrer)
+                        nxt.append(referrer)
+            frontier = nxt
+        hit = affected_queries(closure)
+        _FANOUT_CACHE[sym] = (len(hit), hit)
+    return _FANOUT_CACHE[sym]
+
+
+def stale_queries(verdicts: dict[str, int]) -> tuple[set[str], dict[str, int]]:
+    """(stale set, specificity map). Stale: the symbol closure of the
+    diff from the query's own verdict boundary reaches it. One diff
+    per distinct verdict round; a verdict round with no boundary
+    commit is treated as maximally stale (can't prove the evidence
+    still covers the code). Specificity: min fan-out over the changed
+    symbols that individually mark the query — small means the change
+    was targeted at this query's code path (see module docstring,
+    step 5)."""
     bounds = round_boundaries()
+    nq = len(_query_refs())
     stale: set[str] = set()
+    spec: dict[str, int] = {}
     for rnd in sorted({r for r in verdicts.values()}):
         members = {q for q, r in verdicts.items() if r == rnd}
         base = bounds.get(rnd)
         if base is None:
             stale |= members
+            for q in members:
+                spec[q] = min(spec.get(q, nq), nq)
             continue
-        affected = affected_queries(symbol_closure(changed_symbols(base)))
-        stale |= members & affected
-    return stale
+        changed = changed_symbols(base)
+        affected = affected_queries(symbol_closure(changed))
+        hit = members & affected
+        stale |= hit
+        for sym in changed:
+            n, marked = _symbol_fanout(sym)
+            for q in marked & hit:
+                spec[q] = min(spec.get(q, nq), n)
+        for q in hit:
+            # affected via closure interactions not attributable to a
+            # single symbol (shouldn't happen; keep the key total)
+            spec.setdefault(q, nq)
+    return stale, spec
+
+
+# The round-11 VERDICT names the queries the round-12 driver sample
+# must lead with. Two of them — q57, q220 — the specificity rule
+# EXCLUDES on evidence (the only changed symbol marking either is the
+# `load_table` hub: q57 is the embedding-LSH tier in similarity.py,
+# untouched by the round-11 minhash/CC rewrites; q220 is the triplet
+# path, untouched by the matrix right-sizing). The verdict's grouping
+# was over-inclusive there, but its requirement is explicit, so they
+# are pinned at specificity 50 (after every genuine targeted change,
+# ahead of the hub-only backlog). The pin SELF-EXPIRES: once a query
+# gains a driver verdict from round >= 12 it competes normally again.
+_R11_VERDICT_PINS = ("q57_lsh_neardup", "q220_neumann_flow_reach")
+_PIN_EXPIRY_ROUND = 12
 
 
 def derive() -> tuple[list[str], dict]:
     from ssb_coefficient_maker_spark.queries import REGISTRY
 
     verdicts = latest_verdicts()
-    stale = stale_queries(verdicts)
+    stale, spec = stale_queries(verdicts)
     order = {name: i for i, name in enumerate(REGISTRY)}
 
     def key(name: str):
         return (verdicts.get(name, 0), order[name])
 
+    def stale_key(name: str):
+        s = spec.get(name, len(REGISTRY))
+        if (
+            name in _R11_VERDICT_PINS
+            and verdicts.get(name, 0) < _PIN_EXPIRY_ROUND
+        ):
+            s = min(s, 50)
+        return (s, verdicts.get(name, 0), order[name])
+
     never = sorted((n for n in REGISTRY if n not in verdicts), key=key)
-    st = sorted((n for n in REGISTRY if n in stale and n in verdicts), key=key)
+    st = sorted(
+        (n for n in REGISTRY if n in stale and n in verdicts), key=stale_key
+    )
     rest = sorted(
         (n for n in REGISTRY if n not in stale and n in verdicts), key=key
     )
-    info = {"stale": stale, "never": never, "verdicts": verdicts}
+    info = {
+        "stale": stale,
+        "never": never,
+        "verdicts": verdicts,
+        "specificity": spec,
+    }
     return never + st + rest, info
 
 
