@@ -3933,22 +3933,33 @@ def q228_ann_recall_audit(
             F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("cos_sim"),
         )
     )
-    hits = (
-        exact.join(ivf, ["qid", "vec_id"])
-        .groupBy("qid")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
+    # One pass over `exact`: the original hits-join + separate n_exact
+    # groupBy made the brute-force crossJoin subtree appear TWICE in
+    # the physical plan (no exchange reuse across the differing join
+    # shapes — r12 plan evidence). A left join against the marked IVF
+    # top-k (broadcast: <= panel*k rows by construction) keeps exact's
+    # row count (IVF (qid, vec_id) pairs are unique per rank<=k), so
+    # count(1) = n_exact and count(_hit) = |exact ∩ ivf| — identical
+    # values, half the brute-force work, and the groupBy reuses the
+    # window's qid partitioning (guide §1.2-1, §2.4).
     return (
-        exact.groupBy("qid")
-        .agg(F.count(F.lit(1)).alias("n_exact"))
-        .join(hits, "qid", "left")
+        exact.join(
+            F.broadcast(ivf.withColumn("_hit", F.lit(1))),
+            ["qid", "vec_id"],
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("_hit").alias("n_hits"),
+        )
         .select(
             "qid",
             "n_exact",
-            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
-            F.round(
-                F.coalesce("n_hits", F.lit(0)) / F.lit(float(Q228_TOP_K)), 4
-            ).alias("recall"),
+            "n_hits",
+            F.round(F.col("n_hits") / F.lit(float(Q228_TOP_K)), 4).alias(
+                "recall"
+            ),
         )
         .orderBy("qid")
     )
@@ -12248,6 +12259,7 @@ _DRIVER_PRIORITY = (
     "q234_lsh_store_roundtrip",
     "q236_ivf_store_roundtrip",
     "q238_neardup_auto",
+    "q243_incremental_dedup_pipeline",
     "q50_embedding_neardup",
     "q237_header_decode",
     "q115_celled_neardup",
@@ -12256,6 +12268,9 @@ _DRIVER_PRIORITY = (
     "q156_market_basket",
     "q158_triangle_count",
     "q215_incremental_neardup_probe",
+    "q242_dedup_pipeline",
+    "q241_collapsed_wjaccard",
+    "q239_collapsed_neardup",
     "q24_formula_coeffmap",
     "q73_adp_precision",
     "q58_fused_coeffmap",
@@ -12452,9 +12467,6 @@ _DRIVER_PRIORITY = (
     "q181_spearman_length_bias",
     "q182_nearest_event_join",
     "q183_symspell_join",
-    "q241_collapsed_wjaccard",
-    "q242_dedup_pipeline",
-    "q243_incremental_dedup_pipeline",
     "q150_media_dedup",
     "q151_top_decile_curation",
     "q149_incremental_dedup",
@@ -12474,7 +12486,6 @@ _DRIVER_PRIORITY = (
     "q118_universal_quantification",
     "q119_having_global_share",
     "q120_rolling_features",
-    "q239_collapsed_neardup",
 )
 
 

@@ -1,5 +1,6 @@
 """Capture ``.explain("formatted")`` output for named registry
-queries into ``plans/r11/<query>_<tag>.txt`` — the before/after plan
+queries into ``plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<tag>.txt``
+(default round ``r12``) — the before/after plan
 evidence the optimization round commits (guide §1.4/§7.2).
 
 Usage:
@@ -25,7 +26,9 @@ def main() -> int:
 
     spark = get_spark(app_name="capture_plan")
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_dir = os.path.join(here, "plans", "r11")
+    out_dir = os.path.join(
+        here, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r12")
+    )
     os.makedirs(out_dir, exist_ok=True)
 
     for name in names:
