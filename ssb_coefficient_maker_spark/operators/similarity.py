@@ -770,6 +770,19 @@ def cosine_neardup_blocked(
         .join(packed.alias("b"), F.col("a.bid") <= F.col("b.bid"))
         .select(F.col("a.blk").alias("blk_a"), F.col("b.blk").alias("blk_b"))
     )
+    # Compute-aware spread of the block-pair table (round 12, guide
+    # §2.5): each row is ~block_size·dim doubles of PAYLOAD but ~0.1 s
+    # of dense-product COMPUTE, so AQE's byte-based coalescing packs
+    # ~64 pairs per task and the kernel runs a few tasks wide no
+    # matter the core count (measured sf1: q50 ~23 s warm on 32 cores
+    # AND on 8 — the 210-pair table coalesced to ~4 partitions).
+    # Round-robin repartition to 2× the available slots (capped by the
+    # pair count) keeps every core busy locally and is the same
+    # fan-out a cluster wants: n_pairs >> slots at any real scale, and
+    # the input rows are deterministic, so retry-safe under the
+    # default sort-before-repartition.
+    n_slots = max(2, emb.sparkSession.sparkContext.defaultParallelism)
+    pairs = pairs.repartition(int(min(n_pairs, 2 * n_slots)))
 
     def block_product(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1104,6 +1117,14 @@ def cosine_neardup_celled(
                     "cos_sim": pd.Series(out_c, dtype="float64"),
                 }
             )
+
+    # same compute-aware spread as cosine_neardup_blocked (round 12):
+    # block-pair rows are byte-light but compute-heavy, so AQE's
+    # byte-based coalescing under-parallelizes the dense products;
+    # surviving_block_pairs is already known exactly from the pruning
+    # walk above (incl. the fringe residual upper bound)
+    n_slots = max(2, emb.sparkSession.sparkContext.defaultParallelism)
+    pairs = pairs.repartition(int(min(max(1, surviving_block_pairs), 2 * n_slots)))
 
     return pairs.mapInPandas(
         block_product, schema="vec_a long, vec_b long, cos_sim double"
